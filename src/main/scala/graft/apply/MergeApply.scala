@@ -1,0 +1,288 @@
+package graft.apply
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.lake._
+import graft.model._
+import graft.rules._
+
+/**
+ * The merge-apply stage: one micro-batch of change events → one copy-on-write
+ * commit on the lake table. This is the Spark re-expression of the reference's
+ * consumer callback (trempy/Tasks/Task.py:153-204 →
+ * trempy/.../CDCOperationsHandler.py:88-277) — its per-row SQL loops collapse into:
+ *
+ * {{{
+ *   quarantine split → filter rules → transform rules
+ *     → per-key max_by(lsn) reduction  (dedup by (doc_id, lsn) + last-writer-wins;
+ *                                       partial aggregation bounds hot-key fan-in:
+ *                                       each map task emits ≤1 row per key)
+ *     → manifest-pruned read of affected buckets only
+ *     → full-outer equi-join on the key (AQE picks broadcast when the reduced
+ *       change set is small; skew-join handles hot buckets)
+ *     → bucket-partitioned write + atomic manifest commit (exactly-once per epoch)
+ * }}}
+ *
+ * Scale notes (100 TB / 10^10 events): the base table is never fully scanned —
+ * reads prune to `O(affected buckets)` via the manifest; the reduction shuffles
+ * only the batch (with map-side partial max_by, a hot key contributes at most one
+ * row per map task to the shuffle); the join shuffles only batch + affected
+ * buckets; the write re-shuffles merged rows by bucket so each bucket is written
+ * by one task (bounded file counts).
+ */
+object MergeApply {
+
+  case class BatchResult(epoch: Long, skipped: Boolean, metrics: Map[String, Long])
+
+  private val envelope = Seq(ChangeEvent.LSN, ChangeEvent.TXN_ID, ChangeEvent.TS,
+    ChangeEvent.OP, ChangeEvent.SCHEMA_VER)
+
+  /** Deterministic per-batch "now" (replaces the reference's wall-clock NOW(),
+    * SURVEY §7.4.3): derived from the epoch so replay is byte-stable. */
+  def batchTimestamp(epoch: Long): Column =
+    timestamp_seconds(lit(1700000000L + epoch))
+
+  /** Null-fill lake-schema columns missing from the (older schema_ver) event frame
+    * and cast widened ones — the reference's per-batch null-fill of missing source
+    * columns (trempy/Tables/Table.py:73-100), done once per batch, columnar. */
+  private def alignToSchema(df: DataFrame, target: GraftSchema): DataFrame =
+    target.fields.foldLeft(df) { (d, f) =>
+      if (!d.columns.contains(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
+      else if (d.schema(f.name).dataType != f.dataType)
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d
+    }
+
+  def applyBatch(
+      spark: SparkSession,
+      lake: LakeTable,
+      batch: DataFrame,
+      epoch: Long,
+      cfg: JobConfig): BatchResult = {
+
+    // exactly-once: a re-delivered epoch is a no-op (idempotent commit)
+    if (lake.isCommitted(epoch)) return BatchResult(epoch, skipped = true, Map.empty)
+
+    val payloadCols = batch.columns.filterNot(envelope.contains).toSeq
+
+    // ── 1. quarantine split (DLX analogue): bad op, or payload invariant broken ──
+    val opCol = col(ChangeEvent.OP)
+    val invariantOk =
+      opCol.isin(ChangeEvent.OPS.toSeq: _*) &&
+        (opCol === ChangeEvent.DELETE ||
+          (!cfg.quarantine) ||
+          (col("tokens").isNotNull && col("n_tok") === size(col("tokens"))))
+    val routed = batch.withColumn("_quarantined", !invariantOk)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bad = routed.filter(col("_quarantined")).drop("_quarantined")
+      val good = routed.filter(!col("_quarantined")).drop("_quarantined")
+      val nBad = bad.count()
+      if (nBad > 0)
+        bad.write.mode("overwrite").parquet(lake.quarantineDir(epoch))
+
+      // ── 2. rule pipeline: filters (DELETE passthrough) then transforms ──
+      val filtered =
+        if (cfg.filters.isEmpty) good
+        else good.filter(FilterCompiler.cdcPredicate(cfg.filters, good.schema, opCol))
+      val spec = TableSpec("lake", "t", cfg.keyCols)
+      val compiled = TransformCompiler.compile(
+        cfg.transforms, spec, filtered.schema, batchTimestamp(epoch))
+      val transformed = compiled.apply(filtered)
+      val keys = compiled.outSpec.keyCols
+
+      cfg.mode match {
+        case CdcMode.Scd2 =>
+          applyScd2(spark, lake, transformed, epoch, cfg, keys, nBad)
+        case _ =>
+          applyLww(spark, lake, transformed, epoch, cfg, keys, nBad)
+      }
+    } finally routed.unpersist()
+  }
+
+  /** default/upsert modes: final state ≡ last-writer-wins fold (reference's literal
+    * replay collapses to LWW after per-key reduction — SURVEY §2.4). */
+  private def applyLww(
+      spark: SparkSession,
+      lake: LakeTable,
+      events: DataFrame,
+      epoch: Long,
+      cfg: JobConfig,
+      keys: Seq[String],
+      nQuarantined: Long): BatchResult = {
+
+    val m = lake.manifest
+    val buckets = m.buckets
+    // engine-internal columns (leading underscore, e.g. the stored per-row _lsn)
+    // are never payload — FIXTURES F1
+    val payloadCols = m.currentSchema.fields.map(_.name).filterNot(_.startsWith("_"))
+    val nonKeyPayload = payloadCols.filterNot(keys.contains)
+    val aligned = alignToSchema(events,
+      GraftSchema(m.currentSchemaId, m.currentSchema.fields.filterNot(_.name.startsWith("_"))))
+
+    // ── per-key LWW reduction: dedup by (key, lsn), keep max-lsn record ──
+    // groupBy + max_by does map-side partial aggregation: a hot key contributes
+    // at most one row per map task to the shuffle (skew-safe without salting).
+    val packed = struct((Seq(ChangeEvent.OP, ChangeEvent.LSN, ChangeEvent.TS) ++
+      nonKeyPayload).map(col): _*)
+    val reduced = aligned
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(packed, col(ChangeEvent.LSN)).as("_r"))
+      .select(keys.map(col) :+ col("_r.*"): _*)
+      .withColumn("_bucket", lake.bucketExpr(keys, buckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // one small job on the cached reduction yields op metrics AND affected buckets
+      val opByBucket = reduced.groupBy("_bucket", ChangeEvent.OP).count().collect()
+      val affected = opByBucket.map(_.getInt(0)).toSet
+      val opCounts = opByBucket.groupBy(_.getString(1))
+        .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
+
+      if (affected.isEmpty) {
+        val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined)
+        lake.commit(epoch, Nil, Set.empty, metrics)
+        return BatchResult(epoch, skipped = false, metrics)
+      }
+
+      // ── manifest-pruned base read: only affected buckets are opened ──
+      val base = lake.readBuckets(spark, affected)
+
+      // ── full-outer merge on the key; AQE broadcasts the reduced side when small ──
+      // True last-writer-wins: the change side wins only if its LSN is newer than
+      // the row's stored _lsn, so re-ordered/re-delivered batches cannot regress
+      // the table to an older version (order-tolerant upsert).
+      val cPrefix = "_c_"
+      val changeSide = reduced.select(
+        keys.map(col) ++
+          (Seq(ChangeEvent.OP, ChangeEvent.LSN) ++ nonKeyPayload)
+            .map(c => col(c).as(cPrefix + c)): _*)
+      val joined = base.join(changeSide, keys, "full_outer")
+      val cOp = col(cPrefix + ChangeEvent.OP)
+      val cLsn = col(cPrefix + ChangeEvent.LSN)
+      val changeWins = cOp.isNotNull && (col("_lsn").isNull || cLsn > col("_lsn"))
+      val merged = joined
+        .filter(!(changeWins && cOp === ChangeEvent.DELETE))
+        .select((payloadCols.map { c =>
+          if (keys.contains(c)) col(c)
+          else when(changeWins, col(cPrefix + c)).otherwise(col(c)).as(c)
+        } :+ when(changeWins, cLsn).otherwise(col("_lsn")).as("_lsn")): _*)
+        .withColumn("_bucket", lake.bucketExpr(keys, buckets))
+
+      val files = writeEpoch(spark, lake, merged, epoch, m)
+      val metrics = Map(
+        "batches" -> 1L,
+        "events_quarantined" -> nQuarantined,
+        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
+        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
+        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
+      lake.commit(epoch, files, affected, metrics)
+      BatchResult(epoch, skipped = false, metrics)
+    } finally reduced.unpersist()
+  }
+
+  /**
+   * SCD2 mode: every change produces/closes a version row
+   * (reference: CDCOperationsHandler.py:216-277). Intra-batch chains are built with
+   * lead() over (key, lsn) — SURVEY §7.4.2 — instead of the reference's row-serial
+   * close-then-insert; DELETE closes the current version and creates none.
+   */
+  private def applyScd2(
+      spark: SparkSession,
+      lake: LakeTable,
+      events: DataFrame,
+      epoch: Long,
+      cfg: JobConfig,
+      naturalKeys: Seq[String],
+      nQuarantined: Long): BatchResult = {
+
+    val m = lake.manifest
+    val buckets = m.buckets
+    val scd = cfg.scdCols
+    val payloadCols = m.currentSchema.fields.map(_.name)
+      .filterNot(c => c == scd.startDate || c == scd.endDate || c == scd.current)
+      .filterNot(_.startsWith("_"))
+    val nonKeyPayload = payloadCols.filterNot(naturalKeys.contains)
+
+    val alignSchema = GraftSchema(m.currentSchemaId,
+      m.currentSchema.fields.filter(f => payloadCols.contains(f.name)))
+    val w = Window.partitionBy(naturalKeys.map(col): _*).orderBy(col(ChangeEvent.LSN))
+    val withNext = alignToSchema(events, alignSchema)
+      .withColumn("_next_ts", lead(col(ChangeEvent.TS), 1).over(w))
+      .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val stats = withNext.groupBy("_bucket", ChangeEvent.OP).count().collect()
+      val affected = stats.map(_.getInt(0)).toSet
+      val opCounts = stats.groupBy(_.getString(1))
+        .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
+
+      if (affected.isEmpty) {
+        val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined)
+        lake.commit(epoch, Nil, Set.empty, metrics)
+        return BatchResult(epoch, skipped = false, metrics)
+      }
+
+      // new version rows: one per INSERT/UPDATE; end = next change's ts (any op)
+      val newVersions = withNext
+        .filter(col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
+        .select(
+          (payloadCols.map(col) :+
+            col(ChangeEvent.TS).as(scd.startDate) :+
+            col("_next_ts").cast(TimestampType).as(scd.endDate) :+
+            when(col("_next_ts").isNull, lit(1)).otherwise(lit(0)).as(scd.current)): _*)
+
+      // first change ts per key closes the pre-existing current version
+      val firstChange = withNext
+        .groupBy(naturalKeys.map(col): _*)
+        .agg(min(col(ChangeEvent.TS)).as("_close_ts"))
+
+      val base = lake.readBuckets(spark, affected)
+      val closed = base
+        .join(firstChange, naturalKeys, "left")
+        .select((payloadCols.map(col) :+
+          col(scd.startDate) :+
+          when(col("_close_ts").isNotNull && col(scd.current) === 1, col("_close_ts"))
+            .otherwise(col(scd.endDate)).as(scd.endDate) :+
+          when(col("_close_ts").isNotNull && col(scd.current) === 1, lit(0))
+            .otherwise(col(scd.current)).as(scd.current)): _*)
+
+      val allCols = payloadCols :+ scd.startDate :+ scd.endDate :+ scd.current
+      val merged = closed.select(allCols.map(col): _*)
+        .unionAll(newVersions.select(allCols.map(col): _*))
+        .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
+
+      val files = writeEpoch(spark, lake, merged, epoch, m)
+      val metrics = Map(
+        "batches" -> 1L,
+        "events_quarantined" -> nQuarantined,
+        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
+        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
+        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
+      lake.commit(epoch, files, affected, metrics)
+      BatchResult(epoch, skipped = false, metrics)
+    } finally withNext.unpersist()
+  }
+
+  /** Bucket-partitioned epoch write. The epoch dir is overwritten wholesale on a
+    * task/batch retry, keeping (epoch, partition) file sets idempotent. */
+  private def writeEpoch(
+      spark: SparkSession,
+      lake: LakeTable,
+      merged: DataFrame,
+      epoch: Long,
+      m: Manifest): Seq[DataFile] = {
+    // one write task per bucket: co-locates each bucket's rows, bounds file count
+    merged
+      .repartition(col("_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("_bucket")
+      .parquet(lake.dataDir(epoch))
+    lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+  }
+}

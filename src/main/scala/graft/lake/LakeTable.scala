@@ -1,0 +1,303 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Iceberg-semantics lake table over plain Parquet (no Iceberg jar in this sandbox —
+ * SURVEY §7.0): a directory of immutable Parquet data files + versioned JSON snapshot
+ * manifests, with
+ *   - hidden bucket partitioning `bucket = pmod(xxhash64(keys), B)` (Iceberg bucket
+ *     transform analogue) — merge reads prune to affected buckets via the manifest,
+ *     never by directory listing;
+ *   - schema evolution by stable field ids (add / rename / widen) — old files are
+ *     NOT rewritten; reads project each file group written at schema s onto the
+ *     current schema by field id;
+ *   - exactly-once idempotent commits keyed on epoch: the manifest carries the
+ *     committed-epoch set, a re-delivered `foreachBatch` epoch is a no-op
+ *     (fixes the reference's loss/duplication window — at-least-once ack in
+ *     trempy/Tasks/Task.py:188-204 after destructive slot reads,
+ *     trempy/Shared/Queries/QueryPostgreSQL.py:132-135);
+ *   - atomic commit = write tmp + atomic rename (one serialization point, mirroring
+ *     the reference's per-envelope ack);
+ *   - per-epoch lineage + metrics JSON alongside the manifests.
+ *
+ * Layout:
+ * {{{
+ *   dir/manifests/v%06d.json       — snapshots (append-only)
+ *   dir/manifests/_current         — latest version pointer
+ *   dir/data/epoch=N/_bucket=K/…   — data files (immutable once committed)
+ *   dir/quarantine/epoch=N/…       — DLX analogue (trempy/Messages/MessageDlx.py:57-83)
+ *   dir/lineage/epoch=N.json       — per-partition lineage + metrics
+ * }}}
+ */
+final case class GraftField(id: Int, name: String, dataType: DataType, nullable: Boolean = true)
+
+final case class GraftSchema(schemaId: Int, fields: Seq[GraftField]) {
+  def sparkSchema: StructType =
+    StructType(fields.map(f => StructField(f.name, f.dataType, f.nullable)))
+  def byId(id: Int): Option[GraftField] = fields.find(_.id == id)
+  def byName(n: String): Option[GraftField] = fields.find(_.name == n)
+  def maxId: Int = if (fields.isEmpty) 0 else fields.map(_.id).max
+}
+
+object GraftSchema {
+  def fromSpark(schema: StructType, schemaId: Int = 1): GraftSchema =
+    GraftSchema(schemaId, schema.fields.zipWithIndex.map { case (f, i) =>
+      GraftField(i + 1, f.name, f.dataType, f.nullable)
+    }.toSeq)
+}
+
+/** Schema-evolution operations (SURVEY §2.3 structural rules / FIXTURES F5). */
+sealed trait SchemaChange
+case class AddColumn(name: String, dataType: DataType, nullable: Boolean = true) extends SchemaChange
+case class RenameColumn(from: String, to: String) extends SchemaChange
+case class WidenColumn(name: String, to: DataType) extends SchemaChange
+
+final case class DataFile(path: String, bucket: Int, schemaId: Int, rows: Long)
+
+final case class Manifest(
+    version: Int,
+    buckets: Int,
+    currentSchemaId: Int,
+    schemas: Seq[GraftSchema],
+    files: Seq[DataFile],
+    committedEpochs: Set[Long],
+    metrics: Map[String, Long]) {
+  def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
+  def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
+}
+
+object ManifestJson {
+  private def typeToJson(dt: DataType): JValue = JString(dt.json)
+  private def typeFromJson(j: JValue): DataType = DataType.fromJson(j.asInstanceOf[JString].s)
+
+  def write(m: Manifest): String = {
+    val j = JObject(
+      "version" -> JInt(m.version),
+      "buckets" -> JInt(m.buckets),
+      "current_schema_id" -> JInt(m.currentSchemaId),
+      "schemas" -> JArray(m.schemas.toList.map(s => JObject(
+        "schema_id" -> JInt(s.schemaId),
+        "fields" -> JArray(s.fields.toList.map(f => JObject(
+          "id" -> JInt(f.id), "name" -> JString(f.name),
+          "type" -> typeToJson(f.dataType), "nullable" -> JBool(f.nullable))))))),
+      "files" -> JArray(m.files.toList.map(f => JObject(
+        "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
+        "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows)))),
+      "committed_epochs" -> JArray(m.committedEpochs.toList.sorted.map(JLong(_))),
+      "metrics" -> JObject(m.metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) })
+    )
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+
+  def read(s: String): Manifest = {
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(s)
+    Manifest(
+      version = (j \ "version").extract[Int],
+      buckets = (j \ "buckets").extract[Int],
+      currentSchemaId = (j \ "current_schema_id").extract[Int],
+      schemas = (j \ "schemas").asInstanceOf[JArray].arr.map { js =>
+        GraftSchema(
+          (js \ "schema_id").extract[Int],
+          (js \ "fields").asInstanceOf[JArray].arr.map { jf =>
+            GraftField((jf \ "id").extract[Int], (jf \ "name").extract[String],
+              typeFromJson(jf \ "type"), (jf \ "nullable").extract[Boolean])
+          })
+      },
+      files = (j \ "files").asInstanceOf[JArray].arr.map { jf =>
+        DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
+          (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long])
+      },
+      committedEpochs = (j \ "committed_epochs").asInstanceOf[JArray].arr
+        .map(_.extract[Long]).toSet,
+      metrics = (j \ "metrics") match {
+        case JObject(kvs) => kvs.map { case (k, v) => k -> v.extract[Long] }.toMap
+        case _ => Map.empty
+      })
+  }
+}
+
+class LakeTable(val dir: String) {
+  private val manifestsDir = Paths.get(dir, "manifests")
+  private def manifestPath(v: Int): Path = manifestsDir.resolve(f"v$v%06d.json")
+  private def currentPtr: Path = manifestsDir.resolve("_current")
+
+  def dataDir(epoch: Long): String = s"$dir/data/epoch=$epoch"
+  def quarantineDir(epoch: Long): String = s"$dir/quarantine/epoch=$epoch"
+
+  // ── snapshot isolation: readers resolve _current once, then read that manifest ──
+  def currentVersion: Int = {
+    if (!Files.exists(currentPtr)) 0
+    else new String(Files.readAllBytes(currentPtr)).trim.toInt
+  }
+
+  def manifest: Manifest = {
+    val v = currentVersion
+    require(v > 0, s"lake table at $dir has no committed snapshot")
+    ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+  }
+
+  def exists: Boolean = currentVersion > 0
+  def isCommitted(epoch: Long): Boolean = exists && manifest.committedEpochs.contains(epoch)
+
+  /** Hidden-partitioning bucket expression over the merge keys. */
+  def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).cast(IntegerType)
+
+  // ── atomic commit: tmp + ATOMIC_MOVE; version rename is the serialization point ──
+  private def writeManifest(m: Manifest): Unit = {
+    Files.createDirectories(manifestsDir)
+    val tmp = manifestsDir.resolve(s".v${m.version}.json.tmp-${System.nanoTime()}")
+    Files.write(tmp, ManifestJson.write(m).getBytes)
+    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE)
+    val ptmp = manifestsDir.resolve(s"._current.tmp-${System.nanoTime()}")
+    Files.write(ptmp, m.version.toString.getBytes)
+    Files.move(ptmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create the table: empty snapshot v1 at schema id 1. */
+  def create(schema: StructType, buckets: Int): Manifest = {
+    require(!exists, s"lake table at $dir already exists")
+    val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil, Set.empty, Map.empty)
+    writeManifest(m)
+    m
+  }
+
+  /**
+   * Commit a copy-on-write snapshot: files of `replacedBuckets` are superseded by
+   * `newFiles`; all other buckets' files carry forward. Idempotent on `epoch`.
+   */
+  def commit(
+      epoch: Long,
+      newFiles: Seq[DataFile],
+      replacedBuckets: Set[Int],
+      metricsDelta: Map[String, Long] = Map.empty,
+      changes: Seq[SchemaChange] = Nil): Manifest = this.synchronized {
+    val old = manifest
+    if (old.committedEpochs.contains(epoch)) return old
+    val evolved = if (changes.isEmpty) old else applySchemaChanges(old, changes)
+    val carried = evolved.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val mergedMetrics = (evolved.metrics.keySet ++ metricsDelta.keySet).map { k =>
+      k -> (evolved.metrics.getOrElse(k, 0L) + metricsDelta.getOrElse(k, 0L))
+    }.toMap
+    val m = evolved.copy(
+      version = evolved.version + 1,
+      files = carried ++ newFiles,
+      committedEpochs = evolved.committedEpochs + epoch,
+      metrics = mergedMetrics)
+    writeManifest(m)
+    writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
+    m
+  }
+
+  /** Schema evolution only (no data) — bumps schema id, new snapshot. */
+  def evolve(changes: Seq[SchemaChange]): Manifest = this.synchronized {
+    val old = manifest
+    val m = applySchemaChanges(old, changes).copy(version = old.version + 1)
+    writeManifest(m)
+    m
+  }
+
+  private def applySchemaChanges(m: Manifest, changes: Seq[SchemaChange]): Manifest = {
+    var s = m.currentSchema
+    var nextId = m.schemas.map(_.maxId).max
+    changes.foreach {
+      case AddColumn(n, dt, nl) =>
+        require(s.byName(n).isEmpty, s"add column: '$n' already exists")
+        nextId += 1
+        s = s.copy(fields = s.fields :+ GraftField(nextId, n, dt, nl))
+      case RenameColumn(from, to) =>
+        require(s.byName(from).isDefined, s"rename: '$from' not found")
+        require(s.byName(to).isEmpty, s"rename: '$to' already exists")
+        s = s.copy(fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      case WidenColumn(n, to) =>
+        val f = s.byName(n).getOrElse(throw new IllegalArgumentException(s"widen: '$n' not found"))
+        require(widens(f.dataType, to), s"widen: ${f.dataType} -> $to is not a widening")
+        s = s.copy(fields = s.fields.map(x => if (x.name == n) x.copy(dataType = to) else x))
+    }
+    val newSchema = s.copy(schemaId = m.currentSchemaId + 1)
+    m.copy(currentSchemaId = newSchema.schemaId, schemas = m.schemas :+ newSchema)
+  }
+
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType)             => true
+    case (LongType, DoubleType)                           => true
+    case (FloatType, DoubleType)                          => true
+    case _                                                => false
+  }
+
+  // ── reads: manifest-pruned, schema-id-grouped, projected to current schema ──
+
+  /** Read the whole table at the current snapshot/schema. */
+  def read(spark: SparkSession): DataFrame = readFiles(spark, manifest, manifest.files)
+
+  /** Read only the given buckets — file pruning via the manifest (no dir listing). */
+  def readBuckets(spark: SparkSession, buckets: Set[Int]): DataFrame = {
+    val m = manifest
+    readFiles(spark, m, m.files.filter(f => buckets.contains(f.bucket)))
+  }
+
+  private def readFiles(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
+    val cur = m.currentSchema
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.sparkSchema)
+    // group by writer schema; project each group onto the current schema by field id
+    files.groupBy(_.schemaId).map { case (sid, group) =>
+      val ws = m.schemaById(sid)
+      val df = spark.read.schema(ws.sparkSchema).parquet(group.map(_.path): _*)
+      val projection = cur.fields.map { f =>
+        ws.byId(f.id) match {
+          case Some(oldF) => col(oldF.name).cast(f.dataType).as(f.name)
+          case None       => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      df.select(projection: _*)
+    }.reduce(_ unionAll _)
+  }
+
+  // ── per-epoch lineage + metrics (SURVEY §2.1 S12 analogue) ──
+  private def writeLineage(
+      epoch: Long, files: Seq[DataFile], replaced: Set[Int],
+      metrics: Map[String, Long]): Unit = {
+    val dirP = Paths.get(dir, "lineage")
+    Files.createDirectories(dirP)
+    val j = JObject(
+      "epoch" -> JLong(epoch),
+      "replaced_buckets" -> JArray(replaced.toList.sorted.map(JInt(_))),
+      "files" -> JArray(files.toList.map(f => JObject(
+        "path" -> JString(f.path), "bucket" -> JInt(f.bucket), "rows" -> JLong(f.rows)))),
+      "metrics" -> JObject(metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }))
+    val tmp = dirP.resolve(s".epoch=$epoch.tmp-${System.nanoTime()}")
+    Files.write(tmp, JsonMethods.pretty(JsonMethods.render(j)).getBytes)
+    Files.move(tmp, dirP.resolve(s"epoch=$epoch.json"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** List data files physically present under a just-written epoch dir, with bucket
+    * parsed from the `_bucket=K` partition dirs. Retried epochs overwrite the same
+    * dir, so file sets stay idempotent per (epoch, partition). */
+  def listEpochFiles(epoch: Long, schemaId: Int, rowsByBucket: Map[Int, Long]): Seq[DataFile] = {
+    val root = Paths.get(dataDir(epoch))
+    if (!Files.exists(root)) return Nil
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val bucket = p.getParent.getFileName.toString match {
+          case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
+          case _ => -1
+        }
+        DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L))
+      }.toSeq
+  }
+}

@@ -1,0 +1,99 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Core data model of the CDC/incremental-ingest engine.
+ *
+ * The change-event shape mirrors the reference's parsed logical-decoding events
+ * (reference: trempy/Endpoints/Databases/PostgreSQL/Subclasses/CDCManager.py:65-114 —
+ * op/schema/table/columns per event, DELETE carrying key only via `(no-tuple-data)`
+ * at CDCManager.py:94-95), re-expressed as a typed Spark row over the target payload
+ * `(doc_id, tokens, n_tok, source)` from BASELINE.json's input_hint.
+ */
+object ChangeEvent {
+  val LSN = "lsn"
+  val TXN_ID = "txn_id"
+  val TS = "ts"
+  val OP = "op"
+  val DOC_ID = "doc_id"
+  val SCHEMA_VER = "schema_ver"
+
+  val INSERT = "INSERT"
+  val UPDATE = "UPDATE"
+  val DELETE = "DELETE"
+  val OPS: Set[String] = Set(INSERT, UPDATE, DELETE)
+
+  /** Envelope (non-payload) columns carried by every event. */
+  val envelopeFields: Seq[StructField] = Seq(
+    StructField(LSN, LongType, nullable = false),
+    StructField(TXN_ID, LongType, nullable = false),
+    StructField(TS, TimestampType, nullable = false),
+    StructField(OP, StringType, nullable = false),
+    StructField(SCHEMA_VER, IntegerType, nullable = false)
+  )
+
+  /** Default payload: pre-tokenized training sequences (BASELINE.json input_hint). */
+  val defaultPayloadFields: Seq[StructField] = Seq(
+    StructField(DOC_ID, StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType), nullable = true),
+    StructField("n_tok", IntegerType, nullable = true),
+    StructField("source", StringType, nullable = true)
+  )
+
+  def schema(payload: Seq[StructField] = defaultPayloadFields): StructType =
+    StructType(envelopeFields ++ payload)
+}
+
+/** CDC apply mode — reference: trempy/.../CDCOperationsHandler.py:88-123 mode dispatch. */
+sealed trait CdcMode
+object CdcMode {
+  /** Literal replay of ops; final-state-equivalent to LWW upsert after per-key reduction
+    * (reference: CDCOperationsHandler.py:125-169). */
+  case object Default extends CdcMode
+  /** INSERT/UPDATE upsert + DELETE (reference: CDCOperationsHandler.py:171-214). */
+  case object Upsert extends CdcMode
+  /** Type-2 SCD history (reference: CDCOperationsHandler.py:216-277). */
+  case object Scd2 extends CdcMode
+
+  def parse(s: String): CdcMode = s.toLowerCase match {
+    case "default" => Default
+    case "upsert"  => Upsert
+    case "scd2"    => Scd2
+    case other     => throw new IllegalArgumentException(s"unknown cdc_mode: $other")
+  }
+}
+
+/** Per-op-type stop-or-continue flags —
+  * reference: trempy/Tasks/Task.py:43-99 (stop_if_*_error) and
+  * CDCOperationsHandler.py:25-30,783-801. */
+case class ErrorPolicy(
+    stopOnInsertError: Boolean = false,
+    stopOnUpdateError: Boolean = false,
+    stopOnDeleteError: Boolean = false,
+    stopOnUpsertError: Boolean = false,
+    stopOnScd2Error: Boolean = false)
+
+/** SCD2 engine-managed column names —
+  * reference: trempy/Replication/Strategies/ReplicationStrategy.py:125-216. */
+case class ScdCols(
+    startDate: String = "scd_start_date",
+    endDate: String = "scd_end_date",
+    current: String = "scd_current")
+
+/**
+ * One replication job's immutable configuration (the reference's Task+Table settings,
+ * trempy/Tasks/Task.py:43-99 + trempy/Tables/Table.py:30-54), compiled once at job start.
+ */
+case class JobConfig(
+    mode: CdcMode = CdcMode.Upsert,
+    keyCols: Seq[String] = Seq(ChangeEvent.DOC_ID),
+    buckets: Int = 64,
+    filters: Seq[graft.rules.FilterCfg] = Nil,
+    transforms: Seq[graft.rules.TransformCfg] = Nil,
+    errorPolicy: ErrorPolicy = ErrorPolicy(),
+    scdCols: ScdCols = ScdCols(),
+    /** route rows violating payload invariants (bad op, n_tok != size(tokens)) to the
+      * quarantine table instead of failing the batch — reference DLX analogue
+      * (trempy/Messages/MessageDlx.py:57-83). */
+    quarantine: Boolean = true)

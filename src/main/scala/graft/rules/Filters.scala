@@ -1,0 +1,114 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Row-level filter rules — the full 24-op surface of the reference
+ * (dispatch table trempy/Filters/Filter.py:633-657; arity contract
+ * trempy/Shared/FilterDefinitions.py:9-38; enum trempy/Shared/Types.py:62-87).
+ *
+ * Filters are conjunctive and applied in declaration order, each shrinking the
+ * frame (reference: trempy/Tables/Table.py:236-253). Here all filters of a table
+ * compile to ONE Catalyst predicate (`and`-fold), so Catalyst can push the whole
+ * conjunction into the scan (PushedFilters) instead of running N sequential passes.
+ *
+ * DELETE passthrough: the reference's DELETE events carry only the key
+ * (`(no-tuple-data)`, CDCManager.py:94-95), so filters on payload columns cannot
+ * see them; DELETEs flow through unfiltered (README.md:154-156 documents the
+ * consequence). `FilterCompiler.cdcPredicate` reproduces exactly that rule.
+ */
+case class FilterCfg(
+    columnName: String,
+    filterType: String,
+    value: Option[Any] = None,
+    values: Seq[Any] = Nil,
+    lower: Option[Any] = None,
+    upper: Option[Any] = None)
+
+object FilterCompiler {
+
+  val dateOnlyFmt = "yyyy-MM-dd"
+  val dateTimeFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Parse the rule's date string per target column dtype — reference:
+    * Filter.__convert_str_to_date (Filter.py:167-193; formats at Shared/DataTypes/Datatype.py:10-13). */
+  private def dateLit(v: Any, dt: DataType): Column = {
+    val s = v.toString
+    dt match {
+      case DateType =>
+        to_date(lit(s), if (s.length > 10) dateTimeFmt else dateOnlyFmt)
+      case TimestampType | TimestampNTZType =>
+        to_timestamp(lit(s), if (s.length > 10) dateTimeFmt else dateOnlyFmt)
+      case other =>
+        throw new IllegalArgumentException(
+          s"date filter requires a date/timestamp column, got $other")
+    }
+  }
+
+  private def requireDateCol(f: FilterCfg, schema: StructType): DataType = {
+    val field = schema.fields.find(_.name == f.columnName).getOrElse(
+      throw new IllegalArgumentException(s"filter column not found: ${f.columnName}"))
+    field.dataType match {
+      case DateType | TimestampType | TimestampNTZType => field.dataType
+      case other => throw new IllegalArgumentException(
+        s"filter ${f.filterType} on ${f.columnName}: column must be date/timestamp, got $other")
+    }
+  }
+
+  /** Compile one filter rule to a Catalyst predicate. */
+  def compile(f: FilterCfg, schema: StructType): Column = {
+    val c = col(f.columnName)
+    def v = lit(f.value.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.filterType}: missing value")))
+    def lo = lit(f.lower.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.filterType}: missing lower")))
+    def hi = lit(f.upper.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.filterType}: missing upper")))
+    def dv = dateLit(f.value.get, requireDateCol(f, schema))
+
+    f.filterType match {
+      case "equals"                      => c === v
+      case "not_equals"                  => c =!= v
+      case "greater_than"                => c > v
+      case "greater_than_or_equal"       => c >= v
+      case "less_than"                   => c < v
+      case "less_than_or_equal"          => c <= v
+      case "in"                          => c.isin(f.values: _*)
+      case "not_in"                      => !c.isin(f.values: _*)
+      case "is_null"                     => c.isNull
+      case "is_not_null"                 => c.isNotNull
+      case "starts_with"                 => c.startsWith(f.value.get.toString)
+      case "ends_with"                   => c.endsWith(f.value.get.toString)
+      // literal substring match — the reference's Polars str.contains is regex by
+      // accident (Filter.py:388-422); we match the documented intent (SURVEY §2.2).
+      case "contains"                    => c.contains(f.value.get.toString)
+      case "not_contains"                => !c.contains(f.value.get.toString)
+      case "between"                     => c.between(lo, hi)
+      case "not_between"                 => !c.between(lo, hi)
+      case "date_equals"                 => c === dv
+      case "date_not_equals"             => c =!= dv
+      case "date_greater_than"           => c > dv
+      case "date_greater_than_or_equal"  => c >= dv
+      case "date_less_than"              => c < dv
+      case "date_less_than_or_equal"     => c <= dv
+      case "date_between" =>
+        val dt = requireDateCol(f, schema)
+        c.between(dateLit(f.lower.get, dt), dateLit(f.upper.get, dt))
+      case "date_not_between" =>
+        val dt = requireDateCol(f, schema)
+        !c.between(dateLit(f.lower.get, dt), dateLit(f.upper.get, dt))
+      case other =>
+        throw new IllegalArgumentException(s"unknown filter_type: $other")
+    }
+  }
+
+  /** All filters of a table folded to one conjunctive predicate. */
+  def compileAll(filters: Seq[FilterCfg], schema: StructType): Column =
+    filters.map(compile(_, schema)).foldLeft(lit(true))(_ && _)
+
+  /** CDC variant: payload filters apply to INSERT/UPDATE; DELETE passes by key. */
+  def cdcPredicate(filters: Seq[FilterCfg], schema: StructType, opCol: Column): Column =
+    opCol === graft.model.ChangeEvent.DELETE || compileAll(filters, schema)
+}

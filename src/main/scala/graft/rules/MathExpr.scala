@@ -1,0 +1,107 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Compiler for the reference's `math_expression` rule DSL —
+ * reference: trempy/Transformations/FunctionColumnModifier.py:61-158, which
+ * charset-validates an arithmetic string over the placeholder `value` and the
+ * operators `+ - * / ^`, then `eval`s a Polars method chain.
+ *
+ * Here: a shunting-yard parser producing a Catalyst `Column` tree (no eval,
+ * codegen-friendly, constant-folded by Catalyst). `^` is exponentiation
+ * (right-associative, highest precedence), matching the reference's mapping
+ * of `^` to `pow` (FunctionColumnModifier.py:131-141).
+ */
+object MathExpr {
+
+  sealed trait Tok
+  private case class Num(v: Double) extends Tok
+  private case object Value extends Tok
+  private case class Op(c: Char) extends Tok
+  private case object LPar extends Tok
+  private case object RPar extends Tok
+
+  private val allowed = "0123456789. +-*/^()value".toSet
+
+  def tokenize(s: String): List[Tok] = {
+    val bad = s.filterNot(allowed.contains)
+    require(bad.isEmpty, s"math_expression: illegal characters '$bad' in '$s'")
+    val toks = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || c == '.') {
+        val j = s.indexWhere(ch => !(ch.isDigit || ch == '.'), i) match {
+          case -1 => s.length; case k => k
+        }
+        toks += Num(s.substring(i, j).toDouble); i = j
+      } else if (s.startsWith("value", i)) { toks += Value; i += 5 }
+      else c match {
+        case '(' => toks += LPar; i += 1
+        case ')' => toks += RPar; i += 1
+        case '+' | '-' | '*' | '/' | '^' =>
+          // unary minus: distinct high-precedence operator '~'
+          val unary = c == '-' && (toks.isEmpty || (toks.last match {
+            case Op(_) | LPar => true; case _ => false
+          }))
+          toks += Op(if (unary) '~' else c); i += 1
+        case other => throw new IllegalArgumentException(s"math_expression: unexpected '$other'")
+      }
+    }
+    toks.toList
+  }
+
+  private def prec(c: Char): Int = c match {
+    case '~' => 4; case '^' => 3; case '*' | '/' => 2; case '+' | '-' => 1
+  }
+  private def rightAssoc(c: Char): Boolean = c == '^' || c == '~'
+
+  /** Compile the DSL string to a Column over `valueCol` (the `value` placeholder). */
+  def compile(expr: String, valueCol: Column): Column = {
+    val out = scala.collection.mutable.Stack.empty[Column]
+    val ops = scala.collection.mutable.Stack.empty[Tok]
+
+    def applyOp(c: Char): Unit = {
+      if (c == '~') {
+        require(out.nonEmpty, s"math_expression: malformed expression '$expr'")
+        out.push(negate(out.pop()))
+        return
+      }
+      require(out.size >= 2, s"math_expression: malformed expression '$expr'")
+      val r = out.pop(); val l = out.pop()
+      out.push(c match {
+        case '+' => l + r
+        case '-' => l - r
+        case '*' => l * r
+        case '/' => l / r
+        case '^' => pow(l, r)
+      })
+    }
+
+    tokenize(expr).foreach {
+      case Num(v)  => out.push(lit(v))
+      case Value   => out.push(valueCol.cast("double"))
+      case LPar    => ops.push(LPar)
+      case RPar =>
+        while (ops.nonEmpty && ops.top != LPar) ops.pop() match { case Op(c) => applyOp(c); case _ => }
+        require(ops.nonEmpty, s"math_expression: unbalanced ')' in '$expr'")
+        ops.pop()
+      case o @ Op(c) =>
+        while (ops.nonEmpty && (ops.top match {
+          case Op(t) => prec(t) > prec(c) || (prec(t) == prec(c) && !rightAssoc(c))
+          case _     => false
+        })) ops.pop() match { case Op(t) => applyOp(t); case _ => }
+        ops.push(o)
+    }
+    while (ops.nonEmpty) ops.pop() match {
+      case Op(c) => applyOp(c)
+      case LPar  => throw new IllegalArgumentException(s"math_expression: unbalanced '(' in '$expr'")
+      case _     =>
+    }
+    require(out.size == 1, s"math_expression: malformed expression '$expr'")
+    out.pop()
+  }
+}

@@ -1,0 +1,220 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Transformation rules — the reference's 7 transform types × 13 scalar ops
+ * (dispatcher trempy/Transformations/Transformation.py:159-210; column creators
+ * trempy/Transformations/ColumnCreator.py:278-323; modifiers
+ * trempy/Transformations/ColumnModifier.py:223-260; scalar exprs in
+ * FunctionColumnCreator.py / FunctionColumnModifier.py).
+ *
+ * Executed in ascending priority (0=HIGHEST .. 4=LOWEST, trempy/Shared/Types.py:89-94;
+ * trempy/Tables/Table.py:215-234). All compile to Catalyst `Column`s once at job
+ * start — not re-validated per batch like the reference (ColumnCreator.py:278-323).
+ *
+ * Determinism: `date_now`/`datetime_now` take the batch's deterministic timestamp
+ * instead of wall clock (reference uses datetime.now(), FunctionColumnCreator.py:31-38)
+ * so replay from checkpoint is byte-stable — documented deviation (SURVEY §7.4.3).
+ */
+sealed trait TransformCfg { def priority: Int }
+
+// ── structural (mutate the spec, not rows) — Transformation.py:55-131 ──
+case class ModifySchemaName(targetSchemaName: String, priority: Int = 0) extends TransformCfg
+case class ModifyTableName(targetTableName: String, priority: Int = 0) extends TransformCfg
+case class ModifyColumnName(columnName: String, targetColumnName: String, priority: Int = 0) extends TransformCfg
+case class AddPrimaryKey(columnNames: Seq[String], priority: Int = 0) extends TransformCfg
+case class RemovePrimaryKey(columnNames: Seq[String], priority: Int = 0) extends TransformCfg
+
+/** Column creators — ColumnCreator.create_column; ops literal | date_now |
+  * datetime_now | concat | date_diff_years (FunctionColumnCreator.py:23-55). */
+case class CreateColumn(
+    newColumnName: String,
+    operation: String,
+    value: Option[Any] = None,
+    valueType: Option[String] = None,       // PG type name, SURVEY §1.2 mapping
+    dependsOn: Seq[String] = Nil,
+    separator: String = "",
+    round: Boolean = false,
+    priority: Int = 2) extends TransformCfg
+
+/** Column modifiers — ColumnModifier.modify_column; ops format_date | uppercase |
+  * lowercase | trim | extract_year/month/day | math_expression
+  * (FunctionColumnModifier.py:26-158). */
+case class ModifyColumn(
+    columnName: String,
+    operation: String,
+    format: Option[String] = None,
+    expression: Option[String] = None,
+    priority: Int = 2) extends TransformCfg
+
+/** Target identity + merge keys of one replicated table —
+  * reference: trempy/Tables/Table.py:30-54. */
+case class TableSpec(
+    schemaName: String,
+    tableName: String,
+    targetSchemaName: String,
+    targetTableName: String,
+    keyCols: Seq[String])
+object TableSpec {
+  def apply(schema: String, table: String, keys: Seq[String]): TableSpec =
+    TableSpec(schema, table, schema, table, keys)
+}
+
+/** Result of compiling a rule set: a row mapper + the evolved spec/schema. */
+case class CompiledTransforms(
+    apply: DataFrame => DataFrame,
+    outSpec: TableSpec)
+
+object TransformCompiler {
+
+  /** PG type-name → Spark type (reference mapping trempy/Shared/DataTypes/Datatype.py:38-68). */
+  def pgType(name: String): DataType = name.toLowerCase match {
+    case "smallint"                      => ShortType
+    case "integer" | "int"               => IntegerType
+    case "bigint"                        => LongType
+    case "real"                          => FloatType
+    case "double precision" | "double"   => DoubleType
+    case "character varying" | "varchar" | "text" | "string" => StringType
+    case "boolean"                       => BooleanType
+    case "date"                          => DateType
+    case "timestamp"                     => TimestampType
+    case "numeric"                       => DecimalType(38, 18)
+    case other => throw new IllegalArgumentException(s"unknown value_type: $other")
+  }
+
+  /** strftime → java.time.DateTimeFormatter pattern (reference emits strftime,
+    * FunctionColumnModifier.py:26-28). */
+  def strftimeToJava(fmt: String): String = {
+    val map = Seq(
+      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+      "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS", "%%" -> "%")
+    map.foldLeft(fmt) { case (acc, (k, v)) => acc.replace(k, v) }
+  }
+
+  private def requireCols(schema: StructType, cols: Seq[String], rule: String): Unit =
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"$rule: dependency column '$c' not found")
+    }
+
+  private def requireDtype(schema: StructType, c: String, ok: DataType => Boolean, rule: String): Unit = {
+    val dt = schema.fields.find(_.name == c).get.dataType
+    require(ok(dt), s"$rule: column '$c' has unsupported dtype $dt")
+  }
+
+  /** Compile one creator to (name, Column). `batchTs` = deterministic now. */
+  private def compileCreate(t: CreateColumn, schema: StructType, batchTs: Column): Column =
+    t.operation match {
+      case "literal" =>
+        lit(t.value.orNull).cast(pgType(t.valueType.getOrElse("varchar")))
+      case "date_now"     => batchTs.cast(DateType)
+      case "datetime_now" => batchTs.cast(TimestampType)
+      case "concat" =>
+        requireCols(schema, t.dependsOn, "concat")
+        concat_ws(t.separator, t.dependsOn.map(col): _*)
+      case "date_diff_years" =>
+        // year(end) - year(start) as double; optional round→long
+        // (FunctionColumnCreator.py:46-55)
+        require(t.dependsOn.size == 2, "date_diff_years: needs [start, end] columns")
+        requireCols(schema, t.dependsOn, "date_diff_years")
+        t.dependsOn.foreach(c => requireDtype(schema, c,
+          d => d == DateType || d == TimestampType, "date_diff_years"))
+        val diff = (year(col(t.dependsOn(1))) - year(col(t.dependsOn(0)))).cast(DoubleType)
+        if (t.round) round(diff).cast(LongType) else diff
+      case other => throw new IllegalArgumentException(s"unknown create operation: $other")
+    }
+
+  /** Compile one modifier to the replacement Column for `t.columnName`. */
+  private def compileModify(t: ModifyColumn, schema: StructType): Column = {
+    val c = col(t.columnName)
+    requireCols(schema, Seq(t.columnName), t.operation)
+    def isStr(d: DataType) = d == StringType
+    def isDate(d: DataType) = d == DateType || d == TimestampType
+    def isNum(d: DataType) = d.isInstanceOf[NumericType]
+    t.operation match {
+      case "format_date" =>
+        requireDtype(schema, t.columnName, isDate, "format_date")
+        date_format(c, strftimeToJava(t.format.getOrElse("%Y-%m-%d")))
+      case "uppercase" =>
+        requireDtype(schema, t.columnName, isStr, "uppercase"); upper(c)
+      case "lowercase" =>
+        requireDtype(schema, t.columnName, isStr, "lowercase"); lower(c)
+      case "trim" =>
+        requireDtype(schema, t.columnName, isStr, "trim"); trim(c)
+      case "extract_year" =>
+        requireDtype(schema, t.columnName, isDate, "extract_year"); year(c)
+      case "extract_month" =>
+        requireDtype(schema, t.columnName, isDate, "extract_month"); month(c)
+      case "extract_day" =>
+        requireDtype(schema, t.columnName, isDate, "extract_day"); dayofmonth(c)
+      case "math_expression" =>
+        requireDtype(schema, t.columnName, isNum, "math_expression")
+        MathExpr.compile(t.expression.getOrElse(
+          throw new IllegalArgumentException("math_expression: missing expression")), c)
+      case other => throw new IllegalArgumentException(s"unknown modify operation: $other")
+    }
+  }
+
+  /**
+   * Compile a rule set against an input schema. Returns a single DataFrame mapper
+   * (all rules fused into chained projections, priority-ordered) + the evolved spec.
+   *
+   * `batchTs` supplies the deterministic "now" for date_now/datetime_now.
+   */
+  def compile(
+      transforms: Seq[TransformCfg],
+      spec: TableSpec,
+      inputSchema: StructType,
+      batchTs: Column = current_timestamp()): CompiledTransforms = {
+
+    var schema = inputSchema
+    var outSpec = spec
+    val steps = scala.collection.mutable.ListBuffer.empty[DataFrame => DataFrame]
+
+    transforms.sortBy(_.priority).foreach {
+      case ModifySchemaName(t, _) => outSpec = outSpec.copy(targetSchemaName = t)
+      case ModifyTableName(t, _)  => outSpec = outSpec.copy(targetTableName = t)
+      case ModifyColumnName(from, to, _) =>
+        requireCols(schema, Seq(from), "modify_column_name")
+        require(!schema.fieldNames.contains(to), s"modify_column_name: '$to' already exists")
+        schema = StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+        outSpec = outSpec.copy(keyCols = outSpec.keyCols.map(k => if (k == from) to else k))
+        steps += (_.withColumnRenamed(from, to))
+      case AddPrimaryKey(cols, _) =>
+        requireCols(schema, cols, "add_primary_key")
+        outSpec = outSpec.copy(keyCols = (outSpec.keyCols ++ cols).distinct)
+      case RemovePrimaryKey(cols, _) =>
+        outSpec = outSpec.copy(keyCols = outSpec.keyCols.filterNot(cols.contains))
+      case t: CreateColumn =>
+        // name uniqueness — ColumnCreator.py:86-108
+        require(!schema.fieldNames.contains(t.newColumnName),
+          s"create_column: '${t.newColumnName}' already exists")
+        val expr = compileCreate(t, schema, batchTs)
+        val fieldType = t.operation match {
+          case "literal"         => pgType(t.valueType.getOrElse("varchar"))
+          case "date_now"        => DateType
+          case "datetime_now"    => TimestampType
+          case "concat"          => StringType
+          case "date_diff_years" => if (t.round) LongType else DoubleType
+        }
+        schema = StructType(schema.fields :+ StructField(t.newColumnName, fieldType))
+        steps += (_.withColumn(t.newColumnName, expr))
+      case t: ModifyColumn =>
+        val expr = compileModify(t, schema)
+        val newType = t.operation match {
+          case "format_date"                                    => StringType
+          case "extract_year" | "extract_month" | "extract_day" => IntegerType
+          case "math_expression"                                => DoubleType
+          case _ => schema.fields.find(_.name == t.columnName).get.dataType
+        }
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == t.columnName) f.copy(dataType = newType) else f))
+        steps += (_.withColumn(t.columnName, expr))
+    }
+
+    val fused: DataFrame => DataFrame = df => steps.foldLeft(df)((d, s) => s(d))
+    CompiledTransforms(fused, outSpec)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.apply.MergeApply
+import graft.lake._
+import graft.model._
+
+/**
+ * Job wiring — the Spark re-expression of the reference's manager/producer/consumer
+ * process trio (manager.py → trempy/Replication/ReplicationManager.py:37-71;
+ * producer.py; consumer.py): one Structured Streaming query whose `foreachBatch`
+ * is the whole consumer callback (SURVEY §3.3). Source offsets in the checkpoint
+ * replace the replication slot; `reload` ⇔ fresh checkpoint + recreated table,
+ * `continue` ⇔ restart from the existing checkpoint.
+ */
+case class RunnerConfig(
+    feedDir: String,
+    tableDir: String,
+    checkpointDir: String,
+    job: JobConfig = JobConfig(),
+    payloadSchema: StructType = StructType(ChangeEvent.defaultPayloadFields),
+    /** files per micro-batch — the reference's batch_cdc_size analogue
+      * (trempy/Endpoints/Factory/EndpointFactory.py:17). */
+    maxFilesPerTrigger: Int = 4,
+    /** change-event schema registry: schema_ver → lake-schema changes to apply
+      * before merging a batch that carries that version (north-star requirement). */
+    schemaRegistry: Map[Int, Seq[SchemaChange]] = Map.empty)
+
+object CdcRunner {
+
+  def eventSchema(cfg: RunnerConfig): StructType =
+    ChangeEvent.schema(cfg.payloadSchema.fields.toSeq)
+
+  /** Create the lake table if absent; `reload` start mode drops and recreates
+    * (reference: ReplicationStrategy.reload_task, ReplicationStrategy.py:248-270). */
+  def ensureTable(spark: SparkSession, cfg: RunnerConfig, reload: Boolean = false): LakeTable = {
+    val lake = new LakeTable(cfg.tableDir)
+    if (reload) {
+      deleteRecursively(new java.io.File(cfg.tableDir))
+      deleteRecursively(new java.io.File(cfg.checkpointDir))
+    }
+    if (!lake.exists) {
+      import org.apache.spark.sql.types._
+      val tableSchema = cfg.job.mode match {
+        case CdcMode.Scd2 =>
+          val scd = cfg.job.scdCols
+          StructType(cfg.payloadSchema.fields ++ Seq(
+            StructField(scd.startDate, TimestampType),
+            StructField(scd.endDate, TimestampType),
+            StructField(scd.current, IntegerType)))
+        case _ =>
+          // stored per-row LSN makes the upsert merge order-tolerant (true LWW)
+          StructType(cfg.payloadSchema.fields :+ StructField("_lsn", LongType))
+      }
+      lake.create(tableSchema, cfg.job.buckets)
+    }
+    lake
+  }
+
+  /** Full load (reference: FullLoadHandler.get_full_load_from_table,
+    * FullLoadHandler.py:87-125): seed the table with a snapshot as epoch -1. */
+  def fullLoad(spark: SparkSession, lake: LakeTable, snapshot: DataFrame, cfg: RunnerConfig): Unit = {
+    val epoch = -1L
+    if (lake.isCommitted(epoch)) return
+    val m = lake.manifest
+    val keys = cfg.job.keyCols
+    val withBucket = (cfg.job.mode match {
+      case CdcMode.Scd2 =>
+        val scd = cfg.job.scdCols
+        snapshot
+          .withColumn(scd.startDate, MergeApply.batchTimestamp(epoch).cast("timestamp"))
+          .withColumn(scd.endDate, lit(null).cast("timestamp"))
+          .withColumn(scd.current, lit(1))
+      case _ => snapshot.withColumn("_lsn", lit(0L))
+    }).withColumn("_bucket", lake.bucketExpr(keys, m.buckets))
+    withBucket.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(lake.dataDir(epoch))
+    val files = lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    lake.commit(epoch, files, (0 until m.buckets).toSet,
+      Map("full_load_rows" -> -1L))
+  }
+
+  /** The foreachBatch body: schema-registry evolution, then merge-apply. */
+  def processBatch(spark: SparkSession, lake: LakeTable, cfg: RunnerConfig)(
+      batch: DataFrame, epoch: Long): Unit = {
+    if (lake.isCommitted(epoch)) return
+    // schema registry: evolve the lake schema for any schema_ver in this batch
+    if (cfg.schemaRegistry.nonEmpty) {
+      val vers = batch.select(ChangeEvent.SCHEMA_VER).distinct()
+        .collect().map(_.getInt(0)).sorted
+      vers.foreach { v =>
+        cfg.schemaRegistry.get(v).foreach { changes =>
+          val cur = lake.manifest.currentSchema
+          val pending = changes.filter {
+            case AddColumn(n, _, _)   => cur.byName(n).isEmpty
+            case RenameColumn(f, t)   => cur.byName(f).isDefined && cur.byName(t).isEmpty
+            case WidenColumn(n, to)   => cur.byName(n).exists(_.dataType != to)
+          }
+          if (pending.nonEmpty) lake.evolve(pending)
+        }
+      }
+    }
+    MergeApply.applyBatch(spark, lake, batch, epoch, cfg.job)
+  }
+
+  /** Start the streaming query (continuous tail). */
+  def start(spark: SparkSession, cfg: RunnerConfig, availableNow: Boolean = true): StreamingQuery = {
+    val lake = ensureTable(spark, cfg)
+    val stream = spark.readStream
+      .schema(eventSchema(cfg))
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.feedDir)
+    val writer = stream.writeStream
+      .queryName(s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch(processBatch(spark, lake, cfg) _)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("5 seconds"))).start()
+  }
+
+  /** Drain everything currently in the feed and stop (test/bench entry). */
+  def runAvailableNow(spark: SparkSession, cfg: RunnerConfig): Unit = {
+    val q = start(spark, cfg, availableNow = true)
+    q.awaitTermination()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
