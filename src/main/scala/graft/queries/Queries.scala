@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.feed.ChangeFeed
+import graft.lake.LakeTable
+import graft.model._
+import graft.rules._
+import graft.runner.{CdcRunner, RunnerConfig}
+
+/**
+ * Driver-facing correctness gate: each entry runs an engine operator (SURVEY §2)
+ * over the shared testdata parquet and has a DuckDB-oracle twin in [[oracleSql]].
+ *
+ * Parity rules (driver hashes values after sorting columns by name):
+ *  - alias every computed column identically in Spark and SQL;
+ *  - deterministic ORDER BY on a unique key in both;
+ *  - no float aggregation (cast to decimal first) and no libm-dependent fns
+ *    (pow is covered by ScalaTest instead);
+ *  - the CDC pipeline queries derive a change feed from `events.parquet` with
+ *    expressions DuckDB can replicate exactly (integer hashing only).
+ */
+object Queries {
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  // ─────────────────────────────── CDC feed derivation ───────────────────────────────
+  // events.parquet → change events: lsn=event_id, key from user_id, op from event_type,
+  // deterministic integer-hash token arrays. Mirrored 1:1 in SQL (feedSql below).
+
+  private val TOK_A = 2654435761L // Knuth multiplicative constants — integer-exact in both engines
+  private val TOK_B = 40503L
+
+  def tokensExpr(eid: Column, nTok: Column): Column =
+    transform(sequence(lit(1), nTok),
+      x => ((eid * TOK_A + x.cast(LongType) * TOK_B) % ChangeFeed.VOCAB).cast(IntegerType))
+
+  def feedFromEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = read(spark, dir, "events")
+    val eid = col("event_id")
+    val nTok = (lit(8) + eid % 57).cast(IntegerType)
+    val op = when(col("event_type") === "signup", ChangeEvent.INSERT)
+      .when(col("event_type") === "error", ChangeEvent.DELETE)
+      .otherwise(ChangeEvent.UPDATE)
+    val isDel = op === ChangeEvent.DELETE
+    ev.select(
+      eid.as(ChangeEvent.LSN),
+      (eid / lit(5)).cast(LongType).as(ChangeEvent.TXN_ID),
+      col("ts").as(ChangeEvent.TS),
+      op.as(ChangeEvent.OP),
+      lit(1).as(ChangeEvent.SCHEMA_VER),
+      concat(lit("doc-"), lpad(col("user_id").cast(StringType), 6, "0")).as(ChangeEvent.DOC_ID),
+      when(isDel, lit(null)).otherwise(tokensExpr(eid, nTok)).as("tokens"),
+      when(isDel, lit(null)).otherwise(nTok).cast(IntegerType).as("n_tok"),
+      when(isDel, lit(null)).otherwise(col("event_type")).as("source"))
+  }
+
+  /** SQL twin of [[feedFromEvents]] (DuckDB). */
+  private def feedSql: String =
+    s"""SELECT event_id AS lsn,
+       |  CASE WHEN event_type='signup' THEN 'INSERT'
+       |       WHEN event_type='error' THEN 'DELETE' ELSE 'UPDATE' END AS op,
+       |  ts,
+       |  'doc-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS doc_id,
+       |  CAST(8 + event_id % 57 AS INT) AS n_tok,
+       |  event_id AS eid,
+       |  event_type AS source
+       |FROM events""".stripMargin
+
+  private def tokensSql(eid: String, nTok: String): String =
+    s"list_transform(generate_series(1, $nTok), x -> CAST(($eid*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
+
+  /** Run the full streaming pipeline over the derived feed into a temp lake. */
+  private def runPipeline(spark: SparkSession, dir: String, mode: CdcMode): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-q-${mode.toString.toLowerCase}").toString
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = mode, buckets = 16), maxFilesPerTrigger = 2)
+    ChangeFeed.writeFeed(feedFromEvents(spark, dir), cfg.feedDir, nFiles = 4)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    lake.read(spark)
+  }
+
+  // ─────────────────────────────── queries ───────────────────────────────
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2 comparison/membership/range filters, conjunctive fold (one pushed predicate)
+    "q_filter_compare" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val filters = Seq(
+        FilterCfg("l_quantity", "greater_than", value = Some(10.0)),
+        FilterCfg("l_quantity", "less_than_or_equal", value = Some(45.0)),
+        FilterCfg("l_discount", "between", lower = Some(0.02), upper = Some(0.08)),
+        FilterCfg("l_returnflag", "in", values = Seq("A", "N")),
+        FilterCfg("l_linenumber", "not_equals", value = Some(7)))
+      li.filter(FilterCompiler.compileAll(filters, li.schema))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.2 string filters
+    "q_filter_string" -> ((s, dir) => {
+      val p = read(s, dir, "part")
+      val filters = Seq(
+        FilterCfg("p_name", "contains", value = Some("a")),
+        FilterCfg("p_name", "not_contains", value = Some("zz")),
+        FilterCfg("p_brand", "starts_with", value = Some("Brand#1")),
+        FilterCfg("p_type", "ends_with", value = Some("D")))
+      p.filter(FilterCompiler.compileAll(filters, p.schema))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    }),
+
+    // §2.2 date filters (value parsed per column dtype)
+    "q_filter_dates" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val filters = Seq(
+        FilterCfg("l_shipdate", "date_between",
+          lower = Some("1994-01-01"), upper = Some("1996-06-30")),
+        FilterCfg("l_shipdate", "date_not_equals", value = Some("1995-01-01 00:00:00")))
+      li.filter(FilterCompiler.compileAll(filters, li.schema))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.2 null / not-null / not_in / not_between
+    "q_filter_null_in" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val filters = Seq(
+        FilterCfg("o_orderpriority", "is_not_null"),
+        FilterCfg("o_orderstatus", "not_in", values = Seq("X", "Y")),
+        FilterCfg("o_totalprice", "not_between", lower = Some(1000.0), upper = Some(2000.0)))
+      o.filter(FilterCompiler.compileAll(filters, o.schema))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 string transforms: trim/upper/lower + concat creator + literal creator
+    "q_transform_strings" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+      val spec = TableSpec("src", "customer", Seq("c_custkey"))
+      val compiled = TransformCompiler.compile(Seq(
+        ModifyColumn("c_name", "uppercase", priority = 0),
+        ModifyColumn("c_mktsegment", "lowercase", priority = 0),
+        CreateColumn("tag", "literal", value = Some("GRAFT"), valueType = Some("varchar")),
+        CreateColumn("label", "concat", dependsOn = Seq("c_name", "c_mktsegment"),
+          separator = "|", priority = 3)),
+        spec, c.schema)
+      compiled.apply(c)
+        .select("c_custkey", "c_name", "c_mktsegment", "tag", "label")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.3 date transforms: extract_year/month/day + format_date
+    "q_transform_dates" -> ((s, dir) => {
+      val e = read(s, dir, "events")
+      val spec = TableSpec("src", "events", Seq("event_id"))
+      val compiled = TransformCompiler.compile(Seq(
+        CreateColumn("y", "date_diff_years", dependsOn = Seq("ts", "ts")), // 0, exercises op
+        ModifyColumn("ts", "format_date", format = Some("%Y-%m-%d %H:%M:%S"), priority = 3)),
+        spec, e.schema)
+      compiled.apply(e)
+        .select(col("event_id"), col("ts").as("ts_str"), col("y").cast(IntegerType).as("y"))
+        .orderBy("event_id")
+    }),
+
+    // §2.3 math_expression DSL (no pow in the oracle path — IEEE-exact ops only)
+    "q_transform_math" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val spec = TableSpec("src", "lineitem", Seq("l_orderkey"))
+      val compiled = TransformCompiler.compile(Seq(
+        ModifyColumn("l_quantity", "math_expression",
+          expression = Some("(value * 2 + 10) / 4 - 1"))),
+        spec, li.schema)
+      compiled.apply(li)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("q2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.4/§2.5 per-key LWW reduction operator (dedup + last-writer-wins).
+    // DELETE rows carry null payload; coalesce before the arg-max so both engines
+    // agree on null handling (DuckDB's arg_max skips NULL values, Spark's doesn't).
+    "q_cdc_lww_reduce" -> ((s, dir) => {
+      val feed = feedFromEvents(s, dir)
+      feed.groupBy("doc_id")
+        .agg(
+          max_by(struct(col("op"),
+            coalesce(col("n_tok"), lit(-1)).as("cn"),
+            coalesce(col("source"), lit("-")).as("cs")), col("lsn")).as("r"),
+          max(col("lsn")).as("last_lsn"))
+        .select(col("doc_id"), col("r.op").as("last_op"),
+          col("r.cn").as("n_tok"), col("r.cs").as("source"), col("last_lsn"))
+        .orderBy("doc_id")
+    }),
+
+    // the engine end-to-end: streamed upsert merge final state == SQL replay fold
+    "q_cdc_pipeline_upsert" -> ((s, dir) => {
+      runPipeline(s, dir, CdcMode.Upsert)
+        .select("doc_id", "tokens", "n_tok", "source")
+        .orderBy("doc_id")
+    }),
+
+    // the engine end-to-end in SCD2 mode: full version history == SQL window oracle
+    "q_cdc_pipeline_scd2" -> ((s, dir) => {
+      runPipeline(s, dir, CdcMode.Scd2)
+        .select("doc_id", "tokens", "n_tok", "source",
+          "scd_start_date", "scd_end_date", "scd_current")
+        .orderBy("doc_id", "scd_start_date")
+    }),
+
+    // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
+    "q_source_fullload" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-fl").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 8,
+          keyCols = Seq("doc_id")),
+        payloadSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("n_chars", LongType))))
+      val docs = read(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.fullLoad(s, lake, docs, cfg)
+      lake.read(s).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    })
+  )
+
+  // ─────────────────────────────── DuckDB oracles ───────────────────────────────
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_compare" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity > 10.0 AND l_quantity <= 45.0
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |  AND l_returnflag IN ('A','N') AND l_linenumber <> 7
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_string" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE contains(p_name, 'a') AND NOT contains(p_name, 'zz')
+        |  AND starts_with(p_brand, 'Brand#1') AND ends_with(p_type, 'D')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_dates" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-06-30'
+        |  AND l_shipdate <> TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_filter_null_in" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderpriority IS NOT NULL
+        |  AND o_orderstatus NOT IN ('X','Y')
+        |  AND NOT (o_totalprice BETWEEN 1000.0 AND 2000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_transform_strings" ->
+      """SELECT c_custkey, upper(c_name) AS c_name, lower(c_mktsegment) AS c_mktsegment,
+        |  'GRAFT' AS tag,
+        |  upper(c_name) || '|' || lower(c_mktsegment) AS label
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_transform_dates" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  CAST(0 AS INT) AS y
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_transform_math" ->
+      """SELECT l_orderkey, l_linenumber, (l_quantity * 2 + 10) / 4 - 1 AS q2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_cdc_lww_reduce" ->
+      s"""WITH ev AS ($feedSql)
+         |SELECT doc_id, arg_max(op, lsn) AS last_op,
+         |  arg_max(CASE WHEN op='DELETE' THEN -1 ELSE n_tok END, lsn) AS n_tok,
+         |  arg_max(CASE WHEN op='DELETE' THEN '-' ELSE source END, lsn) AS source,
+         |  max(lsn) AS last_lsn
+         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_pipeline_upsert" ->
+      s"""WITH ev AS ($feedSql),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_pipeline_scd2" ->
+      s"""WITH ev AS ($feedSql),
+         |v AS (
+         |  SELECT *, lead(ts) OVER (PARTITION BY doc_id ORDER BY lsn) AS nxt
+         |  FROM ev)
+         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok, source,
+         |  ts AS scd_start_date, nxt AS scd_end_date,
+         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS scd_current
+         |FROM v WHERE op <> 'DELETE' ORDER BY doc_id, scd_start_date""".stripMargin,
+
+    "q_source_fullload" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -120,7 +120,8 @@ object TransformCompiler {
         require(t.dependsOn.size == 2, "date_diff_years: needs [start, end] columns")
         requireCols(schema, t.dependsOn, "date_diff_years")
         t.dependsOn.foreach(c => requireDtype(schema, c,
-          d => d == DateType || d == TimestampType, "date_diff_years"))
+          d => d == DateType || d == TimestampType || d == TimestampNTZType,
+          "date_diff_years"))
         val diff = (year(col(t.dependsOn(1))) - year(col(t.dependsOn(0)))).cast(DoubleType)
         if (t.round) round(diff).cast(LongType) else diff
       case other => throw new IllegalArgumentException(s"unknown create operation: $other")
@@ -131,7 +132,7 @@ object TransformCompiler {
     val c = col(t.columnName)
     requireCols(schema, Seq(t.columnName), t.operation)
     def isStr(d: DataType) = d == StringType
-    def isDate(d: DataType) = d == DateType || d == TimestampType
+    def isDate(d: DataType) = d == DateType || d == TimestampType || d == TimestampNTZType
     def isNum(d: DataType) = d.isInstanceOf[NumericType]
     t.operation match {
       case "format_date" =>
