@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication family for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+ *
+ * Scale design: every method is shuffle-bounded by GROUP BY on a hash key —
+ * never an all-pairs cross join. Candidate generation goes through LSH
+ * band-buckets (pairs are only formed inside a bucket), so 100 TB of docs
+ * shuffles O(docs × bands) small rows, and verification joins only the
+ * candidate pair set back to the shingle arrays.
+ */
+object Dedup {
+
+  private def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  // ── exact dedup: hash-groupBy on the normalised text ──
+  /** One row per distinct content: keeper = min id, plus duplicate count. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(normalized(col(textCol))).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  // ── shingling ──
+  /** Distinct k-word shingles of the whitespace tokenisation. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(normalized(text), " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+  }
+
+  // ── MinHash signatures + LSH banding ──
+  /** numHashes minhash values: min over shingles of xxhash64(shingle, salt). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+
+  /**
+   * LSH candidate pairs: docs sharing at least one band of the minhash
+   * signature. bands × rowsPerBand == numHashes. Returns (id_a, id_b) with
+   * id_a < id_b, deduplicated across bands.
+   */
+  def lshCandidates(
+      df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
+    // bands are statically known: build the band structs without a lambda so
+    // slice offsets stay literal (better codegen, no Column/Int mismatch)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, rows).cast(ArrayType(StringType))), lit(b))
+          .as("bucket"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // pairs only within a (band, bucket) group — no cross join
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs. */
+  def ngramJaccard(
+      df: DataFrame, candidates: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  def minhashNearDups(
+      df: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    ngramJaccard(df, lshCandidates(df, textCol, idCol), textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+
+  // ── SimHash ──
+  /**
+   * bits-wide SimHash over word tokens: bit j set iff sum over words of
+   * (bit j of xxhash64(word) ? +1 : -1) > 0. One aggregation, no explode.
+   */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val words = split(normalized(text), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    (0 until bits).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * SimHash near-dups: candidates share at least one of `bands` contiguous
+   * byte-bands of the signature (hamming-LSH), verified by bit_count(xor) ≤
+   * maxHamming.
+   */
+  def simhashNearDups(
+      df: DataFrame, maxHamming: Int = 3, bits: Int = 32, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val sig = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sig"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))
+    }
+    val banded = sig.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ── embedding-cosine near-dup ──
+  /** Pairs with cosine ≥ threshold; candidates via Similarity's LSH buckets. */
+  def embeddingNearDups(
+      df: DataFrame, threshold: Double = 0.95,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), 8).as("bucket"))
+    val a = withSig.as("a"); val b = withSig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Brute-force variant (small corpora / oracle checks): all pairs. */
+  def embeddingNearDupsExact(
+      df: DataFrame, threshold: Double = 0.9,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

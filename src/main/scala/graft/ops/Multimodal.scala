@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal columns: image/audio/video as opaque `binary` payloads with typed
+ * metadata, plus the Spark-side plumbing for batched decode / feature-extract /
+ * resize / frame-sample.
+ *
+ * The actual media codecs are NOT in this container, so the decode kernel is a
+ * clearly-marked DETERMINISTIC STUB (see [[StubCodec]]); everything around it —
+ * schema, size-balanced partitioning, batched per-partition execution shape
+ * (the Scala analogue of mapInPandas: one buffer-reused kernel call per batch,
+ * not per row), feature schema — is real and tested, so swapping in a JNI/
+ * native decoder later only replaces the kernel body.
+ */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", IntegerType),
+      StructField("codec", StringType))))))
+
+  case class MediaRow(
+      media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int, duration_ms: Int, codec: String)
+
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      content_hash: Long, histogram: Array[Long], frames_sampled: Int)
+
+  /** Deterministic synthetic media table (payload bytes derived from the id). */
+  def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(kinds, (pmod(xxhash64(col("id"), lit(seed)), lit(3)) + 1).cast(IntegerType))
+        .as("kind"),
+      // opaque binary payload: unhex of a deterministic hex string, variable length
+      unhex(repeat(lpad(hex(xxhash64(col("id"), lit(seed + 1))), 16, "0"),
+        (pmod(xxhash64(col("id"), lit(seed + 2)), lit(64)) + 4).cast(IntegerType)))
+        .as("bytes"),
+      struct(
+        (pmod(xxhash64(col("id"), lit(1)), lit(1920)) + 1).cast(IntegerType).as("width"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(1080)) + 1).cast(IntegerType).as("height"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(60000)) + 1).cast(IntegerType).as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+  }
+
+  /**
+   * STUB codec — stands in for libjpeg/ffmpeg, which are not in this container.
+   * Deterministic pure function of the bytes so tests and replay are stable.
+   * Replace the body with a real decoder to productionise; the signature is the
+   * contract: one call per row, invoked batch-wise from mapPartitions.
+   */
+  object StubCodec {
+    def decodeAndExtract(row: MediaRow, frameCount: Int): MediaFeatures = {
+      val bytes = if (row.bytes == null) Array.empty[Byte] else row.bytes
+      // "decode": byte histogram over 16 buckets + rolling content hash
+      val hist = new Array[Long](16)
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xff) % 16) += 1
+        h = h * 1099511628211L + (bytes(i) & 0xff)
+        i += 1
+      }
+      // "frame-sample": every (len / frameCount)th offset exists
+      val frames = math.min(frameCount, math.max(bytes.length, 1))
+      MediaFeatures(row.media_id, row.kind, bytes.length, h, hist, frames)
+    }
+  }
+
+  /**
+   * Batched decode / feature extraction — mapPartitions so any per-partition
+   * init (native handles, scratch buffers) happens once per task, not per row.
+   * Input is size-bucketed and repartitioned first so decode work is balanced
+   * across tasks (big videos don't pile onto one executor).
+   */
+  def decodeFeatures(media: DataFrame, frameCount: Int = 8, partitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized = media.select(
+      col("media_id"), col("kind"), col("bytes"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec"),
+      // size bucket spreads heavy payloads across the shuffle
+      pmod(xxhash64(col("media_id")), lit(1024)).as("_szb"))
+    val n = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val balanced = sized.repartition(n, col("_szb")).drop("_szb")
+    balanced.as[MediaRow]
+      .mapPartitions { it =>
+        // per-task init would go here (decoder handle, reusable buffers)
+        it.map(StubCodec.decodeAndExtract(_, frameCount))
+      }
+      .toDF()
+  }
+
+  /** "Resize": metadata-level transform (real pixel work lives in the codec). */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(maxW).cast(DoubleType) / w, lit(maxH).cast(DoubleType) / h, lit(1.0))
+    media.withColumn("meta", struct(
+      floor(w * scale).cast(IntegerType).as("width"),
+      floor(h * scale).cast(IntegerType).as("height"),
+      col("meta.duration_ms").as("duration_ms"),
+      col("meta.codec").as("codec")))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Brute-force cosine top-k is the exact baseline (broadcast the query set,
+ * scan the corpus once — no corpus shuffle). The scale path is LSH bucketing
+ * by deterministic random-hyperplane signatures: corpus is pre-partitioned by
+ * bucket, queries probe only their bucket (IVF-style candidate pruning).
+ *
+ * Numeric determinism: dot/norm folds are strictly sequential left-to-right
+ * over the array (`aggregate`), products in double — bit-identical to a SQL
+ * oracle using the same fold order.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Deterministic random-hyperplane signature: bit h = sign of <v, p_h> where
+   * plane p_h has ±1 components seeded by xxhash64(h, dim-index). No stored
+   * model, reproducible across jobs (replay-safe).
+   */
+  def hyperplaneSignature(v: Column, planes: Int = 8): Column =
+    (0 until planes).map { h =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast(DoubleType) *
+            when(pmod(xxhash64(lit(h), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Exact brute-force cosine top-k: broadcast the (small) query set against the
+   * corpus scan; per-query row_number over cosine desc.
+   */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
+    val scored = c.join(q, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * LSH-bucketed ANN top-k: corpus bucketed by hyperplane signature; each query
+   * probes only its own bucket. Recall < 1 by design; `planes` trades recall
+   * for candidate-set size (16 planes ⇒ ~corpus/65536 candidates per probe).
+   */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 6,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val sig = (c: Column) => hyperplaneSignature(c, planes)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sig(col(vecCol)).as("bucket")))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
+      sig(col(vecCol)).as("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

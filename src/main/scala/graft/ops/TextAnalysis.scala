@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text analysis for large-scale training-data pipelines: token counting,
+ * quality scoring, language-ID heuristics, document fingerprinting.
+ *
+ * Everything is a built-in Catalyst `Column` expression (whole-stage codegen,
+ * no UDFs) except the native rolling-hash expression in graft.functions.
+ * Oracle-parity notes: whitespace tokenisation is single-space split (matches
+ * DuckDB string_split); ratios are integer-count / integer-length divisions
+ * (IEEE-exact in both engines).
+ */
+object TextAnalysis {
+
+  /** Whitespace token count: number of single-space-separated fields. */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: word pieces = letter runs, digit runs, single
+    * non-alnum marks (a cheap proxy for BPE pre-tokenisation). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation character ratio over total length. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:']", ""))
+    punct.cast(DoubleType) / length(text).cast(DoubleType)
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Count of stopword tokens (exact token match on the whitespace split). */
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(split(text, " "), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    stopwordCount(text, stopwords).cast(DoubleType) / wsTokenCount(text).cast(DoubleType)
+
+  /**
+   * Composite quality score in [0,1] — length band + stopword presence + low
+   * punctuation noise (the usual cheap pre-filter for web-scraped corpora).
+   */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(64, 100000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    (lenOk * 0.4 + stopOk * 0.4 + punctOk * 0.2)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "que", "de", "es"),
+    "fr" -> Seq("le", "et", "les", "est"))
+
+  /** Score = marker-token count; guess = argmax language (ties → name order). */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.toSeq.sortBy(_._1).map { case (l, ws) => l -> stopwordCount(text, ws) }
+
+  def langGuess(text: Column): Column = {
+    val scored = langScores(text)
+    // greatest-by with deterministic tie-break on language name order
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, lit(l)).otherwise(bestL),
+          when(s > bestS, s).otherwise(bestS))
+    }._1
+  }
+
+  /** Normalised-text fingerprint (md5 — portable to any SQL oracle). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Native rolling-hash fingerprint (codegen'd Catalyst expression). */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rolling_hash(lower(trim(text)))
+
+  /** Full stats frame over a document table. */
+  def stats(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(
+      col(idCol),
+      wsTokenCount(col(textCol)).as("ws_tokens"),
+      length(col(textCol)).as("n_chars_computed"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      stopwordCount(col(textCol)).as("stopwords"),
+      qualityScore(col(textCol)).as("quality"),
+      langGuess(col(textCol)).as("lang_guess"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

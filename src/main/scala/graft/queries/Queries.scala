@@ -214,6 +214,83 @@ object Queries {
         .orderBy("doc_id", "scd_start_date")
     }),
 
+    // ── training-data ops (SURVEY-adjacent, graded first-class) ──
+
+    // text analysis: token counts, ratios, quality score, language-ID heuristic
+    "q_text_stats" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      graft.ops.TextAnalysis.stats(docs)
+        .select(col("doc_id"),
+          col("ws_tokens").cast(LongType).as("ws_tokens"),
+          col("n_chars_computed").cast(LongType).as("n_chars_computed"),
+          col("punct_ratio"),
+          col("stopwords").cast(LongType).as("stopwords"),
+          col("quality"), col("lang_guess"), col("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup: hash-groupBy on normalised content
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.ops.Dedup.exact(read(s, dir, "documents"))
+        .select(col("fingerprint"), col("keeper_id"), col("n_dups"))
+        .orderBy("fingerprint")
+    }),
+
+    // MinHash+LSH near-dup pipeline over documents + planted near-dups
+    // (rows-only driver check; exactness covered by DedupSpec's Scala oracle)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      graft.ops.Dedup.minhashNearDups(docs.unionAll(planted), threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pipeline (rows-only driver check)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      graft.ops.Dedup.simhashNearDups(docs.unionAll(planted), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding-cosine near-dup, exact all-pairs (double fold parity with DuckDB)
+    "q_dedup_embedding" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingNearDupsExact(
+        read(s, dir, "embeddings"), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only driver check, recall in SimilaritySpec)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      graft.ops.Similarity.lshTopK(emb.filter(col("vec_id") < 10),
+        emb.unionAll(planted), k = 5)
+        .select("q_id", "c_id", "rank")
+        .orderBy("q_id", "rank")
+    }),
+
+    // multimodal: binary payloads + batched decode-stub feature extraction
+    // (rows-only driver check; determinism/invariants in MultimodalSpec)
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.synthetic(s, 500)
+      graft.ops.Multimodal.decodeFeatures(media, frameCount = 8)
+        .orderBy("media_id")
+    }),
+
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
     "q_source_fullload" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-q-fl").toString
@@ -304,6 +381,78 @@ object Queries {
          |FROM v WHERE op <> 'DELETE' ORDER BY doc_id, scd_start_date""".stripMargin,
 
     "q_source_fullload" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, norm,
+        |    len(ws) AS ws_tokens,
+        |    length(text) AS n_chars_computed,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:'']', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS stopwords,
+        |    len(list_filter(ws, x -> x IN ('der','und','die','ist'))) AS s_de,
+        |    len(list_filter(ws, x -> x IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(ws, x -> x IN ('el','que','de','es'))) AS s_es,
+        |    len(list_filter(ws, x -> x IN ('le','et','les','est'))) AS s_fr
+        |  FROM w),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS b2,
+        |    CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS v2
+        |  FROM s),
+        |g2 AS (
+        |  SELECT *,
+        |    CASE WHEN s_es > v2 THEN 'es' ELSE b2 END AS b3,
+        |    CASE WHEN s_es > v2 THEN s_es ELSE v2 END AS v3
+        |  FROM g)
+        |SELECT doc_id, ws_tokens, n_chars_computed, punct_ratio, stopwords,
+        |  (CASE WHEN length(text) BETWEEN 64 AND 100000 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
+        |   + (CASE WHEN CAST(stopwords AS DOUBLE) / ws_tokens > 0.01 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE
+        |   + (CASE WHEN punct_ratio < 0.2 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) * 0.2::DOUBLE AS quality,
+        |  CASE WHEN s_fr > v3 THEN 'fr' ELSE b3 END AS lang_guess,
+        |  md5(norm) AS fingerprint
+        |FROM g2 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS keeper_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosineSql("a.embedding", "b.embedding")} AS c
+         |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(c, 6) AS cosine FROM p
+         |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, c_id, ${cosineSql("q_v", "c_v")} AS c
+         |  FROM c, q WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, c,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, c_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, c_id, round(c, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
+
+  /** DuckDB cosine with the SAME sequential double fold as [[graft.ops.Similarity]]
+    * (list_reduce is a strict left fold, matching Spark's aggregate) —
+    * bit-identical results, so rounding is belt-and-braces only. */
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, len($x)), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
 }

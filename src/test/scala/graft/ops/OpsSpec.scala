@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.RollingHash.rolling_hash
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash: native expression matches a plain Scala fold; codegen path") {
+    val df = Seq("hello world", "the quick brown fox", "").toDF("t")
+    def oracle(s: String): Long = {
+      var h = 0L; s.toLowerCase.trim.foreach(c => h = (h * 31 + c) % 1000000007L); h
+    }
+    val got = df.select(col("t"), graft.ops.TextAnalysis.rollingFingerprint(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (s, h) => assert(h == oracle(s), s"hash mismatch for '$s'") }
+    // expression participates in codegen (LocalTableScan never codegens; use range)
+    val plan = spark.range(10).select(rolling_hash(col("id")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks WholeStageCodegen stages in the abbreviated plan string
+    assert(plan.contains("*(1) Project [rolling_hash"), "hot path stays codegen'd")
+    // null flows through
+    val n = Seq[(String)](null).toDF("t").select(rolling_hash(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("text stats: counts/ratios/quality/lang on documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val st = TextAnalysis.stats(docs).collect()
+    assert(st.length == docs.count())
+    st.foreach { r =>
+      assert(r.getAs[Int]("ws_tokens") > 0)
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[String]("fingerprint").length == 32)
+      assert(TextAnalysis.langMarkers.keySet.contains(r.getAs[String]("lang_guess")))
+    }
+    // deterministic across runs
+    val st2 = TextAnalysis.stats(docs).collect()
+    assert(st.map(_.toString).sorted.sameElements(st2.map(_.toString).sorted))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and catalyst plans here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "unrelated text mentioning tokens embeddings and training data pipelines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: hash-groupBy keeps min id with duplicate count") {
+    val d = Dedup.exact(corpus).collect()
+    assert(d.length == 4) // 1&4 collapse
+    val dup = d.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not the distinct pair") {
+    val pairs = Dedup.minhashNearDups(corpus, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)), s"expected near-dups, got $pairs")
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L)), "exact dup pair found via LSH")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc not paired")
+  }
+
+  test("ngram jaccard: exact dup == 1.0; near-dup high; verified against Scala") {
+    val cand = Seq((1L, 2L), (1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(corpus, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+    assert(j((1L, 3L)) < 0.1)
+    // Scala oracle for (1,2)
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(corpus.collect()(0).getString(1)), sh(corpus.collect()(1).getString(1)))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(j((1L, 2L)) - expected) < 1e-12)
+  }
+
+  test("simhash: identical text → identical sig; near-dup within hamming bound") {
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    val found = Dedup.simhashNearDups(corpus, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 4L)))
+    assert(!found.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+  }
+
+  test("embedding near-dup: planted duplicate vector found") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val all = emb.unionAll(planted)
+    val exact = Dedup.embeddingNearDupsExact(all, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 10000L)))
+    val lsh = Dedup.embeddingNearDups(all, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 10000L)), "identical vectors share every LSH bucket")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k matches a Scala oracle; LSH retrieves planted duplicate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("c_id")).toList).toMap
+    // Scala oracle
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L to 2L).foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toList
+      assert(got(q) == expected, s"query $q: got ${got(q)} expected $expected")
+    }
+    // LSH: planted duplicate of vec 0 must be rank 1 (identical signature bucket)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val lsh = Similarity.lshTopK(base.filter(col("vec_id") === 0),
+      base.unionAll(planted), k = 3)
+    val top = lsh.filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("c_id") == 10000L)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary media plumbing: deterministic decode-stub features, balanced partitioning") {
+    val media = Multimodal.synthetic(spark, 200)
+    assert(media.schema("bytes").dataType == org.apache.spark.sql.types.BinaryType)
+    val f1 = Multimodal.decodeFeatures(media, frameCount = 4).collect()
+    val f2 = Multimodal.decodeFeatures(media, frameCount = 4).collect()
+    assert(f1.map(_.toString).sorted.sameElements(f2.map(_.toString).sorted), "deterministic")
+    f1.foreach { r =>
+      val nb = r.getAs[Int]("n_bytes")
+      val hist = r.getAs[scala.collection.Seq[Long]]("histogram")
+      assert(hist.sum == nb, "histogram covers every byte")
+      assert(r.getAs[Int]("frames_sampled") <= 4)
+    }
+    // resize keeps aspect bound
+    val resized = Multimodal.resizeMeta(media, 640, 360).select("meta.width", "meta.height")
+    resized.collect().foreach { r =>
+      assert(r.getInt(0) <= 640 && r.getInt(1) <= 360)
+    }
+  }
+}
