@@ -38,6 +38,19 @@ object MergeApply {
 
   case class BatchResult(epoch: Long, skipped: Boolean, metrics: Map[String, Long])
 
+  /** set GRAFT_PHASE_TIMING=1 to print per-phase timings to stderr */
+  private val phaseTiming = sys.props.get("graft.phase.timing").contains("1") ||
+    sys.env.get("GRAFT_PHASE_TIMING").contains("1")
+  @inline private def timed[T](label: String)(f: => T): T = {
+    if (!phaseTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   private val envelope = Seq(ChangeEvent.LSN, ChangeEvent.TXN_ID, ChangeEvent.TS,
     ChangeEvent.OP, ChangeEvent.SCHEMA_VER)
 
@@ -71,37 +84,68 @@ object MergeApply {
 
     // ── 1. quarantine split (DLX analogue): bad op, or payload invariant broken ──
     val opCol = col(ChangeEvent.OP)
-    val invariantOk =
-      opCol.isin(ChangeEvent.OPS.toSeq: _*) &&
-        (opCol === ChangeEvent.DELETE ||
-          (!cfg.quarantine) ||
-          (col("tokens").isNotNull && col("n_tok") === size(col("tokens"))))
-    val routed = batch.withColumn("_quarantined", !invariantOk)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val bad = routed.filter(col("_quarantined")).drop("_quarantined")
-      val good = routed.filter(!col("_quarantined")).drop("_quarantined")
-      val nBad = bad.count()
-      if (nBad > 0)
+    // the tokens/n_tok consistency check only applies to payloads that carry them;
+    // branch in Scala — a Column disjunct would still analyze col("tokens")
+    val hasTokens = batch.columns.contains("tokens") && batch.columns.contains("n_tok")
+    val payloadOk =
+      if (!cfg.quarantine || !hasTokens) lit(true)
+      else opCol === ChangeEvent.DELETE ||
+        (col("tokens").isNotNull && col("n_tok") === size(col("tokens")))
+    val invariantOk = opCol.isin(ChangeEvent.OPS.toSeq: _*) && payloadOk
+    // Bad-row detection piggybacks on the first scan via observe(): no extra
+    // pass over the batch when the feed is clean (the common case). Only when
+    // the observed count is non-zero does the quarantine path re-scan.
+    val obs = new org.apache.spark.sql.Observation(s"graft-bad-$epoch-${System.nanoTime()}")
+    val good = batch
+      .observe(obs, sum(when(!invariantOk, 1L).otherwise(0L)).as("n_bad"))
+      .filter(invariantOk)
+    lazy val bad = batch.filter(!invariantOk)
+    // invoked after the mode's first action (observation complete, pre-commit);
+    // returns the quarantined count for metrics. Rare path re-scans the batch.
+    val onStats: () => Long = () => {
+      // n_bad is null for an empty batch (sum over zero rows)
+      val nBad = obs.get.get("n_bad").collect { case v: Long => v }.getOrElse(0L)
+      if (nBad > 0) {
+        val badByOp = timed("quarantine-scan")(bad.groupBy(ChangeEvent.OP).count().collect())
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         bad.write.mode("overwrite").parquet(lake.quarantineDir(epoch))
-
-      // ── 2. rule pipeline: filters (DELETE passthrough) then transforms ──
-      val filtered =
-        if (cfg.filters.isEmpty) good
-        else good.filter(FilterCompiler.cdcPredicate(cfg.filters, good.schema, opCol))
-      val spec = TableSpec("lake", "t", cfg.keyCols)
-      val compiled = TransformCompiler.compile(
-        cfg.transforms, spec, filtered.schema, batchTimestamp(epoch))
-      val transformed = compiled.apply(filtered)
-      val keys = compiled.outSpec.keyCols
-
-      cfg.mode match {
-        case CdcMode.Scd2 =>
-          applyScd2(spark, lake, transformed, epoch, cfg, keys, nBad)
-        case _ =>
-          applyLww(spark, lake, transformed, epoch, cfg, keys, nBad)
+        // per-op stop-or-continue flags — reference: stop_if_*_error
+        // (trempy/Tasks/Task.py:43-99, CDCOperationsHandler.py:783-801)
+        val p = cfg.errorPolicy
+        def stop(op: String, flag: Boolean): Unit =
+          if (flag && badByOp.getOrElse(op, 0L) > 0)
+            throw new IllegalStateException(
+              s"stop_if_error: ${badByOp(op)} bad $op event(s) in epoch $epoch " +
+                s"(quarantined at ${lake.quarantineDir(epoch)})")
+        stop(ChangeEvent.INSERT, p.stopOnInsertError || p.stopOnUpsertError || p.stopOnScd2Error)
+        stop(ChangeEvent.UPDATE, p.stopOnUpdateError || p.stopOnUpsertError || p.stopOnScd2Error)
+        stop(ChangeEvent.DELETE, p.stopOnDeleteError)
+        val unknownOps = badByOp.keySet -- ChangeEvent.OPS
+        if (unknownOps.nonEmpty &&
+            (p.stopOnInsertError || p.stopOnUpdateError || p.stopOnDeleteError ||
+              p.stopOnUpsertError || p.stopOnScd2Error))
+          throw new IllegalStateException(
+            s"stop_if_error: unknown op(s) $unknownOps in epoch $epoch")
       }
-    } finally routed.unpersist()
+      nBad
+    }
+
+    // ── 2. rule pipeline: filters (DELETE passthrough) then transforms ──
+    val filtered =
+      if (cfg.filters.isEmpty) good
+      else good.filter(FilterCompiler.cdcPredicate(cfg.filters, good.schema, opCol))
+    val spec = TableSpec("lake", "t", cfg.keyCols)
+    val compiled = TransformCompiler.compile(
+      cfg.transforms, spec, filtered.schema, batchTimestamp(epoch))
+    val transformed = compiled.apply(filtered)
+    val keys = compiled.outSpec.keyCols
+
+    cfg.mode match {
+      case CdcMode.Scd2 =>
+        applyScd2(spark, lake, transformed, epoch, cfg, keys, onStats)
+      case _ =>
+        applyLww(spark, lake, transformed, epoch, cfg, keys, onStats)
+    }
   }
 
   /** default/upsert modes: final state ≡ last-writer-wins fold (reference's literal
@@ -113,7 +157,7 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       keys: Seq[String],
-      nQuarantined: Long): BatchResult = {
+      onStats: () => Long): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -138,10 +182,12 @@ object MergeApply {
 
     try {
       // one small job on the cached reduction yields op metrics AND affected buckets
-      val opByBucket = reduced.groupBy("_bucket", ChangeEvent.OP).count().collect()
+      val opByBucket = timed("reduce+stats")(
+        reduced.groupBy("_bucket", ChangeEvent.OP).count().collect())
       val affected = opByBucket.map(_.getInt(0)).toSet
       val opCounts = opByBucket.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
+      val nQuarantined = onStats()
 
       if (affected.isEmpty) {
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined)
@@ -173,14 +219,14 @@ object MergeApply {
         } :+ when(changeWins, cLsn).otherwise(col("_lsn")).as("_lsn")): _*)
         .withColumn("_bucket", lake.bucketExpr(keys, buckets))
 
-      val files = writeEpoch(spark, lake, merged, epoch, m)
+      val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, m))
       val metrics = Map(
         "batches" -> 1L,
         "events_quarantined" -> nQuarantined,
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
-      lake.commit(epoch, files, affected, metrics)
+      timed("commit")(lake.commit(epoch, files, affected, metrics))
       BatchResult(epoch, skipped = false, metrics)
     } finally reduced.unpersist()
   }
@@ -198,7 +244,7 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       naturalKeys: Seq[String],
-      nQuarantined: Long): BatchResult = {
+      onStats: () => Long): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -221,6 +267,7 @@ object MergeApply {
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
+      val nQuarantined = onStats()
 
       if (affected.isEmpty) {
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined)
@@ -270,16 +317,27 @@ object MergeApply {
   }
 
   /** Bucket-partitioned epoch write. The epoch dir is overwritten wholesale on a
-    * task/batch retry, keeping (epoch, partition) file sets idempotent. */
+    * task/batch retry, keeping (epoch, partition) file sets idempotent.
+    *
+    * The shuffle key is (bucket, small salt): a plain repartition(bucket) hashes
+    * whole buckets onto shuffle.partitions slots — at low bucket:core ratios the
+    * Poisson collisions leave cores idle and a hot (zipf) bucket becomes one
+    * straggler task. The salt splits each bucket across up to WRITE_SALT tasks
+    * (bounded: ≤ WRITE_SALT files per bucket per epoch). */
+  private val WRITE_SALT = 4
   private def writeEpoch(
       spark: SparkSession,
       lake: LakeTable,
       merged: DataFrame,
       epoch: Long,
       m: Manifest): Seq[DataFile] = {
-    // one write task per bucket: co-locates each bucket's rows, bounds file count
     merged
-      .repartition(col("_bucket"))
+      // extra lit distinguishes the salt hash from the bucket hash (4 | 64 would
+      // otherwise make salt a pure function of bucket)
+      .withColumn("_wsalt",
+        pmod(xxhash64(col(m.currentSchema.fields.head.name), lit(7919)), lit(WRITE_SALT)))
+      .repartition(col("_bucket"), col("_wsalt"))
+      .drop("_wsalt")
       .write.mode("overwrite")
       .partitionBy("_bucket")
       .parquet(lake.dataDir(epoch))

@@ -1,0 +1,151 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.rules._
+
+/**
+ * Parser for the reference's task configuration contract (settings.json) —
+ * shape per trempy/IA/task_creator_tutorial_for_ai.md:104-163 and
+ * trempy/Tasks/Task.py:43-99: task block (replication_type, start_mode,
+ * cdc_settings.mode + scd2 column names), error_handling (stop_if_*_error),
+ * tables (schema/table/priority), filters and transformations keyed by
+ * table_info. A user of the reference can point their settings.json at this
+ * engine unchanged.
+ */
+object TaskSettings {
+
+  case class TableRules(
+      schemaName: String,
+      tableName: String,
+      priority: Int,
+      filters: Seq[FilterCfg],
+      transforms: Seq[TransformCfg]) {
+    def id: String = s"$schemaName.$tableName"
+  }
+
+  case class Parsed(
+      taskName: String,
+      replicationType: String, // full_load | cdc | full_load_and_cdc
+      startMode: String,       // reload | continue
+      intervalSeconds: Int,
+      cdcMode: CdcMode,
+      scdCols: ScdCols,
+      errorPolicy: ErrorPolicy,
+      tables: Seq[TableRules])
+
+  private implicit val fmt: Formats = DefaultFormats
+
+  private def anyOf(j: JValue): Any = j match {
+    case JInt(v)     => if (v.isValidLong) v.toLong else v
+    case JLong(v)    => v
+    case JDouble(v)  => v
+    case JDecimal(v) => v.toDouble
+    case JString(s)  => s
+    case JBool(b)    => b
+    case JNull       => null
+    case other       => other.values
+  }
+
+  private def parseFilter(settings: JValue): FilterCfg =
+    FilterCfg(
+      columnName = (settings \ "column_name").extract[String],
+      filterType = (settings \ "filter_type").extract[String],
+      value = (settings \ "value").toOption.map(anyOf),
+      values = (settings \ "values") match {
+        case JArray(vs) => vs.map(anyOf); case _ => Nil
+      },
+      lower = (settings \ "lower").toOption.map(anyOf),
+      upper = (settings \ "upper").toOption.map(anyOf))
+
+  private def parseTransform(settings: JValue): TransformCfg = {
+    val c = settings \ "contract"
+    val prio = (settings \ "priority").extractOrElse[Int](2)
+    (settings \ "transformation_type").extract[String] match {
+      case "modify_schema_name" =>
+        ModifySchemaName((c \ "target_schema_name").extract[String], prio)
+      case "modify_table_name" =>
+        ModifyTableName((c \ "target_table_name").extract[String], prio)
+      case "modify_column_name" =>
+        ModifyColumnName((c \ "column_name").extract[String],
+          (c \ "target_column_name").extract[String], prio)
+      case "add_primary_key" =>
+        AddPrimaryKey((c \ "column_names").extract[Seq[String]], prio)
+      case "remove_primary_key" =>
+        RemovePrimaryKey((c \ "column_names").extract[Seq[String]], prio)
+      case "create_column" =>
+        CreateColumn(
+          newColumnName = (c \ "new_column_name").extract[String],
+          operation = (c \ "operation").extract[String],
+          value = (c \ "value").toOption.map(anyOf),
+          valueType = (c \ "value_type").toOption.map(_.extract[String]),
+          dependsOn = (c \ "depends_on").extractOrElse[Seq[String]](Nil),
+          separator = (c \ "separator").extractOrElse[String](""),
+          round = (c \ "round_result").extractOrElse[Boolean](false),
+          priority = prio)
+      case "modify_column_value" =>
+        ModifyColumn(
+          columnName = (c \ "column_name").extract[String],
+          operation = (c \ "operation").extract[String],
+          format = (c \ "format").toOption.map(_.extract[String]),
+          expression = (c \ "expression").toOption.map(_.extract[String]),
+          priority = prio)
+      case other =>
+        throw new IllegalArgumentException(s"unknown transformation_type: $other")
+    }
+  }
+
+  def parse(json: String): Parsed = {
+    val j = JsonMethods.parse(json)
+    val task = j \ "task"
+    val cdc = task \ "cdc_settings"
+    val scd2 = cdc \ "scd2_settings"
+    val err = j \ "error_handling"
+
+    def tableKey(entry: JValue): (String, String) =
+      ((entry \ "table_info" \ "schema_name").extract[String],
+        (entry \ "table_info" \ "table_name").extract[String])
+
+    val filtersByTable = (j \ "filters") match {
+      case JArray(fs) => fs.groupBy(tableKey).view
+        .mapValues(_.map(e => parseFilter(e \ "settings"))).toMap
+      case _ => Map.empty[(String, String), Seq[FilterCfg]]
+    }
+    val transformsByTable = (j \ "transformations") match {
+      case JArray(ts) => ts.groupBy(tableKey).view
+        .mapValues(_.map(e => parseTransform(e \ "settings"))).toMap
+      case _ => Map.empty[(String, String), Seq[TransformCfg]]
+    }
+
+    val tables = (j \ "tables") match {
+      case JArray(ts) => ts.map { t =>
+        val sn = (t \ "schema_name").extract[String]
+        val tn = (t \ "table_name").extract[String]
+        TableRules(sn, tn,
+          (t \ "priority").extractOrElse[Int](2),
+          filtersByTable.getOrElse((sn, tn), Nil),
+          transformsByTable.getOrElse((sn, tn), Nil))
+      }
+      case _ => Nil
+    }
+
+    Parsed(
+      taskName = (task \ "task_name").extract[String],
+      replicationType = (task \ "replication_type").extractOrElse[String]("full_load_and_cdc"),
+      startMode = (task \ "start_mode").extractOrElse[String]("continue"),
+      intervalSeconds = (task \ "interval_seconds").extractOrElse[Int](5),
+      cdcMode = CdcMode.parse((cdc \ "mode").extractOrElse[String]("default")),
+      scdCols = ScdCols(
+        (scd2 \ "start_date_column_name").extractOrElse[String]("scd_start_date"),
+        (scd2 \ "end_date_column_name").extractOrElse[String]("scd_end_date"),
+        (scd2 \ "current_column_name").extractOrElse[String]("scd_current")),
+      errorPolicy = ErrorPolicy(
+        (err \ "stop_if_insert_error").extractOrElse[Boolean](false),
+        (err \ "stop_if_update_error").extractOrElse[Boolean](false),
+        (err \ "stop_if_delete_error").extractOrElse[Boolean](false),
+        (err \ "stop_if_upsert_error").extractOrElse[Boolean](false),
+        (err \ "stop_if_scd2_error").extractOrElse[Boolean](false)),
+      tables = tables.sortBy(_.priority))
+  }
+}

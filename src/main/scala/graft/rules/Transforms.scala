@@ -66,7 +66,8 @@ object TableSpec {
 /** Result of compiling a rule set: a row mapper + the evolved spec/schema. */
 case class CompiledTransforms(
     apply: DataFrame => DataFrame,
-    outSpec: TableSpec)
+    outSpec: TableSpec,
+    outSchema: StructType)
 
 object TransformCompiler {
 
@@ -216,6 +217,6 @@ object TransformCompiler {
     }
 
     val fused: DataFrame => DataFrame = df => steps.foldLeft(df)((d, s) => s(d))
-    CompiledTransforms(fused, outSpec)
+    CompiledTransforms(fused, outSpec, schema)
   }
 }

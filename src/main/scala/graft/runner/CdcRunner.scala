@@ -35,6 +35,17 @@ object CdcRunner {
   def eventSchema(cfg: RunnerConfig): StructType =
     ChangeEvent.schema(cfg.payloadSchema.fields.toSeq)
 
+  /** The lake table's payload schema = event payload AFTER the transform rules
+    * (created/renamed/retyped columns land in the table, like the reference's
+    * metadata updates in ColumnCreator.__update_metadata). */
+  def outputPayloadSchema(cfg: RunnerConfig): StructType = {
+    import graft.rules.{TableSpec, TransformCompiler}
+    val compiled = TransformCompiler.compile(
+      cfg.job.transforms, TableSpec("lake", "t", cfg.job.keyCols), eventSchema(cfg))
+    val envelope = ChangeEvent.envelopeFields.map(_.name).toSet
+    StructType(compiled.outSchema.fields.filterNot(f => envelope.contains(f.name)))
+  }
+
   /** Create the lake table if absent; `reload` start mode drops and recreates
     * (reference: ReplicationStrategy.reload_task, ReplicationStrategy.py:248-270). */
   def ensureTable(spark: SparkSession, cfg: RunnerConfig, reload: Boolean = false): LakeTable = {
@@ -45,16 +56,17 @@ object CdcRunner {
     }
     if (!lake.exists) {
       import org.apache.spark.sql.types._
+      val payload = outputPayloadSchema(cfg)
       val tableSchema = cfg.job.mode match {
         case CdcMode.Scd2 =>
           val scd = cfg.job.scdCols
-          StructType(cfg.payloadSchema.fields ++ Seq(
+          StructType(payload.fields ++ Seq(
             StructField(scd.startDate, TimestampType),
             StructField(scd.endDate, TimestampType),
             StructField(scd.current, IntegerType)))
         case _ =>
           // stored per-row LSN makes the upsert merge order-tolerant (true LWW)
-          StructType(cfg.payloadSchema.fields :+ StructField("_lsn", LongType))
+          StructType(payload.fields :+ StructField("_lsn", LongType))
       }
       lake.create(tableSchema, cfg.job.buckets)
     }
@@ -107,6 +119,26 @@ object CdcRunner {
     MergeApply.applyBatch(spark, lake, batch, epoch, cfg.job)
   }
 
+  /**
+   * Per-batch progress metrics listener — the reference's stats sink
+   * (stats_cdc/stats_message, trempy/Metadata/MetadataConnectionManager.py:99-228)
+   * as JSON files next to the lake's lineage.
+   */
+  private class MetricsListener(tableDir: String, queryName: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      if (e.progress.name == queryName) {
+        val dir = java.nio.file.Paths.get(tableDir, "metrics")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(
+          dir.resolve(s"progress-${e.progress.batchId}.json"), e.progress.json)
+      }
+    }
+  }
+
   /** Start the streaming query (continuous tail). */
   def start(spark: SparkSession, cfg: RunnerConfig, availableNow: Boolean = true): StreamingQuery = {
     val lake = ensureTable(spark, cfg)
@@ -114,8 +146,10 @@ object CdcRunner {
       .schema(eventSchema(cfg))
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.feedDir)
+    val qName = s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.streams.addListener(new MetricsListener(cfg.tableDir, qName))
     val writer = stream.writeStream
-      .queryName(s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}")
+      .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(processBatch(spark, lake, cfg) _)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())

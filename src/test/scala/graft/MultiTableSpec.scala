@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.runner.MultiTableRunner
+import graft.runner.MultiTableRunner.{Config, TablePayload}
+
+/**
+ * Multi-table task: reference-shaped settings.json (table routing, priority
+ * order, per-table filters/transforms incl. rename + created column), one feed
+ * demultiplexed into two lake tables — mirrors the reference's task contract
+ * (task/settings.json shape; routing CDCManager.py:280-357).
+ */
+class MultiTableSpec extends SparkSpec {
+
+  private val settingsJson =
+    """{
+      |  "task": {
+      |    "task_name": "multi_test",
+      |    "replication_type": "cdc",
+      |    "start_mode": "reload",
+      |    "cdc_settings": { "mode": "upsert" }
+      |  },
+      |  "error_handling": {
+      |    "stop_if_insert_error": false, "stop_if_update_error": false,
+      |    "stop_if_delete_error": false, "stop_if_upsert_error": false,
+      |    "stop_if_scd2_error": false
+      |  },
+      |  "tables": [
+      |    { "schema_name": "hr", "table_name": "employee", "priority": 0 },
+      |    { "schema_name": "hr", "table_name": "department", "priority": 2 }
+      |  ],
+      |  "filters": [
+      |    { "table_info": { "schema_name": "hr", "table_name": "employee" },
+      |      "settings": { "filter_type": "equals", "column_name": "gender",
+      |                    "description": "only F", "value": "F" } }
+      |  ],
+      |  "transformations": [
+      |    { "table_info": { "schema_name": "hr", "table_name": "employee" },
+      |      "settings": { "transformation_type": "modify_table_name",
+      |        "description": "rename", "contract": { "target_table_name": "employee_f" },
+      |        "priority": 0 } },
+      |    { "table_info": { "schema_name": "hr", "table_name": "employee" },
+      |      "settings": { "transformation_type": "modify_column_value",
+      |        "description": "upper", "contract": { "operation": "uppercase",
+      |        "column_name": "name" }, "priority": 1 } },
+      |    { "table_info": { "schema_name": "hr", "table_name": "employee" },
+      |      "settings": { "transformation_type": "create_column",
+      |        "description": "stamp", "contract": { "operation": "literal",
+      |        "new_column_name": "updated_by", "value_type": "varchar",
+      |        "value": "SPARK" }, "priority": 2 } }
+      |  ]
+      |}""".stripMargin
+
+  test("settings.json parses to the reference contract") {
+    val p = TaskSettings.parse(settingsJson)
+    assert(p.taskName == "multi_test")
+    assert(p.cdcMode == CdcMode.Upsert)
+    assert(p.tables.map(_.id) == Seq("hr.employee", "hr.department")) // priority order
+    assert(p.tables.head.filters.head.filterType == "equals")
+    assert(p.tables.head.transforms.size == 3)
+    assert(!p.errorPolicy.stopOnInsertError)
+  }
+
+  test("one feed routes into two lake tables with per-table rules") {
+    val root = tmpDir("graft-multi")
+    val settings = TaskSettings.parse(settingsJson)
+    val payloads = Map(
+      "hr.employee" -> TablePayload(StructType(Seq(
+        StructField("emp_id", StringType), StructField("name", StringType),
+        StructField("gender", StringType))), Seq("emp_id")),
+      "hr.department" -> TablePayload(StructType(Seq(
+        StructField("dept_id", StringType), StructField("dept_name", StringType))),
+        Seq("dept_id")))
+    val cfg = Config(
+      feedDir = s"$root/feed", lakeRoot = s"$root/lake",
+      checkpointDir = s"$root/cp", settings = settings, payloads = payloads,
+      buckets = 4, maxFilesPerTrigger = 8)
+
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // envelope + schema/table + union payload (emp_id,name,gender,dept_id,dept_name)
+    def emp(lsn: Long, op: String, id: String, name: String, g: String) =
+      Row(lsn, lsn, ts(lsn), op, 1, "hr", "employee",
+        id, if (op == "DELETE") null else name, if (op == "DELETE") null else g,
+        null, null)
+    def dept(lsn: Long, op: String, id: String, dn: String) =
+      Row(lsn, lsn, ts(lsn), op, 1, "hr", "department",
+        null, null, null, id, if (op == "DELETE") null else dn)
+
+    val rows = Seq(
+      emp(1, "INSERT", "e1", "ada", "F"),
+      emp(2, "INSERT", "e2", "bob", "M"),   // filtered out (gender != F)
+      emp(3, "INSERT", "e3", "eve", "F"),
+      emp(4, "UPDATE", "e1", "ada lovelace", "F"),
+      emp(5, "DELETE", "e3", null, null),   // DELETE passes the filter by key
+      dept(6, "INSERT", "d1", "research"),
+      dept(7, "INSERT", "d2", "ops"),
+      dept(8, "UPDATE", "d1", "r&d"),
+      dept(9, "DELETE", "d2", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiTableRunner.feedSchema(cfg))
+    // write via the LSN-ordered feed writer (binlog arrival contract)
+    graft.feed.ChangeFeed.writeFeed(df, cfg.feedDir, 2)
+
+    val jobs = MultiTableRunner.runAvailableNow(spark, cfg)
+    assert(jobs.map(_.targetId) == Seq("hr.employee_f", "hr.department"))
+
+    val empState = jobs.head.lake.read(spark)
+      .select("emp_id", "name", "gender", "updated_by")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    // e1 upserted (uppercased, stamped), e2 filtered out, e3 deleted
+    assert(empState.keySet == Set("e1"))
+    assert(empState("e1") == (("ADA LOVELACE", "F", "SPARK")))
+
+    val deptState = jobs(1).lake.read(spark)
+      .select("dept_id", "dept_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(deptState == Map("d1" -> "r&d"))
+
+    // rename transform put the employee table under the target identity
+    assert(new java.io.File(s"$root/lake/hr.employee_f/manifests").exists())
+  }
+}

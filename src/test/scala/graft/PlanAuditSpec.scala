@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/**
+ * Physical-plan audit: the declarative formulation must actually produce the
+ * plans we claim at scale — filters pushed into the parquet scan, projection
+ * pruned to referenced columns, broadcast for the small query side. Guards
+ * against regressions that silently turn scans into full reads.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(q: String, dir: String = "/root/testdata/sf0.001"): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter queries push predicates into the parquet scan") {
+    val p = planOf("q_filter_compare")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), "scan advertises pushed filters")
+    assert(p.contains("GreaterThan(l_quantity,10"), s"range filter pushed:\n$p")
+    assert(p.contains("IN (A,N)"), "IN predicate in the scan-adjacent filter")
+    // column pruning: untouched columns never leave the scan
+    assert(!p.contains("l_extendedprice"), "unused column pruned from ReadSchema")
+  }
+
+  test("date filters push down as timestamp bounds") {
+    val p = planOf("q_filter_dates")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), s"date bounds pushed:\n$p")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = planOf("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"small query side broadcast:\n$p")
+  }
+
+  test("LWW reduction uses partial aggregation (map-side combine)") {
+    val feed = graft.queries.Queries.feedFromEvents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val reduced = feed.groupBy("doc_id")
+      .agg(max_by(struct(col("op"), col("lsn")), col("lsn")))
+    val p = reduced.queryExecution.executedPlan.toString
+    // two-phase hash agg: partial before the shuffle, final after
+    assert(p.contains("partial_max_by") || p.contains("ObjectHashAggregate"),
+      s"partial aggregation present:\n$p")
+  }
+}
