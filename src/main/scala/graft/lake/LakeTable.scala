@@ -241,6 +241,13 @@ class LakeTable(val dir: String) {
   /** Read the whole table at the current snapshot/schema. */
   def read(spark: SparkSession): DataFrame = readFiles(spark, manifest, manifest.files)
 
+  /** Time travel: read the table as of snapshot `version` (snapshot isolation —
+    * manifests are immutable, data files are append-only until vacuumed). */
+  def readVersion(spark: SparkSession, version: Int): DataFrame = {
+    val m = ManifestJson.read(new String(Files.readAllBytes(manifestPath(version))))
+    readFiles(spark, m, m.files)
+  }
+
   /** Read only the given buckets — file pruning via the manifest (no dir listing). */
   def readBuckets(spark: SparkSession, buckets: Set[Int]): DataFrame = {
     val m = manifest
@@ -282,6 +289,69 @@ class LakeTable(val dir: String) {
     Files.write(tmp, JsonMethods.pretty(JsonMethods.render(j)).getBytes)
     Files.move(tmp, dirP.resolve(s"epoch=$epoch.json"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ── maintenance: compaction + vacuum (mandatory at 10^10-event scale, where
+  //    every epoch adds files and superseded snapshots pin old ones) ──
+
+  /** Synthetic epoch ids for maintenance commits — disjoint from the streaming
+    * epoch space (streaming epochs are ≥ -1; fullLoad uses -1). */
+  private def maintenanceEpoch(m: Manifest): Long = -1000L - m.version
+
+  /**
+   * Rewrite buckets whose file count exceeds `maxFilesPerBucket` into one file
+   * per bucket (small-file compaction). Read-equivalent: a normal CoW commit,
+   * snapshot-isolated from concurrent readers.
+   */
+  def compact(spark: SparkSession, maxFilesPerBucket: Int = 4): Manifest = {
+    val m = manifest
+    val oversized = m.files.groupBy(_.bucket)
+      .filter { case (_, fs) => fs.size > maxFilesPerBucket }
+      .keySet
+    if (oversized.isEmpty) return m
+    val epoch = maintenanceEpoch(m)
+    // bucket comes from the manifest (keys may be composite): read per bucket,
+    // tag with its literal id, union — maintenance path, not the hot path
+    val byBucket = m.files.filter(f => oversized.contains(f.bucket)).groupBy(_.bucket)
+    val df = byBucket.map { case (b, fs) =>
+      readFiles(spark, m, fs).withColumn("_bucket", lit(b))
+    }.reduce(_ unionAll _)
+    df.repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(dataDir(epoch))
+    val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    commit(epoch, files, oversized, Map("compactions" -> 1L))
+  }
+
+  /**
+   * Physical GC: delete data files referenced only by snapshots older than the
+   * `keepVersions` most recent, plus their manifests. Readers of kept snapshots
+   * are unaffected (time travel window shrinks to `keepVersions`).
+   */
+  def vacuum(keepVersions: Int = 2): Seq[String] = this.synchronized {
+    val cur = currentVersion
+    val keepFrom = math.max(1, cur - keepVersions + 1)
+    val live: Set[String] = (keepFrom to cur).flatMap { v =>
+      ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+        .files.map(f => Paths.get(f.path).toAbsolutePath.toString)
+    }.toSet
+    val dataRoot = Paths.get(dir, "data")
+    val deleted = scala.collection.mutable.ListBuffer.empty[String]
+    if (Files.exists(dataRoot)) {
+      Files.walk(dataRoot).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => live.contains(p.toAbsolutePath.toString))
+        .foreach { p => Files.delete(p); deleted += p.toString }
+      // prune now-empty epoch/bucket dirs
+      Files.walk(dataRoot).iterator().asScala.toSeq.reverse
+        .filter(p => Files.isDirectory(p) && p != dataRoot)
+        .foreach { p => if (!Files.list(p).iterator().hasNext) Files.delete(p) }
+    }
+    (1 until keepFrom).foreach { v =>
+      val mp = manifestPath(v)
+      if (Files.exists(mp)) { Files.delete(mp); deleted += mp.toString }
+    }
+    deleted.toSeq
   }
 
   /** List data files physically present under a just-written epoch dir, with bucket
