@@ -74,11 +74,15 @@ object Queries {
     s"list_transform(generate_series(1, $nTok), x -> CAST(($eid*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
 
   /** Run the full streaming pipeline over the derived feed into a temp lake. */
-  private def runPipeline(spark: SparkSession, dir: String, mode: CdcMode): DataFrame = {
+  private def runPipeline(
+      spark: SparkSession, dir: String, mode: CdcMode,
+      filters: Seq[FilterCfg] = Nil,
+      transforms: Seq[TransformCfg] = Nil): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(s"graft-q-${mode.toString.toLowerCase}").toString
     val cfg = RunnerConfig(
       feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
-      job = JobConfig(mode = mode, buckets = 16), maxFilesPerTrigger = 2)
+      job = JobConfig(mode = mode, buckets = 16, filters = filters, transforms = transforms),
+      maxFilesPerTrigger = 2)
     ChangeFeed.writeFeed(feedFromEvents(spark, dir), cfg.feedDir, nFiles = 4)
     val lake = CdcRunner.ensureTable(spark, cfg)
     CdcRunner.runAvailableNow(spark, cfg)
@@ -299,6 +303,21 @@ object Queries {
         .orderBy("media_id")
     }),
 
+    // rules INSIDE the streaming merge: payload filters (DELETE passthrough) +
+    // uppercase transform + created literal column, gated by a SQL replay fold
+    "q_cdc_pipeline_rules" -> ((s, dir) => {
+      runPipeline(s, dir, CdcMode.Upsert,
+        filters = Seq(
+          FilterCfg("n_tok", "greater_than", value = Some(20)),
+          FilterCfg("source", "not_equals", value = Some("click"))),
+        transforms = Seq(
+          ModifyColumn("source", "uppercase", priority = 1),
+          CreateColumn("tag", "literal", value = Some("GRAFT"),
+            valueType = Some("varchar"), priority = 2)))
+        .select("doc_id", "tokens", "n_tok", "source", "tag")
+        .orderBy("doc_id")
+    }),
+
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
     "q_source_fullload" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-q-fl").toString
@@ -399,6 +418,19 @@ object Queries {
 
     "q_source_fullload" ->
       """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_pipeline_rules" ->
+      s"""WITH ev AS ($feedSql),
+         |kept AS (
+         |  SELECT * FROM ev
+         |  WHERE op = 'DELETE' OR (n_tok > 20 AND source <> 'click')),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM kept GROUP BY doc_id)
+         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok,
+         |  upper(source) AS source, 'GRAFT' AS tag
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """WITH w AS (

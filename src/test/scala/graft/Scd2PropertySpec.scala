@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.apply.MergeApply
+import graft.model._
+import graft.runner.{CdcRunner, RunnerConfig}
+
+/**
+ * Property: SCD2 batched apply equals the reference's sequential row-at-a-time
+ * history fold (CDCOperationsHandler.py:216-277) for ANY event stream and ANY
+ * batch split — version chains must be identical whether updates arrive in one
+ * batch (lead() chaining) or across batches (close-current-then-append).
+ */
+class Scd2PropertySpec extends SparkSpec {
+
+  case class Version(start: Long, end: Option[Long], current: Boolean, v: Int)
+
+  private val eventGen: Gen[(Int, String, Int)] = for {
+    key <- Gen.choose(0, 7)
+    op <- Gen.frequency(4 -> "INSERT", 4 -> "UPDATE", 2 -> "DELETE")
+    v <- Gen.choose(1, 9)
+  } yield (key, op, v)
+
+  private def mkRow(lsn: Long, key: Int, op: String, v: Int): Row = {
+    val del = op == "DELETE"
+    Row(lsn, lsn, new java.sql.Timestamp(1700000000000L + lsn * 1000), op, 1,
+      f"doc-$key%09d",
+      if (del) null else Seq(v),
+      if (del) null else Int.box(1),
+      if (del) null else s"s$v")
+  }
+
+  /** Sequential fold: the reference's per-row close-then-insert semantics. */
+  private def oracle(rows: Seq[Row]): Map[String, List[Version]] = {
+    val hist = scala.collection.mutable.Map.empty[String, List[Version]]
+    rows.foreach { r =>
+      val id = r.getString(5); val lsn = r.getLong(0); val op = r.getString(3)
+      val versions = hist.getOrElse(id, Nil)
+      val closed = versions.map(v =>
+        if (v.current) v.copy(end = Some(lsn), current = false) else v)
+      op match {
+        case "DELETE" => hist(id) = closed
+        case _ =>
+          hist(id) = closed :+ Version(lsn, None, current = true,
+            r.getAs[scala.collection.Seq[Int]](6).head)
+      }
+    }
+    hist.toMap.filter(_._2.nonEmpty)
+  }
+
+  test("scd2 batched apply == sequential history fold, any stream, any batch split") {
+    val caseGen = for {
+      evs <- Gen.listOfN(60, eventGen)
+      nBatches <- Gen.choose(1, 4)
+    } yield (evs, nBatches)
+    (0 until 6).foreach { trial =>
+      val (evs, nBatches) = caseGen(Gen.Parameters.default, Seed(7L + trial)).get
+      val root = tmpDir("graft-scd2prop")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Scd2, buckets = 4))
+      val lake = CdcRunner.ensureTable(spark, cfg)
+      val rows = evs.zipWithIndex.map { case ((k, op, v), i) => mkRow(i + 1L, k, op, v) }
+      val per = math.max(1, rows.size / nBatches)
+      rows.grouped(per).zipWithIndex.foreach { case (chunk, epoch) =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk, 2), ChangeEvent.schema())
+        MergeApply.applyBatch(spark, lake, df, epoch.toLong, cfg.job)
+      }
+      val expected = oracle(rows)
+      val actual = lake.read(spark).collect()
+        .groupBy(_.getAs[String]("doc_id"))
+        .view.mapValues(_.map { r =>
+          val start = r.getAs[java.sql.Timestamp]("scd_start_date").getTime / 1000 - 1700000000L
+          val end = Option(r.getAs[java.sql.Timestamp]("scd_end_date"))
+            .map(_.getTime / 1000 - 1700000000L)
+          Version(start, end, r.getAs[Int]("scd_current") == 1,
+            r.getAs[scala.collection.Seq[Int]]("tokens").head)
+        }.sortBy(_.start).toList).toMap
+      assert(actual == expected,
+        s"trial=$trial nBatches=$nBatches\n actual=$actual\n expected=$expected")
+    }
+  }
+}
