@@ -81,9 +81,10 @@ object Bench {
     // headline CDC scale: sized so the measured region is compute-bound (the
     // per-batch fixed overhead — commits, planning — must be a small share,
     // otherwise the N-vs-4N comparison measures overhead, not the engine)
-    // 12M keeps the whole bench under ~8 min while staying compute-bound
-    // (measured: efficiency 0.88-0.89 at 16-20M, ~0.85 at 12M)
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "12000000").toLong
+    // 20M is the smallest scale where the measured region is solidly
+    // compute-bound (efficiency 0.88 measured; 12M degrades to 0.76 because the
+    // ~4s fixed per-run cost stops being negligible at the low-core level)
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "20000000").toLong
     val nDocs = nEvents / 10
     val maxTok = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXTOK", "128").toInt
 

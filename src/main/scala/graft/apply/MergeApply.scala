@@ -80,8 +80,6 @@ object MergeApply {
     // exactly-once: a re-delivered epoch is a no-op (idempotent commit)
     if (lake.isCommitted(epoch)) return BatchResult(epoch, skipped = true, Map.empty)
 
-    val payloadCols = batch.columns.filterNot(envelope.contains).toSeq
-
     // ── 1. quarantine split (DLX analogue): bad op, or payload invariant broken ──
     val opCol = col(ChangeEvent.OP)
     // the tokens/n_tok consistency check only applies to payloads that carry them;

@@ -25,6 +25,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("bpe-ish token count: letter runs, digit runs, single marks") {
+    val got = Seq("hello world42!", "a-b c_d", "").toDF("t")
+      .select(TextAnalysis.bpeTokenCount(col("t"))).collect().map(_.getInt(0))
+    // "hello","world","42","!" = 4 ; "a","-","b","c","_","d" = 6 ; "" = 0
+    assert(got.toSeq == Seq(4, 6, 0))
+  }
+
   test("text stats: counts/ratios/quality/lang on documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val st = TextAnalysis.stats(docs).collect()
