@@ -209,12 +209,18 @@ object MergeApply {
       val cOp = col(cPrefix + ChangeEvent.OP)
       val cLsn = col(cPrefix + ChangeEvent.LSN)
       val changeWins = cOp.isNotNull && (col("_lsn").isNull || cLsn > col("_lsn"))
+      // DELETEs leave a tombstone row (_deleted=true) instead of vanishing, so
+      // an out-of-order older INSERT loses the LSN comparison and cannot
+      // resurrect the key. Public reads filter tombstones (LakeTable.read);
+      // compaction/vacuum carry them until GC'd.
       val merged = joined
-        .filter(!(changeWins && cOp === ChangeEvent.DELETE))
         .select((payloadCols.map { c =>
           if (keys.contains(c)) col(c)
           else when(changeWins, col(cPrefix + c)).otherwise(col(c)).as(c)
-        } :+ when(changeWins, cLsn).otherwise(col("_lsn")).as("_lsn")): _*)
+        } :+
+          when(changeWins, cLsn).otherwise(col("_lsn")).as("_lsn") :+
+          when(changeWins, cOp === ChangeEvent.DELETE)
+            .otherwise(coalesce(col("_deleted"), lit(false))).as("_deleted")): _*)
         .withColumn("_bucket", lake.bucketExpr(keys, buckets))
 
       val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, m))

@@ -238,14 +238,22 @@ class LakeTable(val dir: String) {
 
   // ── reads: manifest-pruned, schema-id-grouped, projected to current schema ──
 
-  /** Read the whole table at the current snapshot/schema. */
-  def read(spark: SparkSession): DataFrame = readFiles(spark, manifest, manifest.files)
+  /** Hide delete tombstones from user-facing reads (engine rows with
+    * `_deleted = true` exist only to make the merge order-tolerant). */
+  private def withoutTombstones(df: DataFrame): DataFrame =
+    if (df.columns.contains("_deleted"))
+      df.filter(!coalesce(col("_deleted"), lit(false)))
+    else df
+
+  /** Read the whole table at the current snapshot/schema (tombstones hidden). */
+  def read(spark: SparkSession): DataFrame =
+    withoutTombstones(readFiles(spark, manifest, manifest.files))
 
   /** Time travel: read the table as of snapshot `version` (snapshot isolation —
     * manifests are immutable, data files are append-only until vacuumed). */
   def readVersion(spark: SparkSession, version: Int): DataFrame = {
     val m = ManifestJson.read(new String(Files.readAllBytes(manifestPath(version))))
-    readFiles(spark, m, m.files)
+    withoutTombstones(readFiles(spark, m, m.files))
   }
 
   /** Read only the given buckets — file pruning via the manifest (no dir listing). */

@@ -65,8 +65,13 @@ object CdcRunner {
             StructField(scd.endDate, TimestampType),
             StructField(scd.current, IntegerType)))
         case _ =>
-          // stored per-row LSN makes the upsert merge order-tolerant (true LWW)
-          StructType(payload.fields :+ StructField("_lsn", LongType))
+          // stored per-row LSN + delete tombstones make the upsert merge fully
+          // order-tolerant: a change applies only if its LSN is newer, and a
+          // DELETE leaves a tombstone so an out-of-order older INSERT cannot
+          // resurrect the row. Public reads filter tombstones out.
+          StructType(payload.fields ++ Seq(
+            StructField("_lsn", LongType),
+            StructField("_deleted", BooleanType)))
       }
       lake.create(tableSchema, cfg.job.buckets)
     }
@@ -87,7 +92,7 @@ object CdcRunner {
           .withColumn(scd.startDate, MergeApply.batchTimestamp(epoch).cast("timestamp"))
           .withColumn(scd.endDate, lit(null).cast("timestamp"))
           .withColumn(scd.current, lit(1))
-      case _ => snapshot.withColumn("_lsn", lit(0L))
+      case _ => snapshot.withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
     }).withColumn("_bucket", lake.bucketExpr(keys, m.buckets))
     withBucket.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(lake.dataDir(epoch))

@@ -103,6 +103,33 @@ class PipelineSpec extends SparkSpec {
     assert(LwwOracle.fromTable(lake.read(spark)) == expected)
   }
 
+  test("tombstones: an out-of-order older INSERT cannot resurrect a deleted key") {
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-tomb")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val schema = ChangeEvent.schema()
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def batch(epoch: Long, rows: Row*): Unit =
+      graft.apply.MergeApply.applyBatch(spark, lake,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+        epoch, cfg.job)
+    // epoch 0: key created then DELETED at lsn 10
+    batch(0,
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1, 2), Int.box(2), "web"),
+      Row(10L, 2L, ts(10), "DELETE", 1, "k1", null, null, null))
+    assert(lake.read(spark).count() == 0)
+    // epoch 1 delivers an OLDER insert (lsn 5, re-ordered feed): must stay deleted
+    batch(1, Row(5L, 3L, ts(5), "INSERT", 1, "k1", Seq(9), Int.box(1), "web"))
+    assert(lake.read(spark).count() == 0, "tombstone blocks resurrection")
+    // epoch 2: a genuinely newer insert revives the key
+    batch(2, Row(20L, 4L, ts(20), "INSERT", 1, "k1", Seq(7, 8), Int.box(2), "books"))
+    val revived = lake.read(spark).collect()
+    assert(revived.length == 1 && revived(0).getAs[String]("source") == "books")
+  }
+
   test("kill-and-resume from checkpoint equals uninterrupted run") {
     val root = tmpDir("graft-resume")
     val nDocs = 100L; val nEvents = 800L
