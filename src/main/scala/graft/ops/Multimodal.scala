@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,21 +36,28 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       content_hash: Long, histogram: Array[Long], frames_sampled: Int)
 
-  /** Deterministic synthetic media table (payload bytes derived from the id). */
+  /** Lehmer-style deterministic id hash — plain modular integer arithmetic so a
+    * SQL oracle (DuckDB) can regenerate the exact same table; exact for
+    * media_id < ~2^45 (no 64-bit overflow). */
+  private val LEHMER_A = 48271L
+  private val LEHMER_P = 2147483647L // 2^31 - 1
+  private def idHash(salt: Long): Column =
+    pmod(col("media_id") * LEHMER_A + lit(salt * 1299709L), lit(LEHMER_P))
+
+  /** Deterministic synthetic media table (payload bytes derived from the id).
+    * Bytes = a 4-byte value word (zero-padded to 8) repeated 4..67 times. */
   def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
-    spark.range(n).select(
-      col("id").as("media_id"),
-      element_at(kinds, (pmod(xxhash64(col("id"), lit(seed)), lit(3)) + 1).cast(IntegerType))
-        .as("kind"),
+    spark.range(n).withColumnRenamed("id", "media_id").select(
+      col("media_id"),
+      element_at(kinds, (idHash(0) % 3 + 1).cast(IntegerType)).as("kind"),
       // opaque binary payload: unhex of a deterministic hex string, variable length
-      unhex(repeat(lpad(hex(xxhash64(col("id"), lit(seed + 1))), 16, "0"),
-        (pmod(xxhash64(col("id"), lit(seed + 2)), lit(64)) + 4).cast(IntegerType)))
-        .as("bytes"),
+      unhex(repeat(lpad(hex(idHash(1)), 16, "0"),
+        (idHash(2) % 64 + 4).cast(IntegerType))).as("bytes"),
       struct(
-        (pmod(xxhash64(col("id"), lit(1)), lit(1920)) + 1).cast(IntegerType).as("width"),
-        (pmod(xxhash64(col("id"), lit(2)), lit(1080)) + 1).cast(IntegerType).as("height"),
-        (pmod(xxhash64(col("id"), lit(3)), lit(60000)) + 1).cast(IntegerType).as("duration_ms"),
+        (idHash(3) % 1920 + 1).cast(IntegerType).as("width"),
+        (idHash(4) % 1080 + 1).cast(IntegerType).as("height"),
+        (idHash(5) % 60000 + 1).cast(IntegerType).as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
   }
 
@@ -63,13 +70,15 @@ object Multimodal {
   object StubCodec {
     def decodeAndExtract(row: MediaRow, frameCount: Int): MediaFeatures = {
       val bytes = if (row.bytes == null) Array.empty[Byte] else row.bytes
-      // "decode": byte histogram over 16 buckets + rolling content hash
+      // "decode": byte histogram over 16 buckets + rolling content hash.
+      // The hash is a mod-(2^31-1) polynomial — never overflows a long, so a
+      // SQL oracle can recompute it with plain integer arithmetic.
       val hist = new Array[Long](16)
       var h = 0L
       var i = 0
       while (i < bytes.length) {
         hist((bytes(i) & 0xff) % 16) += 1
-        h = h * 1099511628211L + (bytes(i) & 0xff)
+        h = (h * 31L + (bytes(i) & 0xff)) % 2147483647L
         i += 1
       }
       // "frame-sample": every (len / frameCount)th offset exists

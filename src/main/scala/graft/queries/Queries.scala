@@ -98,7 +98,10 @@ object Queries {
       val li = read(s, dir, "lineitem")
       val filters = Seq(
         FilterCfg("l_quantity", "greater_than", value = Some(10.0)),
+        FilterCfg("l_quantity", "greater_than_or_equal", value = Some(11.0)),
+        FilterCfg("l_quantity", "less_than", value = Some(46.0)),
         FilterCfg("l_quantity", "less_than_or_equal", value = Some(45.0)),
+        FilterCfg("l_linestatus", "equals", value = Some("F")),
         FilterCfg("l_discount", "between", lower = Some(0.02), upper = Some(0.08)),
         FilterCfg("l_returnflag", "in", values = Seq("A", "N")),
         FilterCfg("l_linenumber", "not_equals", value = Some(7)))
@@ -126,11 +129,31 @@ object Queries {
       val filters = Seq(
         FilterCfg("l_shipdate", "date_between",
           lower = Some("1994-01-01"), upper = Some("1996-06-30")),
-        FilterCfg("l_shipdate", "date_not_equals", value = Some("1995-01-01 00:00:00")))
+        FilterCfg("l_shipdate", "date_greater_than", value = Some("1995-02-01")),
+        FilterCfg("l_shipdate", "date_less_than_or_equal",
+          value = Some("1996-06-29 23:59:59")),
+        FilterCfg("l_shipdate", "date_not_between",
+          lower = Some("1995-08-01"), upper = Some("1995-08-05")),
+        FilterCfg("l_shipdate", "date_not_equals", value = Some("1996-01-01 00:00:00")))
       li.filter(FilterCompiler.compileAll(filters, li.schema))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // §2.2 point filters: is_null (derived null), equals on string,
+    // date_equals / date_greater_than_or_equal / date_less_than
+    "q_filter_point" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .withColumn("rf_null", expr("nullif(l_returnflag, 'A')"))
+      val filters = Seq(
+        FilterCfg("rf_null", "is_null"),
+        FilterCfg("l_shipdate", "date_equals", value = Some("1995-03-15")),
+        FilterCfg("l_shipdate", "date_greater_than_or_equal", value = Some("1995-01-01")),
+        FilterCfg("l_shipdate", "date_less_than", value = Some("1999-01-01")))
+      li.filter(FilterCompiler.compileAll(filters, li.schema))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // §2.2 null / not-null / not_in / not_between
@@ -161,16 +184,34 @@ object Queries {
         .orderBy("c_custkey")
     }),
 
-    // §2.3 date transforms: extract_year/month/day + format_date
+    // §2.3 date/scalar transforms: date_diff_years (distinct start/end columns),
+    // round variant, date_now/datetime_now (deterministic batch ts),
+    // extract_year/month/day, trim, format_date, modify_column_name
     "q_transform_dates" -> ((s, dir) => {
       val e = read(s, dir, "events")
+        .withColumn("ts2", expr("timestampadd(DAY, CAST(event_id % 1500 AS INT), ts)"))
+        .withColumn("tsy", col("ts")).withColumn("tsm", col("ts")).withColumn("tsd", col("ts"))
+        .withColumn("padded", concat(lit("  "), col("event_type"), lit("  ")))
       val spec = TableSpec("src", "events", Seq("event_id"))
       val compiled = TransformCompiler.compile(Seq(
-        CreateColumn("y", "date_diff_years", dependsOn = Seq("ts", "ts")), // 0, exercises op
-        ModifyColumn("ts", "format_date", format = Some("%Y-%m-%d %H:%M:%S"), priority = 3)),
-        spec, e.schema)
+        ModifyColumnName("value", "val_renamed", priority = 0),
+        CreateColumn("age_years", "date_diff_years", dependsOn = Seq("ts", "ts2")),
+        CreateColumn("age_rounded", "date_diff_years", dependsOn = Seq("ts", "ts2"),
+          round = true),
+        CreateColumn("d_now", "date_now"),
+        CreateColumn("dt_now", "datetime_now"),
+        ModifyColumn("tsy", "extract_year", priority = 3),
+        ModifyColumn("tsm", "extract_month", priority = 3),
+        ModifyColumn("tsd", "extract_day", priority = 3),
+        ModifyColumn("padded", "trim", priority = 3),
+        ModifyColumn("ts2", "format_date", format = Some("%Y-%m-%d %H:%M:%S"), priority = 4)),
+        spec, e.schema, batchTs = to_timestamp(lit("2026-01-15 12:34:56")))
       compiled.apply(e)
-        .select(col("event_id"), col("ts").as("ts_str"), col("y").cast(IntegerType).as("y"))
+        .select(col("event_id"), col("val_renamed"), col("ts2").as("ts2_str"),
+          col("age_years").cast(IntegerType).as("age_years"), col("age_rounded"),
+          col("d_now"), col("dt_now"),
+          col("tsy").cast(LongType).as("tsy"), col("tsm").cast(LongType).as("tsm"),
+          col("tsd").cast(LongType).as("tsd"), col("padded"))
         .orderBy("event_id")
     }),
 
@@ -203,10 +244,13 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // the engine end-to-end: streamed upsert merge final state == SQL replay fold
+    // the engine end-to-end: streamed upsert merge final state == SQL replay fold.
+    // tokens are serialized to CSV — the driver's pandas hasher cannot canonicalise
+    // raw array cells (factorize dies on numpy.ndarray), so no query emits one.
     "q_cdc_pipeline_upsert" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Upsert)
-        .select("doc_id", "tokens", "n_tok", "source")
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -214,15 +258,17 @@ object Queries {
     // (SURVEY §2.4: per-key reduction collapses literal replay to LWW)
     "q_cdc_pipeline_default" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Default)
-        .select("doc_id", "tokens", "n_tok", "source")
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
         .orderBy("doc_id")
     }),
 
     // the engine end-to-end in SCD2 mode: full version history == SQL window oracle
     "q_cdc_pipeline_scd2" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Scd2)
-        .select("doc_id", "tokens", "n_tok", "source",
-          "scd_start_date", "scd_end_date", "scd_current")
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"),
+          col("scd_start_date"), col("scd_end_date"), col("scd_current"))
         .orderBy("doc_id", "scd_start_date")
     }),
 
@@ -295,11 +341,18 @@ object Queries {
         .orderBy("q_id", "rank")
     }),
 
-    // multimodal: binary payloads + batched decode-stub feature extraction
-    // (rows-only driver check; determinism/invariants in MultimodalSpec)
+    // multimodal: binary payloads + batched decode-stub feature extraction.
+    // The synthetic payload and the stub codec are plain modular integer math,
+    // so the DuckDB oracle regenerates the byte stream and refolds the features
+    // from generate_series — a hard signal on the whole binary plumbing path.
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.synthetic(s, 500)
       graft.ops.Multimodal.decodeFeatures(media, frameCount = 8)
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast(LongType).as("n_bytes"),
+          col("content_hash"),
+          array_join(col("histogram").cast("array<string>"), ",").as("histogram_csv"),
+          col("frames_sampled").cast(LongType).as("frames_sampled"))
         .orderBy("media_id")
     }),
 
@@ -314,7 +367,8 @@ object Queries {
           ModifyColumn("source", "uppercase", priority = 1),
           CreateColumn("tag", "literal", value = Some("GRAFT"),
             valueType = Some("varchar"), priority = 2)))
-        .select("doc_id", "tokens", "n_tok", "source", "tag")
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"), col("tag"))
         .orderBy("doc_id")
     }),
 
@@ -341,7 +395,9 @@ object Queries {
     "q_filter_compare" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
-        |WHERE l_quantity > 10.0 AND l_quantity <= 45.0
+        |WHERE l_quantity > 10.0 AND l_quantity >= 11.0
+        |  AND l_quantity < 46.0 AND l_quantity <= 45.0
+        |  AND l_linestatus = 'F'
         |  AND l_discount BETWEEN 0.02 AND 0.08
         |  AND l_returnflag IN ('A','N') AND l_linenumber <> 7
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -355,8 +411,19 @@ object Queries {
     "q_filter_dates" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-06-30'
-        |  AND l_shipdate <> TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-02-01'
+        |  AND l_shipdate <= TIMESTAMP '1996-06-29 23:59:59'
+        |  AND NOT (l_shipdate BETWEEN TIMESTAMP '1995-08-01' AND TIMESTAMP '1995-08-05')
+        |  AND l_shipdate <> TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_filter_point" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE nullif(l_returnflag, 'A') IS NULL
+        |  AND l_shipdate = TIMESTAMP '1995-03-15'
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_filter_null_in" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
@@ -372,9 +439,21 @@ object Queries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_transform_dates" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |  CAST(0 AS INT) AS y
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_id, ts, value AS val_renamed, event_type,
+        |    ts + (event_id % 1500) * INTERVAL 1 DAY AS ts2
+        |  FROM events)
+        |SELECT event_id, val_renamed,
+        |  strftime(ts2, '%Y-%m-%d %H:%M:%S') AS ts2_str,
+        |  CAST(year(ts2) - year(ts) AS INT) AS age_years,
+        |  CAST(round(CAST(year(ts2) - year(ts) AS DOUBLE)) AS BIGINT) AS age_rounded,
+        |  DATE '2026-01-15' AS d_now,
+        |  TIMESTAMP '2026-01-15 12:34:56' AS dt_now,
+        |  CAST(year(ts) AS BIGINT) AS tsy,
+        |  CAST(month(ts) AS BIGINT) AS tsm,
+        |  CAST(day(ts) AS BIGINT) AS tsd,
+        |  trim('  ' || event_type || '  ') AS padded
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q_transform_math" ->
       """SELECT l_orderkey, l_linenumber, (l_quantity * 2 + 10) / 4 - 1 AS q2
@@ -394,7 +473,8 @@ object Queries {
          |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
          |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
          |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok, source
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_default" ->
@@ -403,7 +483,8 @@ object Queries {
          |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
          |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
          |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok, source
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_scd2" ->
@@ -411,7 +492,8 @@ object Queries {
          |v AS (
          |  SELECT *, lead(ts) OVER (PARTITION BY doc_id ORDER BY lsn) AS nxt
          |  FROM ev)
-         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok, source,
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source,
          |  ts AS scd_start_date, nxt AS scd_end_date,
          |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS scd_current
          |FROM v WHERE op <> 'DELETE' ORDER BY doc_id, scd_start_date""".stripMargin,
@@ -428,8 +510,8 @@ object Queries {
          |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
          |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
          |  FROM kept GROUP BY doc_id)
-         |SELECT doc_id, ${tokensSql("eid", "n_tok")} AS tokens, n_tok,
-         |  upper(source) AS source, 'GRAFT' AS tag
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, upper(source) AS source, 'GRAFT' AS tag
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
@@ -492,7 +574,34 @@ object Queries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, c_id) AS rank
          |  FROM scored)
          |SELECT q_id, c_id, round(c, 6) AS cosine, rank
-         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // regenerates the synthetic media bytes (Lehmer modular hash, byte pattern
+    // repeat) and refolds the stub-codec features entirely in SQL
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |    (i*48271) % 2147483647 AS h0,
+        |    (i*48271 + 1299709) % 2147483647 AS v,
+        |    ((i*48271 + 2599418) % 2147483647) % 64 + 4 AS r
+        |  FROM generate_series(0, 499) t(i)),
+        |p AS (
+        |  SELECT media_id,
+        |    ['image','audio','video'][CAST(h0 % 3 AS INT) + 1] AS kind, r,
+        |    [0, 0, 0, 0,
+        |     (v // 16777216) % 256, (v // 65536) % 256, (v // 256) % 256, v % 256] AS pat
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, kind, 8*r AS n_bytes,
+        |    flatten(list_transform(generate_series(1, r), x -> pat)) AS bytes
+        |  FROM p)
+        |SELECT media_id, kind, n_bytes,
+        |  list_reduce(list_prepend(0, bytes), (acc, b) -> (acc*31 + b) % 2147483647)
+        |    AS content_hash,
+        |  array_to_string(list_transform(generate_series(0, 15), k ->
+        |    len(list_filter(bytes, b -> b % 16 = k))), ',') AS histogram_csv,
+        |  least(8, greatest(n_bytes, 1)) AS frames_sampled
+        |FROM f ORDER BY media_id""".stripMargin
   )
 
   /** DuckDB cosine with the SAME sequential double fold as [[graft.ops.Similarity]]

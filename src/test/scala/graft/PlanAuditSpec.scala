@@ -10,12 +10,16 @@ import org.apache.spark.sql.execution.SparkPlan
  */
 class PlanAuditSpec extends SparkSpec {
 
-  private def planOf(q: String, dir: String = "/root/testdata/sf0.001"): String =
+  private def planOf(q: String, dir: String = "/root/testdata/sf0.001"): String = {
+    // don't let scan-metadata truncation hide pushed filters from the audit
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("filter queries push predicates into the parquet scan") {
     val p = planOf("q_filter_compare")
-    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), "scan advertises pushed filters")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull(l_quantity)"),
+      "scan advertises pushed filters")
     assert(p.contains("GreaterThan(l_quantity,10"), s"range filter pushed:\n$p")
     assert(p.contains("IN (A,N)"), "IN predicate in the scan-adjacent filter")
     // column pruning: untouched columns never leave the scan
