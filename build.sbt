@@ -13,6 +13,9 @@ Test / fork := true
 // suites share one SparkSession; run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// forked run writes straight to stdout/stderr — no "[info]" prefix, so the
+// bench/verify JSON lines stay machine-parseable by the caller
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,10 +90,13 @@ object Bench {
 
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
 
-    // clear stale bench workspaces from crashed runs (tmpfs is shared + finite)
+    // clear stale bench workspaces from crashed runs (tmpfs is shared + finite);
+    // age-scoped so a concurrently running bench's live workspace is never hit
+    val staleMs = System.currentTimeMillis() - 3 * 3600 * 1000L
     new java.io.File("/dev/shm").listFiles() match {
       case null => ()
-      case fs => fs.filter(_.getName.startsWith("graft-bench-")).foreach(rm)
+      case fs => fs.filter(f => f.getName.startsWith("graft-bench-") &&
+        f.lastModified() < staleMs).foreach(rm)
     }
 
     // ── 1. per-query timings at full parallelism ──
@@ -146,7 +149,12 @@ object Bench {
       f""""sec_hi":$tHi%.2f,"sec_lo":$tLo%.2f,""" +
       f""""events_per_sec_hi":${epsHi.toLong},"events_per_sec_lo":${epsLo.toLong},""" +
       f""""scaling_efficiency":$efficiency%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces for callers that scrape decorated logs: also drop the
+    // line into a well-known file next to the build
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
   }
 }
