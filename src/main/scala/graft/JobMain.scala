@@ -91,11 +91,27 @@ object JobMain {
         val envelope = ChangeEvent.envelopeFields.map(_.name).toSet
         val feedSchema = spark.read.parquet(feedDir).schema
         val payload = StructType(feedSchema.fields.filterNot(f => envelope.contains(f.name)))
+        // the merge key must be DECLARED, never guessed from column position:
+        // --keys flag > add_primary_key transformation > the doc_id convention
+        // column if present; otherwise fail fast (a wrong key would silently
+        // produce a wrong final state)
+        val declaredKeys = table.transforms
+          .collect { case graft.rules.AddPrimaryKey(cols, _) => cols }.flatten
+        val keyCols = opt("--keys").map(_.split(",").toSeq.map(_.trim))
+          .orElse(Option(declaredKeys).filter(_.nonEmpty))
+          .getOrElse {
+            if (payload.fieldNames.contains(ChangeEvent.DOC_ID)) Seq(ChangeEvent.DOC_ID)
+            else throw new IllegalArgumentException(
+              s"no merge key declared for ${table.id}: add an add_primary_key " +
+                "transformation in settings.json or pass --keys c1[,c2]")
+          }
+        keyCols.foreach(k => require(payload.fieldNames.contains(k),
+          s"declared merge key '$k' is not a feed payload column"))
         val cfg = RunnerConfig(
           feedDir, s"$lakeRoot/${table.id}", checkpointDir,
           job = JobConfig(
             mode = settings.cdcMode,
-            keyCols = Seq(payload.fields.head.name),
+            keyCols = keyCols,
             filters = table.filters,
             transforms = table.transforms,
             errorPolicy = settings.errorPolicy,
@@ -106,8 +122,11 @@ object JobMain {
           opt("--snapshot").foreach { snap =>
             CdcRunner.fullLoad(spark, lake, spark.read.parquet(snap), cfg)
           }
+        // composite ordering (CompositeReplicationStrategy.py:8): the full load
+        // above completes before CDC starts tailing
         if (settings.replicationType != "full_load") {
-          val q = CdcRunner.start(spark, cfg, availableNow = !continuous)
+          val q = CdcRunner.start(spark, cfg, availableNow = !continuous,
+            intervalSeconds = settings.intervalSeconds)
           q.awaitTermination()
         }
         val m = lake.manifest

@@ -86,7 +86,7 @@ object MergeApply {
     // branch in Scala — a Column disjunct would still analyze col("tokens")
     val hasTokens = batch.columns.contains("tokens") && batch.columns.contains("n_tok")
     val payloadOk =
-      if (!cfg.quarantine || !hasTokens) lit(true)
+      if (!hasTokens) lit(true)
       else opCol === ChangeEvent.DELETE ||
         (col("tokens").isNotNull && col("n_tok") === size(col("tokens")))
     val invariantOk = opCol.isin(ChangeEvent.OPS.toSeq: _*) && payloadOk
@@ -104,6 +104,11 @@ object MergeApply {
       // n_bad is null for an empty batch (sum over zero rows)
       val nBad = obs.get.get("n_bad").collect { case v: Long => v }.getOrElse(0L)
       if (nBad > 0) {
+        // quarantine=false means "bad rows fail the batch" (JobConfig contract),
+        // NOT "skip detection" — detection always runs, only routing differs
+        if (!cfg.quarantine)
+          throw new IllegalStateException(
+            s"$nBad invalid event(s) in epoch $epoch and quarantine is disabled")
         val badByOp = timed("quarantine-scan")(bad.groupBy(ChangeEvent.OP).count().collect())
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         bad.write.mode("overwrite").parquet(lake.quarantineDir(epoch))

@@ -335,29 +335,45 @@ class LakeTable(val dir: String) {
    * Physical GC: delete data files referenced only by snapshots older than the
    * `keepVersions` most recent, plus their manifests. Readers of kept snapshots
    * are unaffected (time travel window shrinks to `keepVersions`).
+   *
+   * Deletion candidates come from the PRUNED manifests' file lists (minus files
+   * still referenced by kept manifests) — never from a directory walk. Files of
+   * an epoch already written but not yet committed (the window inside
+   * applyBatch, or a concurrent compact) are in no pruned manifest, so a
+   * vacuum running beside an active stream/maintenance job cannot eat data the
+   * next commit will reference.
    */
   def vacuum(keepVersions: Int = 2): Seq[String] = this.synchronized {
     val cur = currentVersion
     val keepFrom = math.max(1, cur - keepVersions + 1)
-    val live: Set[String] = (keepFrom to cur).flatMap { v =>
+    def filesOf(v: Int): Seq[String] =
       ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
         .files.map(f => Paths.get(f.path).toAbsolutePath.toString)
-    }.toSet
-    val dataRoot = Paths.get(dir, "data")
+    val live: Set[String] = (keepFrom to cur).flatMap(filesOf).toSet
+    val dataRoot = Paths.get(dir, "data").toAbsolutePath
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
-    if (Files.exists(dataRoot)) {
-      Files.walk(dataRoot).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => live.contains(p.toAbsolutePath.toString))
-        .foreach { p => Files.delete(p); deleted += p.toString }
-      // prune now-empty epoch/bucket dirs
-      Files.walk(dataRoot).iterator().asScala.toSeq.reverse
-        .filter(p => Files.isDirectory(p) && p != dataRoot)
-        .foreach { p => if (!Files.list(p).iterator().hasNext) Files.delete(p) }
+    val emptied = scala.collection.mutable.LinkedHashSet.empty[Path]
+    (1 until keepFrom).flatMap(filesOf).distinct
+      .filterNot(live.contains)
+      .map(Paths.get(_))
+      .foreach { p =>
+        if (Files.deleteIfExists(p)) {
+          deleted += p.toString
+          emptied += p.getParent
+        }
+      }
+    // prune now-empty dirs upward (bucket dir, then its epoch dir)
+    emptied.toSeq.foreach { d =>
+      var p = d
+      while (p != null && p != dataRoot && p.startsWith(dataRoot) &&
+        Files.isDirectory(p) && !scala.util.Using.resource(Files.list(p))(_.iterator().hasNext)) {
+        Files.delete(p)
+        p = p.getParent
+      }
     }
     (1 until keepFrom).foreach { v =>
       val mp = manifestPath(v)
-      if (Files.exists(mp)) { Files.delete(mp); deleted += mp.toString }
+      if (Files.deleteIfExists(mp)) deleted += mp.toString
     }
     deleted.toSeq
   }
@@ -368,14 +384,16 @@ class LakeTable(val dir: String) {
   def listEpochFiles(epoch: Long, schemaId: Int, rowsByBucket: Map[Int, Long]): Seq[DataFile] = {
     val root = Paths.get(dataDir(epoch))
     if (!Files.exists(root)) return Nil
-    Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map { p =>
-        val bucket = p.getParent.getFileName.toString match {
-          case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
-          case _ => -1
-        }
-        DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L))
-      }.toSeq
+    scala.util.Using.resource(Files.walk(root)) { walk =>
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map { p =>
+          val bucket = p.getParent.getFileName.toString match {
+            case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
+            case _ => -1
+          }
+          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L))
+        }.toSeq
+    }
   }
 }

@@ -93,7 +93,8 @@ case class JobConfig(
     transforms: Seq[graft.rules.TransformCfg] = Nil,
     errorPolicy: ErrorPolicy = ErrorPolicy(),
     scdCols: ScdCols = ScdCols(),
-    /** route rows violating payload invariants (bad op, n_tok != size(tokens)) to the
-      * quarantine table instead of failing the batch — reference DLX analogue
-      * (trempy/Messages/MessageDlx.py:57-83). */
+    /** true: route rows violating payload invariants (bad op, n_tok != size(tokens))
+      * to the quarantine table and continue — reference DLX analogue
+      * (trempy/Messages/MessageDlx.py:57-83). false: any violation fails the batch.
+      * Detection always runs; this flag only picks the routing. */
     quarantine: Boolean = true)

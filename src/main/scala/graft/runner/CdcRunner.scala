@@ -144,8 +144,11 @@ object CdcRunner {
     }
   }
 
-  /** Start the streaming query (continuous tail). */
-  def start(spark: SparkSession, cfg: RunnerConfig, availableNow: Boolean = true): StreamingQuery = {
+  /** Start the streaming query (continuous tail). `intervalSeconds` is the
+    * reference's producer cadence (task/settings.json interval_seconds,
+    * CDCStrategy.py:75-101) — honored as the ProcessingTime trigger. */
+  def start(spark: SparkSession, cfg: RunnerConfig, availableNow: Boolean = true,
+      intervalSeconds: Int = 5): StreamingQuery = {
     val lake = ensureTable(spark, cfg)
     val stream = spark.readStream
       .schema(eventSchema(cfg))
@@ -158,7 +161,7 @@ object CdcRunner {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(processBatch(spark, lake, cfg) _)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("5 seconds"))).start()
+     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
   }
 
   /** Drain everything currently in the feed and stop (test/bench entry). */

@@ -106,8 +106,14 @@ object MultiTableRunner {
       MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job)
     }
 
-  def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery = {
-    val jobs = ensureTables(spark, cfg)
+  def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery =
+    startWithJobs(spark, cfg, ensureTables(spark, cfg), availableNow)
+
+  /** `intervalSeconds` defaults to the settings' interval_seconds — the
+    * reference's producer cadence becomes the ProcessingTime trigger. */
+  private def startWithJobs(
+      spark: SparkSession, cfg: Config, jobs: Seq[TableJob],
+      availableNow: Boolean): StreamingQuery = {
     val stream = spark.readStream
       .schema(feedSchema(cfg))
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
@@ -117,12 +123,13 @@ object MultiTableRunner {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(processBatch(spark, jobs) _)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime("5 seconds"))).start()
+     else writer.trigger(
+       Trigger.ProcessingTime(s"${cfg.settings.intervalSeconds} seconds"))).start()
   }
 
   def runAvailableNow(spark: SparkSession, cfg: Config): Seq[TableJob] = {
     val jobs = ensureTables(spark, cfg)
-    val q = start(spark, cfg, availableNow = true)
+    val q = startWithJobs(spark, cfg, jobs, availableNow = true)
     q.awaitTermination()
     jobs
   }

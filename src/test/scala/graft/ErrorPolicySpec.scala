@@ -48,6 +48,17 @@ class ErrorPolicySpec extends SparkSpec {
     assert(lake.read(spark).count() == 0)
   }
 
+  test("quarantine=false: invariant violations fail the batch, never merge silently") {
+    val job = JobConfig(quarantine = false)
+    val lake = mkLake(job)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val ex = intercept[IllegalStateException](
+      MergeApply.applyBatch(spark, lake, df, 0L, job))
+    assert(ex.getMessage.contains("quarantine is disabled"))
+    assert(!lake.isCommitted(0L))
+    assert(lake.read(spark).count() == 0)
+  }
+
   test("stop flag for a different op does not fire") {
     val job = JobConfig(errorPolicy = ErrorPolicy(stopOnDeleteError = true))
     val lake = mkLake(job)
