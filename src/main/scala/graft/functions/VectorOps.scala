@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -63,9 +63,87 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/**
+ * Deterministic random-hyperplane LSH signature: bit h = sign of <v, p_h>,
+ * where plane p_h's component at dimension i is ±1 taken from bit h of
+ * xxhash64(i) — one hash per element covers up to 64 planes. No stored model,
+ * reproducible across jobs (replay-safe).
+ *
+ * Native codegen'd replacement for the aggregate/zip_with HOF formulation,
+ * which evaluates its lambda interpreted per element × per plane (measured
+ * ~50× slower on this repo's corpus workloads — BASELINE.md).
+ */
+case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, s"planes must be in [1,64], got $planes")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val acc = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val hv = XXH64.hashLong(i.toLong, 42L)
+      var h = 0
+      while (h < planes) {
+        acc(h) += (if (((hv >>> h) & 1L) == 0L) v else -v)
+        h += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var h = 0
+    while (h < planes) {
+      if (acc(h) > 0) sig |= (1L << h)
+      h += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val hv = ctx.freshName("hv")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      val getV = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $n = $a.numElements();
+         |double[] $acc = new double[$planes];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $getV;
+         |  long $hv = $xxh.hashLong((long) $i, 42L);
+         |  for (int $h = 0; $h < $planes; $h++) {
+         |    $acc[$h] += ((($hv >>> $h) & 1L) == 0L) ? $v : -$v;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $h = 0; $h < $planes; $h++) {
+         |  if ($acc[$h] > 0) $sig |= (1L << $h);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+    copy(child = c)
+}
+
 object VectorOps {
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def hyperplane_sig(v: Column, planes: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(v), planes))
 
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))

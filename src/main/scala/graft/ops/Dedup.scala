@@ -175,6 +175,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * SimHash candidates verified as order-invariant exact duplicates: hamming-LSH
+   * banding proposes pairs, word-multiset equality confirms them. Identical
+   * multisets have identical signatures (hamming 0, same buckets), so recall on
+   * true multiset-duplicates is deterministically 1 — which makes the output
+   * fully replayable by a SQL oracle (group by sorted word list), unlike the
+   * raw hamming≤k candidate set.
+   */
+  def simhashExactDups(
+      df: DataFrame, maxHamming: Int = 3, bits: Int = 32, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cands = simhashNearDups(df, maxHamming, bits, bands, textCol, idCol)
+    val w = df.select(col(idCol).as("id"),
+      sort_array(split(normalized(col(textCol)), " ")).as("wm"))
+    cands
+      .join(w.select(col("id").as("id_a"), col("wm").as("wm_a")), "id_a")
+      .join(w.select(col("id").as("id_b"), col("wm").as("wm_b")), "id_b")
+      .filter(col("wm_a") === col("wm_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ── embedding-cosine near-dup ──
   /** Pairs with cosine ≥ threshold; candidates via Similarity's LSH buckets. */
   def embeddingNearDups(

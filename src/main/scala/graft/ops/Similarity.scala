@@ -31,18 +31,14 @@ object Similarity {
 
   /**
    * Deterministic random-hyperplane signature: bit h = sign of <v, p_h> where
-   * plane p_h has ±1 components seeded by xxhash64(h, dim-index). No stored
-   * model, reproducible across jobs (replay-safe).
+   * plane p_h has ±1 components taken from bit h of xxhash64(dim-index). No
+   * stored model, reproducible across jobs (replay-safe). Native codegen'd
+   * kernel (graft.functions.HyperplaneSig) — one hash per element covers all
+   * planes; the previous aggregate/zip_with HOF evaluated interpreted,
+   * per element × per plane, on the signature hot path.
    */
   def hyperplaneSignature(v: Column, planes: Int = 8): Column =
-    (0 until planes).map { h =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast(DoubleType) *
-            when(pmod(xxhash64(lit(h), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    VectorOps.hyperplane_sig(v, planes)
 
   /**
    * Exact brute-force cosine top-k: broadcast the (small) query set against the

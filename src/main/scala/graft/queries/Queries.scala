@@ -294,8 +294,10 @@ object Queries {
         .orderBy("fingerprint")
     }),
 
-    // MinHash+LSH near-dup pipeline over documents + planted near-dups
-    // (rows-only driver check; exactness covered by DedupSpec's Scala oracle)
+    // MinHash+LSH near-dup pipeline over documents + planted dups. The output
+    // (exact-Jaccard-verified pairs ≥ 0.8) is checked against DuckDB's
+    // all-pairs exact Jaccard over raw text — a hard signal that the LSH
+    // candidate stage lost nothing on this corpus (recall 1.0 here).
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = read(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 20)
@@ -304,12 +306,14 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pipeline (rows-only driver check)
+    // SimHash hamming-LSH candidates verified as order-invariant exact dups
+    // (word-multiset equality) — oracle groups by the sorted word list
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = read(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      graft.ops.Dedup.simhashNearDups(docs.unionAll(planted), maxHamming = 3)
+      graft.ops.Dedup.simhashExactDups(docs.unionAll(planted), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -330,15 +334,20 @@ object Queries {
         .orderBy("q_id", "rank")
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only driver check, recall in SimilaritySpec)
+    // LSH-bucketed ANN (scale path). Planted identical twins land in the same
+    // bucket with cosine 1 by construction, so rank-1 per query is
+    // deterministically the twin — a hard driver signal on the whole LSH path
+    // (signature, bucket probe, scoring, ranking); recall on near-neighbours
+    // is covered by SimilaritySpec.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") < 10)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       graft.ops.Similarity.lshTopK(emb.filter(col("vec_id") < 10),
         emb.unionAll(planted), k = 5)
-        .select("q_id", "c_id", "rank")
-        .orderBy("q_id", "rank")
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"))
+        .orderBy("q_id")
     }),
 
     // multimodal: binary payloads + batched decode-stub feature extraction.
@@ -554,6 +563,40 @@ object Queries {
         |  min(doc_id) AS keeper_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
 
+    // exact all-pairs Jaccard over the same corpus (docs + planted copies of
+    // doc_id < 20), same normalization/shingling as graft.ops.Dedup.shingles
+    "q_dedup_minhash" ->
+      s"""WITH corpus AS ($dedupCorpusSql),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(1, greatest(len(${wordsSql("text")}) - 2, 1)),
+         |      i -> array_to_string((${wordsSql("text")})[i:i+2], ' '))) AS s
+         |  FROM corpus),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // order-invariant exact duplicates = equal sorted word lists
+    "q_dedup_simhash" ->
+      s"""WITH corpus AS ($dedupCorpusSql),
+         |w AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(${wordsSql("text")}), ' ')) AS wm
+         |  FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+         |FROM w a JOIN w b ON a.wm = b.wm AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // rank-1 per query is the planted identical twin
+    "q_ann_lsh" ->
+      """SELECT vec_id AS q_id, vec_id + 1000000 AS c_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
+
     "q_dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
          |p AS (
@@ -603,6 +646,16 @@ object Queries {
         |  least(8, greatest(n_bytes, 1)) AS frames_sampled
         |FROM f ORDER BY media_id""".stripMargin
   )
+
+  /** The near-dup corpus both engines use: documents + planted copies. */
+  private def dedupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20""".stripMargin
+
+  /** Whitespace tokenization of normalized text — twin of Dedup.normalized+split. */
+  private def wordsSql(c: String): String =
+    s"string_split(lower(trim(regexp_replace($c, '\\s+', ' ', 'g'))), ' ')"
 
   /** DuckDB cosine with the SAME sequential double fold as [[graft.ops.Similarity]]
     * (list_reduce is a strict left fold, matching Spark's aggregate) —

@@ -145,6 +145,20 @@ class SimilaritySpec extends SparkSpec {
     val top = lsh.filter(col("rank") === 1).head()
     assert(top.getAs[Long]("c_id") == 10000L)
   }
+
+  test("hyperplane signature: codegen and interpreted paths agree") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 16).as("sig"))
+    def sigs(mode: String): Map[Long, Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try emb.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val gen = sigs("CODEGEN_ONLY")
+    val interp = sigs("NO_CODEGEN")
+    assert(gen == interp, "generated code must match interpreted eval")
+    assert(gen.values.toSet.size > 1, "signatures spread across buckets")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
