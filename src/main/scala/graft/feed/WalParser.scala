@@ -1,0 +1,129 @@
+package graft.feed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Parser for PostgreSQL `test_decoding` logical-decoding text lines — the
+ * reference's entire wire format (trempy/.../CDCManager.py:65-114):
+ *
+ * {{{
+ *   BEGIN 1234
+ *   table corpus.documents: INSERT: doc_id[character varying]:'doc-1' n_tok[integer]:3
+ *   table corpus.documents: DELETE: (no-tuple-data)
+ *   COMMIT 1234
+ * }}}
+ *
+ * Input is the raw slot-read shape `(lsn: long, xid: long, data: string)`
+ * (pg_logical_slot_get_changes, QueryPostgreSQL.py:132-135). Everything is
+ * Catalyst string expressions — no per-row driver loop, fully codegen'd, so
+ * the parse scales with the scan:
+ *
+ *  - committed-DML-only: a txn's rows survive only if a COMMIT line with the
+ *    same xid exists (left-semi join; the reference scans BEGIN..COMMIT
+ *    serially, CDCManager.py:27-63);
+ *  - the column tokenizer is the reference's regex (CDCManager.py:100-102):
+ *    `name[type]:value` tokens, values possibly quoted with embedded spaces;
+ *  - DELETE `(no-tuple-data)` ⇒ all payload columns null (CDCManager.py:94-95);
+ *  - quoted values: outer quotes stripped AND doubled quotes unescaped
+ *    (''→' — test_decoding escapes quotes by doubling; the reference strips
+ *    only the outer pair, a decode bug we do not replicate);
+ *  - literal `null` ⇒ SQL NULL (CDCManager.py:108-110);
+ *  - stringly values cast to the declared payload type (the reference's
+ *    per-scalar convert_value loop, Datatype.py:24-35, here one columnar cast);
+ *    PG array literals `{1,2,3}` are decoded for array-typed payload fields.
+ */
+object WalParser {
+
+  /** Line shape (re.match ⇒ anchored at start) — CDCManager.py:80. */
+  val LINE_RE = "^table\\s+([^.]+)\\.([^:]+):\\s+(INSERT|UPDATE|DELETE):\\s+(.+)"
+
+  /** Column token `name[type]:value` — CDCManager.py:100-102. The type group
+    * is non-greedy up to `]:` (vs the reference's `[^\]]+`) so array types like
+    * `integer[]` tokenize too — the reference only ever sees scalar types. */
+  val COL_RE = "([^\\s\\[]+)\\[(.+?)\\]:([^'\\s]*(?:'[^']*'[^'\\s]*)*)(?=\\s|$)"
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("xid", LongType, nullable = false),
+    StructField("data", StringType, nullable = false)))
+
+  /** Strip outer quotes + unescape doubled quotes, map literal null to NULL. */
+  private def cleanToken(raw: Column): Column = {
+    val isQuoted = raw.startsWith("'") && raw.endsWith("'") && length(raw) >= 2
+    val body = when(isQuoted,
+      regexp_replace(raw.substr(lit(2), length(raw) - 2), "''", "'"))
+      .otherwise(raw)
+    when(raw === "null" || raw.isNull, lit(null).cast(StringType)).otherwise(body)
+  }
+
+  /** Cast a cleaned string to the payload type; PG array literal for arrays. */
+  private def castToken(s: Column, dt: DataType): Column = dt match {
+    case ArrayType(et, _) =>
+      val inner = regexp_replace(s, "^\\{|\\}$", "")
+      when(s.isNull, lit(null).cast(dt))
+        .when(length(inner) === 0, array().cast(dt))
+        .otherwise(split(inner, ",").cast(ArrayType(StringType)).cast(dt))
+    case _ => s.cast(dt)
+  }
+
+  /**
+   * Parse raw slot lines into typed change events.
+   *
+   * @param raw      (lsn, xid, data) frame — batch or streaming
+   * @param payload  declared payload schema (name → Spark type)
+   * @param tsOfLsn  deterministic event timestamp from the LSN (test_decoding
+   *                 lines carry none; replay-stable by construction)
+   * @return events: (lsn, txn_id, ts, op, schema_ver, schema_name, table_name,
+   *         payload…) — committed DML only, `(no-tuple-data)` DELETEs carry
+   *         null payload
+   */
+  def parse(
+      raw: DataFrame,
+      payload: StructType,
+      schemaVer: Int = 1,
+      tsOfLsn: Column => Column = l => timestamp_seconds(lit(1700000000L) + l)): DataFrame = {
+    // committed transactions: xids that produced a COMMIT line
+    val commits = raw.filter(col("data").startsWith("COMMIT"))
+      .select(col("xid")).distinct()
+    val dml = raw
+      .filter(col("data").rlike("^table\\s"))
+      .join(commits, Seq("xid"), "left_semi")
+
+    val line = col("data")
+    val rest = regexp_extract(line, LINE_RE, 4)
+    val noTuple = trim(rest) === "(no-tuple-data)"
+    val emptyMap = map_from_arrays(array().cast(ArrayType(StringType)),
+      array().cast(ArrayType(StringType)))
+    val kv = when(noTuple, emptyMap).otherwise(
+      map_from_arrays(
+        regexp_extract_all(rest, lit(COL_RE), lit(1)),
+        regexp_extract_all(rest, lit(COL_RE), lit(3))))
+
+    val typedPayload = payload.fields.toSeq.map { f =>
+      castToken(cleanToken(element_at(kv, f.name)), f.dataType).as(f.name)
+    }
+
+    dml.select(Seq(
+      col("lsn"),
+      col("xid").as(graft.model.ChangeEvent.TXN_ID),
+      tsOfLsn(col("lsn")).as(graft.model.ChangeEvent.TS),
+      upper(regexp_extract(line, LINE_RE, 3)).as(graft.model.ChangeEvent.OP),
+      lit(schemaVer).as(graft.model.ChangeEvent.SCHEMA_VER),
+      regexp_extract(line, LINE_RE, 1).as("schema_name"),
+      regexp_extract(line, LINE_RE, 2).as("table_name")) ++ typedPayload: _*)
+  }
+
+  /** Parse + route to one configured table (drop others), yielding the exact
+    * ChangeEvent envelope+payload shape CdcRunner/MergeApply consume. */
+  def parseForTable(
+      raw: DataFrame,
+      payload: StructType,
+      schemaName: String,
+      tableName: String,
+      schemaVer: Int = 1): DataFrame =
+    parse(raw, payload, schemaVer)
+      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
+      .drop("schema_name", "table_name")
+}

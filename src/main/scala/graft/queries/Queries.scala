@@ -73,6 +73,48 @@ object Queries {
   private def tokensSql(eid: String, nTok: String): String =
     s"list_transform(generate_series(1, $nTok), x -> CAST(($eid*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
 
+  /**
+   * Synthesize a test_decoding-format WAL text feed from the derived events:
+   * BEGIN/COMMIT per txn (txns with xid%10==7 never commit), key-only DELETEs
+   * for even LSNs vs `(no-tuple-data)` for odd, quoted values with doubled
+   * quotes, literal `null` n_tok every 7th event. SQL-twinned by the
+   * q_source_walparse oracle.
+   */
+  private def walLines(s: SparkSession, dir: String): DataFrame = {
+    val feed = feedFromEvents(s, dir)
+    val eid = col(ChangeEvent.LSN)
+    val xid = col(ChangeEvent.TXN_ID)
+    val isDel = col(ChangeEvent.OP) === ChangeEvent.DELETE
+    val tokensLit = concat(lit("'{"),
+      array_join(col("tokens").cast("array<string>"), ","), lit("}'"))
+    val nTokLit = when(eid % 7 === 0, lit("null")).otherwise(col("n_tok").cast(StringType))
+    val srcLit = concat(lit("'"),
+      regexp_replace(concat(col("source"), lit("'s")), "'", "''"), lit("'"))
+    val updLit = concat(lit("'"),
+      date_format(timestamp_seconds(lit(1700000000L) + eid), "yyyy-MM-dd HH:mm:ss"), lit("'"))
+    val payloadStr = concat(
+      lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("' "),
+      lit("tokens[integer[]]:"), tokensLit, lit(" "),
+      lit("n_tok[integer]:"), nTokLit, lit(" "),
+      lit("source[character varying]:"), srcLit, lit(" "),
+      lit("updated_at[timestamp]:"), updLit)
+    val restExpr = when(!isDel, payloadStr)
+      .when(eid % 2 === 0,
+        concat(lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("'")))
+      .otherwise(lit("(no-tuple-data)"))
+    val dml = feed.select(
+      (eid * 10 + 5).as("lsn"), xid.as("xid"),
+      concat(lit("table corpus.documents: "), col(ChangeEvent.OP), lit(": "), restExpr)
+        .as("data"))
+    val xids = feed.select(xid.as("xid")).distinct()
+    val begins = xids.select((col("xid") * 50).as("lsn"), col("xid"),
+      concat(lit("BEGIN "), col("xid")).as("data"))
+    val commits = xids.filter(col("xid") % 10 =!= 7)
+      .select((col("xid") * 50 + 49).as("lsn"), col("xid"),
+        concat(lit("COMMIT "), col("xid")).as("data"))
+    dml.unionAll(begins).unionAll(commits)
+  }
+
   /** Run the full streaming pipeline over the derived feed into a temp lake. */
   private def runPipeline(
       spark: SparkSession, dir: String, mode: CdcMode,
@@ -381,6 +423,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.1 S2 (parse half): the reference's test_decoding wire format —
+    // BEGIN/COMMIT txn filtering, quoted-value unescape, null literal,
+    // (no-tuple-data) DELETEs, stringly→typed coercion incl. array literals
+    "q_source_walparse" -> ((s, dir) => {
+      val payload = StructType(Seq(
+        StructField("doc_id", StringType),
+        StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", IntegerType),
+        StructField("source", StringType),
+        StructField("updated_at", TimestampType)))
+      graft.feed.WalParser.parseForTable(walLines(s, dir), payload, "corpus", "documents")
+        .select(col("lsn"), col("txn_id"), col("op"), col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"), col("updated_at"))
+        .orderBy("lsn")
+    }),
+
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
     "q_source_fullload" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-q-fl").toString
@@ -509,6 +568,22 @@ object Queries {
 
     "q_source_fullload" ->
       """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+
+    // expected typed rows computed directly from events — the parse round-trip
+    // must land exactly here
+    "q_source_walparse" ->
+      s"""WITH ev AS ($feedSql),
+         |kept AS (SELECT * FROM ev WHERE (eid // 5) % 10 <> 7)
+         |SELECT eid*10+5 AS lsn, eid // 5 AS txn_id, op,
+         |  CASE WHEN op='DELETE' AND eid % 2 <> 0 THEN NULL ELSE doc_id END AS doc_id,
+         |  CASE WHEN op='DELETE' THEN NULL
+         |       ELSE array_to_string(${tokensSql("eid", "n_tok")}, ',') END AS tokens_csv,
+         |  CASE WHEN op='DELETE' OR eid % 7 = 0 THEN NULL ELSE n_tok END AS n_tok,
+         |  CASE WHEN op='DELETE' THEN NULL ELSE source || '''s' END AS source,
+         |  CASE WHEN op='DELETE' THEN NULL
+         |       ELSE TIMESTAMP '2023-11-14 22:13:20' + eid * INTERVAL 1 SECOND
+         |       END AS updated_at
+         |FROM kept ORDER BY lsn""".stripMargin,
 
     "q_cdc_pipeline_rules" ->
       s"""WITH ev AS ($feedSql),

@@ -170,6 +170,41 @@ object CdcRunner {
     q.awaitTermination()
   }
 
+  /**
+   * S2 wire-format variant: tail a RAW test_decoding line feed — parquet files
+   * of `(lsn, xid, data)` slot rows (pg_logical_slot_get_changes shape) — and
+   * parse each micro-batch with [[graft.feed.WalParser]] before the merge.
+   *
+   * Feed contract: whole transactions per file. PostgreSQL logical decoding
+   * only ever emits committed, complete transactions per slot read, and the
+   * file-source batches are file-aligned, so a BEGIN..COMMIT group is never
+   * split across micro-batches.
+   */
+  def startFromWal(
+      spark: SparkSession, cfg: RunnerConfig,
+      schemaName: String, tableName: String,
+      availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
+    import graft.feed.WalParser
+    val lake = ensureTable(spark, cfg)
+    val stream = spark.readStream
+      .schema(WalParser.rawSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.feedDir)
+    val writer = stream.writeStream
+      .queryName(s"graft-wal-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (raw: DataFrame, epoch: Long) =>
+        val events = WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+          // the reference drops DELETEs that carry no key at all
+          // ((no-tuple-data), CDCManager.py:305-307) — nothing to merge on
+          .filter(cfg.job.keyCols.map(col(_).isNotNull).reduce(_ && _) ||
+            col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
+        processBatch(spark, lake, cfg)(events, epoch)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit

@@ -1,0 +1,119 @@
+package graft.feed
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** test_decoding wire-format parser — reference: CDCManager.py:65-114
+  * (line regex :80, (no-tuple-data) :94-95, column tokenizer :100-102,
+  * null literal :108-110) + stringly coercion Datatype.py:24-35. */
+class WalParserSpec extends SparkSpec {
+
+  private val payload = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType),
+    StructField("updated_at", TimestampType)))
+
+  private def raw(rows: (Long, Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      WalParser.rawSchema)
+
+  test("committed DML parses typed; uncommitted txns and noise are dropped") {
+    val lines = raw(
+      (1L, 10L, "BEGIN 10"),
+      (2L, 10L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "tokens[integer[]]:'{1,2,3}' n_tok[integer]:3 source[character varying]:'it''s web' " +
+        "updated_at[timestamp]:'2025-01-02 03:04:05'"),
+      (3L, 10L, "COMMIT 10"),
+      (4L, 11L, "BEGIN 11"),
+      (5L, 11L, "table corpus.documents: UPDATE: doc_id[character varying]:'d-lost' " +
+        "n_tok[integer]:9"), // no COMMIT for xid 11 → dropped
+      (6L, 12L, "BEGIN 12"),
+      (7L, 12L, "table other.tbl: INSERT: x[integer]:1"), // other table
+      (8L, 12L, "table corpus.documents: UPDATE: doc_id[character varying]:'d-1' " +
+        "tokens[integer[]]:'{7}' n_tok[integer]:null source[character varying]:null " +
+        "updated_at[timestamp]:null"),
+      (9L, 12L, "table corpus.documents: DELETE: (no-tuple-data)"),
+      (10L, 12L, "garbage line that matches nothing"),
+      (11L, 12L, "COMMIT 12"))
+
+    val all = WalParser.parse(lines, payload).collect().sortBy(_.getAs[Long]("lsn"))
+    assert(all.map(_.getAs[String]("table_name")).toSet == Set("documents", "tbl"))
+
+    val ev = WalParser.parseForTable(lines, payload, "corpus", "documents")
+      .collect().sortBy(_.getAs[Long]("lsn"))
+    assert(ev.length == 3, s"committed corpus.documents DML only: ${ev.toSeq}")
+
+    val ins = ev(0)
+    assert(ins.getAs[String]("op") == "INSERT")
+    assert(ins.getAs[Long]("txn_id") == 10L)
+    assert(ins.getAs[String]("doc_id") == "d-1")
+    assert(ins.getAs[scala.collection.Seq[Int]]("tokens") == Seq(1, 2, 3))
+    assert(ins.getAs[Int]("n_tok") == 3)
+    assert(ins.getAs[String]("source") == "it's web", "doubled quotes unescaped")
+    assert(ins.getAs[java.sql.Timestamp]("updated_at").toString == "2025-01-02 03:04:05.0")
+
+    val upd = ev(1)
+    assert(upd.getAs[String]("op") == "UPDATE")
+    assert(upd.getAs[scala.collection.Seq[Int]]("tokens") == Seq(7))
+    assert(upd.isNullAt(upd.fieldIndex("n_tok")), "literal null → NULL")
+    assert(upd.isNullAt(upd.fieldIndex("source")))
+
+    val del = ev(2)
+    assert(del.getAs[String]("op") == "DELETE")
+    assert(del.isNullAt(del.fieldIndex("doc_id")), "(no-tuple-data) → null payload")
+    assert(del.isNullAt(del.fieldIndex("tokens")))
+  }
+
+  test("end-to-end: raw WAL line feed → streaming parse → upsert merge") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-wal-e2e")
+    val lines = raw(
+      (1L, 1L, "BEGIN 1"),
+      (2L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "tokens[integer[]]:'{1,2}' n_tok[integer]:2 source[character varying]:'web' " +
+        "updated_at[timestamp]:'2025-01-01 00:00:00'"),
+      (3L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-2' " +
+        "tokens[integer[]]:'{5}' n_tok[integer]:1 source[character varying]:'code' " +
+        "updated_at[timestamp]:'2025-01-01 00:00:01'"),
+      (4L, 1L, "COMMIT 1"),
+      (5L, 2L, "BEGIN 2"),
+      (6L, 2L, "table corpus.documents: UPDATE: doc_id[character varying]:'d-1' " +
+        "tokens[integer[]]:'{9,9,9}' n_tok[integer]:3 source[character varying]:'books' " +
+        "updated_at[timestamp]:'2025-01-01 00:00:02'"),
+      (7L, 2L, "table corpus.documents: DELETE: doc_id[character varying]:'d-2'"),
+      (8L, 2L, "table corpus.documents: DELETE: (no-tuple-data)"),
+      (9L, 2L, "COMMIT 2"))
+    lines.coalesce(1).write.parquet(s"$root/feed")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+      payloadSchema = payload)
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    val state = new graft.lake.LakeTable(cfg.tableDir).read(spark).collect()
+    assert(state.length == 1, s"d-2 deleted, no-tuple DELETE dropped: ${state.toSeq}")
+    val r = state.head
+    assert(r.getAs[String]("doc_id") == "d-1")
+    assert(r.getAs[scala.collection.Seq[Int]]("tokens") == Seq(9, 9, 9))
+    assert(r.getAs[String]("source") == "books")
+  }
+
+  test("key-only DELETE keeps the key; empty array literal decodes") {
+    val lines = raw(
+      (1L, 1L, "BEGIN 1"),
+      (2L, 1L, "table corpus.documents: DELETE: doc_id[character varying]:'d-9'"),
+      (3L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-0' " +
+        "tokens[integer[]]:'{}' n_tok[integer]:0"),
+      (4L, 1L, "COMMIT 1"))
+    val ev = WalParser.parseForTable(lines, payload, "corpus", "documents")
+      .collect().sortBy(_.getAs[Long]("lsn"))
+    assert(ev(0).getAs[String]("doc_id") == "d-9")
+    assert(ev(0).isNullAt(ev(0).fieldIndex("n_tok")))
+    assert(ev(1).getAs[scala.collection.Seq[Int]]("tokens").isEmpty)
+  }
+}
