@@ -48,22 +48,32 @@ object Bench {
     else java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
-  /** One timed pipeline run: seed + feed already on disk; fresh table/checkpoint. */
+  /** One timed pipeline run: seed + feed already on disk; fresh table/checkpoint.
+    * Returns (ingest seconds, compaction-fold seconds — 0 for CoW). For MoR the
+    * fold is timed too so the comparison includes deferred work, not just the
+    * cheap delta commits. */
   private def timedCdcRun(
-      spark: SparkSession, feedDir: String, nDocs: Long, maxTok: Int = 128): Double = {
+      spark: SparkSession, feedDir: String, nDocs: Long, maxTok: Int = 128,
+      merge: MergeStrategy = MergeStrategy.CopyOnWrite): (Double, Double) = {
     val root = benchTmp("graft-bench-run")
     val cfg = RunnerConfig(
       feedDir = feedDir, tableDir = s"$root/table", checkpointDir = s"$root/cp",
-      job = JobConfig(mode = CdcMode.Upsert, buckets = 64),
+      job = JobConfig(mode = CdcMode.Upsert, merge = merge, buckets = 64),
       maxFilesPerTrigger = 32)
     val lake = CdcRunner.ensureTable(spark, cfg)
     CdcRunner.fullLoad(spark, lake,
       ChangeFeed.seedSnapshot(spark, nDocs, maxTok = maxTok), cfg)
     val t0 = System.nanoTime()
     CdcRunner.runAvailableNow(spark, cfg)
-    val sec = (System.nanoTime() - t0) / 1e9
+    val ingest = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val fold =
+      if (merge == MergeStrategy.MergeOnRead) {
+        lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+        (System.nanoTime() - t1) / 1e9
+      } else 0.0
     rm(new java.io.File(root))
-    sec
+    (ingest, fold)
   }
 
   private def rm(f: java.io.File): Unit = {
@@ -120,22 +130,26 @@ object Bench {
     // JIT/codegen warm-up (untimed); then min-of-2 per level, alternating, in
     // one JVM so both levels see identical JIT/page-cache state
     spark = newSession(scaleHi)
-    val tWarm = timedCdcRun(spark, feedDir, nDocs)
-    val tHi1 = timedCdcRun(spark, feedDir, nDocs)
+    val tWarm = timedCdcRun(spark, feedDir, nDocs)._1
+    val tHi1 = timedCdcRun(spark, feedDir, nDocs)._1
+    // merge-on-read at full parallelism on the same feed: ingest + delta fold
+    val (tMor, tMorFold) = timedCdcRun(spark, feedDir, nDocs,
+      merge = MergeStrategy.MergeOnRead)
     spark.stop()
     spark = newSession(scaleLo)
-    val tLo1 = timedCdcRun(spark, feedDir, nDocs)
+    val tLo1 = timedCdcRun(spark, feedDir, nDocs)._1
     spark.stop()
     spark = newSession(scaleHi)
-    val tHi2 = timedCdcRun(spark, feedDir, nDocs)
+    val tHi2 = timedCdcRun(spark, feedDir, nDocs)._1
     spark.stop()
     spark = newSession(scaleLo)
-    val tLo2 = timedCdcRun(spark, feedDir, nDocs)
+    val tLo2 = timedCdcRun(spark, feedDir, nDocs)._1
     spark.stop()
     val tHi = math.min(tHi1, tHi2)
     val tLo = math.min(tLo1, tLo2)
     System.err.println(
-      f"[bench] cdc warm=$tWarm%.1fs hi($scaleHi)=$tHi1%.1f/$tHi2%.1fs lo($scaleLo)=$tLo1%.1f/$tLo2%.1fs")
+      f"[bench] cdc warm=$tWarm%.1fs hi($scaleHi)=$tHi1%.1f/$tHi2%.1fs lo($scaleLo)=$tLo1%.1f/$tLo2%.1fs" +
+        f" mor=$tMor%.1f+fold$tMorFold%.1fs")
     rm(new java.io.File(feedDir).getParentFile)
 
     val epsHi = nEvents / tHi
@@ -148,7 +162,9 @@ object Bench {
     val cdc = f"""{"events":$nEvents,"cores_hi":$scaleHi,"cores_lo":$scaleLo,""" +
       f""""sec_hi":$tHi%.2f,"sec_lo":$tLo%.2f,""" +
       f""""events_per_sec_hi":${epsHi.toLong},"events_per_sec_lo":${epsLo.toLong},""" +
-      f""""scaling_efficiency":$efficiency%.3f}"""
+      f""""scaling_efficiency":$efficiency%.3f,""" +
+      f""""mor_sec_ingest":$tMor%.2f,"mor_sec_fold":$tMorFold%.2f,""" +
+      f""""mor_events_per_sec_ingest":${(nEvents / tMor).toLong}}"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}"""
     println(json)

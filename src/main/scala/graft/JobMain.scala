@@ -111,6 +111,7 @@ object JobMain {
           feedDir, s"$lakeRoot/${table.id}", checkpointDir,
           job = JobConfig(
             mode = settings.cdcMode,
+            merge = settings.mergeStrategy,
             keyCols = keyCols,
             filters = table.filters,
             transforms = table.transforms,

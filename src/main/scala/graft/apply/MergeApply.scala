@@ -198,7 +198,35 @@ object MergeApply {
         return BatchResult(epoch, skipped = false, metrics)
       }
 
-      // ── manifest-pruned base read: only affected buckets are opened ──
+      val baseMetrics = Map(
+        "batches" -> 1L,
+        "events_quarantined" -> nQuarantined,
+        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
+        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
+        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
+
+      // ── merge-on-read: the reduced change set IS the commit — per-bucket
+      // delta files, no base read, no join, no bucket rewrite. O(batch) bytes
+      // written per epoch regardless of how many buckets the batch touches;
+      // read-time per-key max(_lsn) + compaction folding do the rest. ──
+      if (cfg.merge == MergeStrategy.MergeOnRead) {
+        val cOp = col(ChangeEvent.OP)
+        val deltaRows = reduced.select(
+          (payloadCols.map { c =>
+            if (keys.contains(c)) col(c)
+            else when(cOp === ChangeEvent.DELETE, lit(null)).otherwise(col(c)).as(c)
+          } :+
+            col(ChangeEvent.LSN).as("_lsn") :+
+            (cOp === ChangeEvent.DELETE).as("_deleted") :+
+            col("_bucket")): _*)
+        val files = timed("delta-write")(
+          writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA))
+        timed("commit")(
+          lake.commit(epoch, files, Set.empty, baseMetrics + ("delta_commits" -> 1L)))
+        return BatchResult(epoch, skipped = false, baseMetrics)
+      }
+
+      // ── copy-on-write: manifest-pruned base read — only affected buckets ──
       val base = lake.readBuckets(spark, affected)
 
       // ── full-outer merge on the key; AQE broadcasts the reduced side when small ──
@@ -229,14 +257,8 @@ object MergeApply {
         .withColumn("_bucket", lake.bucketExpr(keys, buckets))
 
       val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, m))
-      val metrics = Map(
-        "batches" -> 1L,
-        "events_quarantined" -> nQuarantined,
-        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
-        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
-        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
-      timed("commit")(lake.commit(epoch, files, affected, metrics))
-      BatchResult(epoch, skipped = false, metrics)
+      timed("commit")(lake.commit(epoch, files, affected, baseMetrics))
+      BatchResult(epoch, skipped = false, baseMetrics)
     } finally reduced.unpersist()
   }
 
@@ -339,7 +361,8 @@ object MergeApply {
       lake: LakeTable,
       merged: DataFrame,
       epoch: Long,
-      m: Manifest): Seq[DataFile] = {
+      m: Manifest,
+      kind: String = DataFile.BASE): Seq[DataFile] = {
     merged
       // extra lit distinguishes the salt hash from the bucket hash (4 | 64 would
       // otherwise make salt a pure function of bucket)
@@ -350,6 +373,6 @@ object MergeApply {
       .write.mode("overwrite")
       .partitionBy("_bucket")
       .parquet(lake.dataDir(epoch))
-    lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty, kind)
   }
 }

@@ -60,7 +60,17 @@ case class AddColumn(name: String, dataType: DataType, nullable: Boolean = true)
 case class RenameColumn(from: String, to: String) extends SchemaChange
 case class WidenColumn(name: String, to: DataType) extends SchemaChange
 
-final case class DataFile(path: String, bucket: Int, schemaId: Int, rows: Long)
+object DataFile {
+  val BASE = "base"
+  /** Merge-on-read delta: per-epoch per-key LWW rows layered over the base;
+    * resolved at read time by per-key max(_lsn), folded away by compaction. */
+  val DELTA = "delta"
+}
+final case class DataFile(
+    path: String, bucket: Int, schemaId: Int, rows: Long,
+    kind: String = DataFile.BASE) {
+  def isDelta: Boolean = kind == DataFile.DELTA
+}
 
 final case class Manifest(
     version: Int,
@@ -69,9 +79,12 @@ final case class Manifest(
     schemas: Seq[GraftSchema],
     files: Seq[DataFile],
     committedEpochs: Set[Long],
-    metrics: Map[String, Long]) {
+    metrics: Map[String, Long],
+    /** merge keys — required for read-time LWW resolution of delta files */
+    keyCols: Seq[String] = Nil) {
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
+  def hasDeltas: Boolean = files.exists(_.isDelta)
 }
 
 object ManifestJson {
@@ -90,9 +103,11 @@ object ManifestJson {
           "type" -> typeToJson(f.dataType), "nullable" -> JBool(f.nullable))))))),
       "files" -> JArray(m.files.toList.map(f => JObject(
         "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
-        "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows)))),
+        "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
+        "kind" -> JString(f.kind)))),
       "committed_epochs" -> JArray(m.committedEpochs.toList.sorted.map(JLong(_))),
-      "metrics" -> JObject(m.metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) })
+      "metrics" -> JObject(m.metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }),
+      "key_cols" -> JArray(m.keyCols.toList.map(JString(_)))
     )
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -114,13 +129,18 @@ object ManifestJson {
       },
       files = (j \ "files").asInstanceOf[JArray].arr.map { jf =>
         DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
-          (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long])
+          (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long],
+          (jf \ "kind").extractOrElse[String](DataFile.BASE))
       },
       committedEpochs = (j \ "committed_epochs").asInstanceOf[JArray].arr
         .map(_.extract[Long]).toSet,
       metrics = (j \ "metrics") match {
         case JObject(kvs) => kvs.map { case (k, v) => k -> v.extract[Long] }.toMap
         case _ => Map.empty
+      },
+      keyCols = (j \ "key_cols") match {
+        case JArray(ks) => ks.map(_.extract[String])
+        case _ => Nil
       })
   }
 }
@@ -164,10 +184,14 @@ class LakeTable(val dir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Create the table: empty snapshot v1 at schema id 1. */
-  def create(schema: StructType, buckets: Int): Manifest = {
+  /** Create the table: empty snapshot v1 at schema id 1. `keyCols` enables
+    * merge-on-read delta commits (read-time per-key LWW resolution). */
+  def create(schema: StructType, buckets: Int, keyCols: Seq[String] = Nil): Manifest = {
     require(!exists, s"lake table at $dir already exists")
-    val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil, Set.empty, Map.empty)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column '$k' not in table schema"))
+    val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil,
+      Set.empty, Map.empty, keyCols)
     writeManifest(m)
     m
   }
@@ -209,6 +233,7 @@ class LakeTable(val dir: String) {
 
   private def applySchemaChanges(m: Manifest, changes: Seq[SchemaChange]): Manifest = {
     var s = m.currentSchema
+    var keys = m.keyCols
     var nextId = m.schemas.map(_.maxId).max
     changes.foreach {
       case AddColumn(n, dt, nl) =>
@@ -219,13 +244,15 @@ class LakeTable(val dir: String) {
         require(s.byName(from).isDefined, s"rename: '$from' not found")
         require(s.byName(to).isEmpty, s"rename: '$to' already exists")
         s = s.copy(fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+        keys = keys.map(k => if (k == from) to else k)
       case WidenColumn(n, to) =>
         val f = s.byName(n).getOrElse(throw new IllegalArgumentException(s"widen: '$n' not found"))
         require(widens(f.dataType, to), s"widen: ${f.dataType} -> $to is not a widening")
         s = s.copy(fields = s.fields.map(x => if (x.name == n) x.copy(dataType = to) else x))
     }
     val newSchema = s.copy(schemaId = m.currentSchemaId + 1)
-    m.copy(currentSchemaId = newSchema.schemaId, schemas = m.schemas :+ newSchema)
+    m.copy(currentSchemaId = newSchema.schemaId, schemas = m.schemas :+ newSchema,
+      keyCols = keys)
   }
 
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
@@ -245,21 +272,45 @@ class LakeTable(val dir: String) {
       df.filter(!coalesce(col("_deleted"), lit(false)))
     else df
 
-  /** Read the whole table at the current snapshot/schema (tombstones hidden). */
-  def read(spark: SparkSession): DataFrame =
-    withoutTombstones(readFiles(spark, manifest, manifest.files))
+  /**
+   * Merge-on-read resolution: collapse base + delta rows to the per-key
+   * latest-LSN record. Only applied when the file set actually contains
+   * deltas — a pure-CoW snapshot reads with zero overhead. Map-side partial
+   * max_by bounds the shuffle (one row per key per map task).
+   */
+  private def resolveLww(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, s"lake table at $dir has delta files but no key_cols")
+    val others = df.columns.filterNot(keys.contains).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col("_lsn")).as("_r"))
+      .select(keys.map(col) ++ others.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
+    val df = readFiles(spark, m, files)
+    if (files.exists(_.isDelta)) resolveLww(df, m.keyCols) else df
+  }
+
+  /** Read the whole table at the current snapshot/schema (tombstones hidden,
+    * deltas resolved). */
+  def read(spark: SparkSession): DataFrame = {
+    val m = manifest
+    withoutTombstones(readResolved(spark, m, m.files))
+  }
 
   /** Time travel: read the table as of snapshot `version` (snapshot isolation —
     * manifests are immutable, data files are append-only until vacuumed). */
   def readVersion(spark: SparkSession, version: Int): DataFrame = {
     val m = ManifestJson.read(new String(Files.readAllBytes(manifestPath(version))))
-    withoutTombstones(readFiles(spark, m, m.files))
+    withoutTombstones(readResolved(spark, m, m.files))
   }
 
-  /** Read only the given buckets — file pruning via the manifest (no dir listing). */
+  /** Read only the given buckets — file pruning via the manifest (no dir
+    * listing); deltas in those buckets resolved. Tombstones kept (engine-facing
+    * read used by the merge). */
   def readBuckets(spark: SparkSession, buckets: Set[Int]): DataFrame = {
     val m = manifest
-    readFiles(spark, m, m.files.filter(f => buckets.contains(f.bucket)))
+    readResolved(spark, m, m.files.filter(f => buckets.contains(f.bucket)))
   }
 
   private def readFiles(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
@@ -307,14 +358,29 @@ class LakeTable(val dir: String) {
   private def maintenanceEpoch(m: Manifest): Long = -1000L - m.version
 
   /**
-   * Rewrite buckets whose file count exceeds `maxFilesPerBucket` into one file
-   * per bucket (small-file compaction). Read-equivalent: a normal CoW commit,
-   * snapshot-isolated from concurrent readers.
+   * Rewrite buckets whose file count exceeds `maxFilesPerBucket` — or that
+   * carry at least `maxDeltaFiles` merge-on-read delta files — into one base
+   * file set per bucket (small-file compaction + delta folding). Deltas are
+   * folded by the same per-key LWW resolution reads use, so the rewrite is
+   * read-equivalent: a normal CoW commit, snapshot-isolated from concurrent
+   * readers.
+   *
+   * `dropTombstonesBelow`: delete tombstones with `_lsn < watermark` are
+   * physically removed during the rewrite (ROADMAP tombstone GC). The caller
+   * asserts no event at or below the watermark can still arrive — a tombstone
+   * only exists to out-rank late older writes, so once the feed's low-water
+   * LSN passes it, it is dead weight in every future bucket rewrite.
    */
-  def compact(spark: SparkSession, maxFilesPerBucket: Int = 4): Manifest = {
+  def compact(
+      spark: SparkSession,
+      maxFilesPerBucket: Int = 4,
+      maxDeltaFiles: Int = 4,
+      dropTombstonesBelow: Option[Long] = None): Manifest = {
     val m = manifest
     val oversized = m.files.groupBy(_.bucket)
-      .filter { case (_, fs) => fs.size > maxFilesPerBucket }
+      .filter { case (_, fs) =>
+        fs.size > maxFilesPerBucket || fs.count(_.isDelta) >= maxDeltaFiles
+      }
       .keySet
     if (oversized.isEmpty) return m
     val epoch = maintenanceEpoch(m)
@@ -322,9 +388,14 @@ class LakeTable(val dir: String) {
     // tag with its literal id, union — maintenance path, not the hot path
     val byBucket = m.files.filter(f => oversized.contains(f.bucket)).groupBy(_.bucket)
     val df = byBucket.map { case (b, fs) =>
-      readFiles(spark, m, fs).withColumn("_bucket", lit(b))
+      readResolved(spark, m, fs).withColumn("_bucket", lit(b))
     }.reduce(_ unionAll _)
-    df.repartition(col("_bucket"))
+    val gced = dropTombstonesBelow match {
+      case Some(wm) if df.columns.contains("_deleted") =>
+        df.filter(!(coalesce(col("_deleted"), lit(false)) && col("_lsn") < wm))
+      case _ => df
+    }
+    gced.repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket")
       .parquet(dataDir(epoch))
     val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
@@ -381,7 +452,8 @@ class LakeTable(val dir: String) {
   /** List data files physically present under a just-written epoch dir, with bucket
     * parsed from the `_bucket=K` partition dirs. Retried epochs overwrite the same
     * dir, so file sets stay idempotent per (epoch, partition). */
-  def listEpochFiles(epoch: Long, schemaId: Int, rowsByBucket: Map[Int, Long]): Seq[DataFile] = {
+  def listEpochFiles(epoch: Long, schemaId: Int, rowsByBucket: Map[Int, Long],
+      kind: String = DataFile.BASE): Seq[DataFile] = {
     val root = Paths.get(dataDir(epoch))
     if (!Files.exists(root)) return Nil
     scala.util.Using.resource(Files.walk(root)) { walk =>
@@ -392,7 +464,7 @@ class LakeTable(val dir: String) {
             case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
             case _ => -1
           }
-          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L))
+          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L), kind)
         }.toSeq
     }
   }

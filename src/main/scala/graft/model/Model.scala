@@ -64,6 +64,28 @@ object CdcMode {
   }
 }
 
+/**
+ * How the LWW merge lands on the lake table.
+ *
+ * CopyOnWrite rewrites every affected bucket per batch — reads stay plain
+ * scans, but under zipf skew at 10^10-event scale nearly every bucket is
+ * touched every epoch and write amplification approaches a full-table rewrite
+ * per batch. MergeOnRead writes the reduced change set as per-bucket DELTA
+ * files (O(batch) bytes per commit, no base read, no join) and defers the
+ * per-key max-LSN resolution to read time + background compaction folding
+ * (LakeTable.compact). SCD2 is always CoW (history rewrite semantics).
+ */
+sealed trait MergeStrategy
+object MergeStrategy {
+  case object CopyOnWrite extends MergeStrategy
+  case object MergeOnRead extends MergeStrategy
+  def parse(s: String): MergeStrategy = s.toLowerCase match {
+    case "copy_on_write" | "cow" => CopyOnWrite
+    case "merge_on_read" | "mor" => MergeOnRead
+    case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")
+  }
+}
+
 /** Per-op-type stop-or-continue flags —
   * reference: trempy/Tasks/Task.py:43-99 (stop_if_*_error) and
   * CDCOperationsHandler.py:25-30,783-801. */
@@ -88,6 +110,7 @@ case class ScdCols(
 case class JobConfig(
     mode: CdcMode = CdcMode.Upsert,
     keyCols: Seq[String] = Seq(ChangeEvent.DOC_ID),
+    merge: MergeStrategy = MergeStrategy.CopyOnWrite,
     buckets: Int = 64,
     filters: Seq[graft.rules.FilterCfg] = Nil,
     transforms: Seq[graft.rules.TransformCfg] = Nil,

@@ -31,6 +31,8 @@ object TaskSettings {
       startMode: String,       // reload | continue
       intervalSeconds: Int,
       cdcMode: CdcMode,
+      /** engine extension: copy_on_write (default) | merge_on_read */
+      mergeStrategy: MergeStrategy,
       scdCols: ScdCols,
       errorPolicy: ErrorPolicy,
       tables: Seq[TableRules])
@@ -136,6 +138,8 @@ object TaskSettings {
       startMode = (task \ "start_mode").extractOrElse[String]("continue"),
       intervalSeconds = (task \ "interval_seconds").extractOrElse[Int](5),
       cdcMode = CdcMode.parse((cdc \ "mode").extractOrElse[String]("default")),
+      mergeStrategy = MergeStrategy.parse(
+        (cdc \ "merge_strategy").extractOrElse[String]("copy_on_write")),
       scdCols = ScdCols(
         (scd2 \ "start_date_column_name").extractOrElse[String]("scd_start_date"),
         (scd2 \ "end_date_column_name").extractOrElse[String]("scd_end_date"),

@@ -119,11 +119,13 @@ object Queries {
   private def runPipeline(
       spark: SparkSession, dir: String, mode: CdcMode,
       filters: Seq[FilterCfg] = Nil,
-      transforms: Seq[TransformCfg] = Nil): DataFrame = {
+      transforms: Seq[TransformCfg] = Nil,
+      merge: MergeStrategy = MergeStrategy.CopyOnWrite): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory(s"graft-q-${mode.toString.toLowerCase}").toString
     val cfg = RunnerConfig(
       feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
-      job = JobConfig(mode = mode, buckets = 16, filters = filters, transforms = transforms),
+      job = JobConfig(mode = mode, merge = merge, buckets = 16,
+        filters = filters, transforms = transforms),
       maxFilesPerTrigger = 2)
     ChangeFeed.writeFeed(feedFromEvents(spark, dir), cfg.feedDir, nFiles = 4)
     val lake = CdcRunner.ensureTable(spark, cfg)
@@ -300,6 +302,15 @@ object Queries {
     // (SURVEY §2.4: per-key reduction collapses literal replay to LWW)
     "q_cdc_pipeline_default" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Default)
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // merge-on-read strategy: delta commits + read-time LWW resolution must
+    // land on the exact same final state as the CoW upsert fold
+    "q_cdc_pipeline_mor" -> ((s, dir) => {
+      runPipeline(s, dir, CdcMode.Upsert, merge = MergeStrategy.MergeOnRead)
         .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
           col("n_tok"), col("source"))
         .orderBy("doc_id")
@@ -546,6 +557,16 @@ object Queries {
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_default" ->
+      s"""WITH ev AS ($feedSql),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+
+    "q_cdc_pipeline_mor" ->
       s"""WITH ev AS ($feedSql),
          |last AS (
          |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,

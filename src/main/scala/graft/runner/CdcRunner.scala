@@ -35,16 +35,21 @@ object CdcRunner {
   def eventSchema(cfg: RunnerConfig): StructType =
     ChangeEvent.schema(cfg.payloadSchema.fields.toSeq)
 
-  /** The lake table's payload schema = event payload AFTER the transform rules
-    * (created/renamed/retyped columns land in the table, like the reference's
-    * metadata updates in ColumnCreator.__update_metadata). */
-  def outputPayloadSchema(cfg: RunnerConfig): StructType = {
+  /** The lake table's payload schema AND merge keys AFTER the transform rules
+    * (created/renamed/retyped columns and add/remove_primary_key land in the
+    * table, like the reference's metadata updates in
+    * ColumnCreator.__update_metadata). */
+  def outputPayloadSchemaAndKeys(cfg: RunnerConfig): (StructType, Seq[String]) = {
     import graft.rules.{TableSpec, TransformCompiler}
     val compiled = TransformCompiler.compile(
       cfg.job.transforms, TableSpec("lake", "t", cfg.job.keyCols), eventSchema(cfg))
     val envelope = ChangeEvent.envelopeFields.map(_.name).toSet
-    StructType(compiled.outSchema.fields.filterNot(f => envelope.contains(f.name)))
+    (StructType(compiled.outSchema.fields.filterNot(f => envelope.contains(f.name))),
+      compiled.outSpec.keyCols)
   }
+
+  def outputPayloadSchema(cfg: RunnerConfig): StructType =
+    outputPayloadSchemaAndKeys(cfg)._1
 
   /** Create the lake table if absent; `reload` start mode drops and recreates
     * (reference: ReplicationStrategy.reload_task, ReplicationStrategy.py:248-270). */
@@ -56,7 +61,7 @@ object CdcRunner {
     }
     if (!lake.exists) {
       import org.apache.spark.sql.types._
-      val payload = outputPayloadSchema(cfg)
+      val (payload, outKeys) = outputPayloadSchemaAndKeys(cfg)
       val tableSchema = cfg.job.mode match {
         case CdcMode.Scd2 =>
           val scd = cfg.job.scdCols
@@ -73,7 +78,8 @@ object CdcRunner {
             StructField("_lsn", LongType),
             StructField("_deleted", BooleanType)))
       }
-      lake.create(tableSchema, cfg.job.buckets)
+      lake.create(tableSchema, cfg.job.buckets,
+        keyCols = if (cfg.job.mode == CdcMode.Scd2) Nil else outKeys)
     }
     lake
   }

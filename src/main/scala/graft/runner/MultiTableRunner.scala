@@ -73,6 +73,7 @@ object MultiTableRunner {
         throw new IllegalArgumentException(s"no payload declared for table ${rules.id}"))
       val job = JobConfig(
         mode = cfg.settings.cdcMode,
+        merge = cfg.settings.mergeStrategy,
         keyCols = payload.keyCols,
         buckets = cfg.buckets,
         filters = rules.filters,

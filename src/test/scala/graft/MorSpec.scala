@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.feed.ChangeFeed
+import graft.lake.{DataFile, LakeTable}
+import graft.model._
+import graft.runner.{CdcRunner, RunnerConfig}
+
+/**
+ * Merge-on-read strategy: per-epoch DELTA commits (O(batch) write, no bucket
+ * rewrite), read-time per-key max(_lsn) resolution, compaction folding, and
+ * tombstone GC. Final-state equivalence with the replay oracle and with the
+ * copy-on-write strategy is the contract.
+ */
+class MorSpec extends SparkSpec {
+
+  private def runPipeline(merge: MergeStrategy, root: String,
+      nDocs: Long = 100, nEvents: Long = 1500, zipf: Double = 1.2)
+      : (LakeTable, Map[String, LwwOracle.Doc]) = {
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = merge, buckets = 8),
+      maxFilesPerTrigger = 2)
+    val seedDf = ChangeFeed.seedSnapshot(spark, nDocs)
+    val eventsDf = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = nEvents, nDocs = nDocs * 2, zipf = zipf))
+    ChangeFeed.writeFeed(eventsDf, cfg.feedDir, 8)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, seedDf, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    (lake, LwwOracle.finalState(seedDf.collect().toSeq, eventsDf.collect().toSeq))
+  }
+
+  test("MoR final state == replay oracle == CoW final state; commits are delta-only") {
+    val morRoot = tmpDir("graft-mor")
+    val (mor, expected) = runPipeline(MergeStrategy.MergeOnRead, morRoot)
+    assert(LwwOracle.fromTable(mor.read(spark)) == expected)
+
+    val (cow, _) = runPipeline(MergeStrategy.CopyOnWrite, tmpDir("graft-mor-cow"))
+    assert(LwwOracle.fromTable(cow.read(spark)) == LwwOracle.fromTable(mor.read(spark)))
+
+    // every streaming epoch appended deltas and replaced nothing: the full-load
+    // base files are still live alongside the deltas
+    val m = mor.manifest
+    assert(m.hasDeltas, "delta files committed")
+    val baseFiles = m.files.filterNot(_.isDelta)
+    assert(baseFiles.nonEmpty && baseFiles.forall(_.path.contains("epoch=-1")),
+      "base files are exactly the full-load snapshot — no bucket was rewritten")
+    assert(m.metrics.getOrElse("delta_commits", 0L) > 1L)
+  }
+
+  test("compaction folds deltas into base; reads unchanged; tombstones GC'd") {
+    val root = tmpDir("graft-mor-compact")
+    val (lake, expected) = runPipeline(MergeStrategy.MergeOnRead, root)
+    val before = LwwOracle.fromTable(lake.read(spark))
+    assert(before == expected)
+
+    val compacted = lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1,
+      dropTombstonesBelow = Some(Long.MaxValue))
+    assert(!compacted.hasDeltas, "all deltas folded")
+    assert(LwwOracle.fromTable(lake.read(spark)) == expected, "fold is read-equivalent")
+    // tombstones physically gone: raw file rows == visible rows
+    val rawRows = spark.read.parquet(
+      compacted.files.map(_.path): _*).count()
+    assert(rawRows == expected.size, s"raw=$rawRows visible=${expected.size}")
+  }
+
+  test("MoR exactly-once: re-delivered epoch is a no-op; time travel resolves deltas") {
+    val root = tmpDir("graft-mor-once")
+    val (lake, expected) = runPipeline(MergeStrategy.MergeOnRead, root, nEvents = 400)
+    val vBefore = lake.currentVersion
+    val batch = spark.read.schema(ChangeEvent.schema()).parquet(s"$root/feed")
+    val res = graft.apply.MergeApply.applyBatch(spark, lake, batch, 0L,
+      JobConfig(merge = MergeStrategy.MergeOnRead))
+    assert(res.skipped && lake.currentVersion == vBefore)
+    // a historical snapshot (with deltas) still reads consistently
+    val histCount = lake.readVersion(spark, vBefore - 1).count()
+    assert(histCount > 0)
+    assert(LwwOracle.fromTable(lake.read(spark)) == expected)
+  }
+
+  test("MoR tombstone blocks out-of-order resurrection (same contract as CoW)") {
+    val root = tmpDir("graft-mor-tomb")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val schema = ChangeEvent.schema()
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def batch(epoch: Long, rows: Row*): Unit =
+      graft.apply.MergeApply.applyBatch(spark, lake,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+        epoch, cfg.job)
+    batch(0,
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1, 2), Int.box(2), "web"),
+      Row(10L, 2L, ts(10), "DELETE", 1, "k1", null, null, null))
+    assert(lake.read(spark).count() == 0)
+    batch(1, Row(5L, 3L, ts(5), "INSERT", 1, "k1", Seq(9), Int.box(1), "web"))
+    assert(lake.read(spark).count() == 0, "delta tombstone out-ranks the older insert")
+    batch(2, Row(20L, 4L, ts(20), "INSERT", 1, "k1", Seq(7, 8), Int.box(2), "books"))
+    val revived = lake.read(spark).collect()
+    assert(revived.length == 1 && revived(0).getAs[String]("source") == "books")
+  }
+}
