@@ -264,9 +264,17 @@ object MergeApply {
 
   /**
    * SCD2 mode: every change produces/closes a version row
-   * (reference: CDCOperationsHandler.py:216-277). Intra-batch chains are built with
-   * lead() over (key, lsn) — SURVEY §7.4.2 — instead of the reference's row-serial
-   * close-then-insert; DELETE closes the current version and creates none.
+   * (reference: CDCOperationsHandler.py:216-277).
+   *
+   * Out-of-order-safe by construction: every version row stores its event's
+   * `_lsn`, DELETEs persist as hidden marker rows (`_deleted`, filtered from
+   * public reads), and each batch REBUILDS the chain of every key in the
+   * affected buckets from the union of existing rows + new events — end_date =
+   * next version's start, current = last-by-LSN unless it is a delete marker.
+   * A late event therefore splices into its correct historical position
+   * instead of silently corrupting the chain (the reference's row-serial
+   * close-then-insert assumes ordered arrival). Cost is the same
+   * affected-bucket CoW rewrite the mode already paid; the window adds no I/O.
    */
   private def applyScd2(
       spark: SparkSession,
@@ -283,68 +291,61 @@ object MergeApply {
     val payloadCols = m.currentSchema.fields.map(_.name)
       .filterNot(c => c == scd.startDate || c == scd.endDate || c == scd.current)
       .filterNot(_.startsWith("_"))
-    val nonKeyPayload = payloadCols.filterNot(naturalKeys.contains)
 
     val alignSchema = GraftSchema(m.currentSchemaId,
       m.currentSchema.fields.filter(f => payloadCols.contains(f.name)))
-    val w = Window.partitionBy(naturalKeys.map(col): _*).orderBy(col(ChangeEvent.LSN))
-    val withNext = alignToSchema(events, alignSchema)
-      .withColumn("_next_ts", lead(col(ChangeEvent.TS), 1).over(w))
+    val withBucket = alignToSchema(events, alignSchema)
       .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      val stats = withNext.groupBy("_bucket", ChangeEvent.OP).count().collect()
+      val stats = withBucket.groupBy("_bucket", ChangeEvent.OP).count().collect()
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
       val nQuarantined = onStats()
 
-      if (affected.isEmpty) {
-        val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined)
-        lake.commit(epoch, Nil, Set.empty, metrics)
-        return BatchResult(epoch, skipped = false, metrics)
-      }
-
-      // new version rows: one per INSERT/UPDATE; end = next change's ts (any op)
-      val newVersions = withNext
-        .filter(col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
-        .select(
-          (payloadCols.map(col) :+
-            col(ChangeEvent.TS).as(scd.startDate) :+
-            col("_next_ts").cast(TimestampType).as(scd.endDate) :+
-            when(col("_next_ts").isNull, lit(1)).otherwise(lit(0)).as(scd.current)): _*)
-
-      // first change ts per key closes the pre-existing current version
-      val firstChange = withNext
-        .groupBy(naturalKeys.map(col): _*)
-        .agg(min(col(ChangeEvent.TS)).as("_close_ts"))
-
-      val base = lake.readBuckets(spark, affected)
-      val closed = base
-        .join(firstChange, naturalKeys, "left")
-        .select((payloadCols.map(col) :+
-          col(scd.startDate) :+
-          when(col("_close_ts").isNotNull && col(scd.current) === 1, col("_close_ts"))
-            .otherwise(col(scd.endDate)).as(scd.endDate) :+
-          when(col("_close_ts").isNotNull && col(scd.current) === 1, lit(0))
-            .otherwise(col(scd.current)).as(scd.current)): _*)
-
-      val allCols = payloadCols :+ scd.startDate :+ scd.endDate :+ scd.current
-      val merged = closed.select(allCols.map(col): _*)
-        .unionAll(newVersions.select(allCols.map(col): _*))
-        .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
-
-      val files = writeEpoch(spark, lake, merged, epoch, m)
       val metrics = Map(
         "batches" -> 1L,
         "events_quarantined" -> nQuarantined,
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
+
+      if (affected.isEmpty) {
+        lake.commit(epoch, Nil, Set.empty,
+          Map("batches" -> 1L, "events_quarantined" -> nQuarantined))
+        return BatchResult(epoch, skipped = false, metrics)
+      }
+
+      // incoming events as version rows; DELETEs become hidden marker rows
+      val evRows = withBucket.select(
+        (payloadCols.map(col) :+
+          col(ChangeEvent.TS).cast(TimestampType).as(scd.startDate) :+
+          lit(null).cast(TimestampType).as(scd.endDate) :+
+          lit(0).as(scd.current) :+
+          col(ChangeEvent.LSN).as("_lsn") :+
+          (col(ChangeEvent.OP) === ChangeEvent.DELETE).as("_deleted") :+
+          col("_bucket")): _*)
+
+      val base = lake.readBuckets(spark, affected)
+        .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
+
+      // rebuild every affected key's chain from ALL its versions, LSN-ordered;
+      // dropDuplicates tolerates upstream at-least-once re-delivery
+      val all = base.unionByName(evRows)
+        .dropDuplicates(naturalKeys :+ "_lsn")
+      val w = Window.partitionBy(naturalKeys.map(col): _*).orderBy(col("_lsn"))
+      val nextStart = lead(col(scd.startDate), 1).over(w)
+      val rebuilt = all
+        .withColumn(scd.endDate, nextStart)
+        .withColumn(scd.current,
+          when(nextStart.isNull && !col("_deleted"), lit(1)).otherwise(lit(0)))
+
+      val files = writeEpoch(spark, lake, rebuilt, epoch, m)
       lake.commit(epoch, files, affected, metrics)
       BatchResult(epoch, skipped = false, metrics)
-    } finally withNext.unpersist()
+    } finally withBucket.unpersist()
   }
 
   /** Bucket-partitioned epoch write. The epoch dir is overwritten wholesale on a

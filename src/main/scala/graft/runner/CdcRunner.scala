@@ -64,11 +64,15 @@ object CdcRunner {
       val (payload, outKeys) = outputPayloadSchemaAndKeys(cfg)
       val tableSchema = cfg.job.mode match {
         case CdcMode.Scd2 =>
+          // per-version _lsn + hidden DELETE markers make the history rebuild
+          // out-of-order-safe (late events splice; see MergeApply.applyScd2)
           val scd = cfg.job.scdCols
           StructType(payload.fields ++ Seq(
             StructField(scd.startDate, TimestampType),
             StructField(scd.endDate, TimestampType),
-            StructField(scd.current, IntegerType)))
+            StructField(scd.current, IntegerType),
+            StructField("_lsn", LongType),
+            StructField("_deleted", BooleanType)))
         case _ =>
           // stored per-row LSN + delete tombstones make the upsert merge fully
           // order-tolerant: a change applies only if its LSN is newer, and a
@@ -98,6 +102,8 @@ object CdcRunner {
           .withColumn(scd.startDate, MergeApply.batchTimestamp(epoch).cast("timestamp"))
           .withColumn(scd.endDate, lit(null).cast("timestamp"))
           .withColumn(scd.current, lit(1))
+          .withColumn("_lsn", lit(0L))
+          .withColumn("_deleted", lit(false))
       case _ => snapshot.withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
     }).withColumn("_bucket", lake.bucketExpr(keys, m.buckets))
     withBucket.repartition(col("_bucket"))

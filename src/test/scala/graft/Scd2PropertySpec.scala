@@ -51,6 +51,31 @@ class Scd2PropertySpec extends SparkSpec {
     hist.toMap.filter(_._2.nonEmpty)
   }
 
+  private def runTrial(rows: Seq[Row], batches: Seq[Seq[Row]], label: String): Unit = {
+    val root = tmpDir("graft-scd2prop")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Scd2, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    batches.zipWithIndex.foreach { case (chunk, epoch) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 2), ChangeEvent.schema())
+      MergeApply.applyBatch(spark, lake, df, epoch.toLong, cfg.job)
+    }
+    // oracle folds in LSN order regardless of arrival order
+    val expected = oracle(rows.sortBy(_.getLong(0)))
+    val actual = lake.read(spark).collect()
+      .groupBy(_.getAs[String]("doc_id"))
+      .view.mapValues(_.map { r =>
+        val start = r.getAs[java.sql.Timestamp]("scd_start_date").getTime / 1000 - 1700000000L
+        val end = Option(r.getAs[java.sql.Timestamp]("scd_end_date"))
+          .map(_.getTime / 1000 - 1700000000L)
+        Version(start, end, r.getAs[Int]("scd_current") == 1,
+          r.getAs[scala.collection.Seq[Int]]("tokens").head)
+      }.sortBy(_.start).toList).toMap
+    assert(actual == expected, s"$label\n actual=$actual\n expected=$expected")
+  }
+
   test("scd2 batched apply == sequential history fold, any stream, any batch split") {
     val caseGen = for {
       evs <- Gen.listOfN(60, eventGen)
@@ -58,30 +83,21 @@ class Scd2PropertySpec extends SparkSpec {
     } yield (evs, nBatches)
     (0 until 6).foreach { trial =>
       val (evs, nBatches) = caseGen(Gen.Parameters.default, Seed(7L + trial)).get
-      val root = tmpDir("graft-scd2prop")
-      val cfg = RunnerConfig(
-        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
-        job = JobConfig(mode = CdcMode.Scd2, buckets = 4))
-      val lake = CdcRunner.ensureTable(spark, cfg)
       val rows = evs.zipWithIndex.map { case ((k, op, v), i) => mkRow(i + 1L, k, op, v) }
       val per = math.max(1, rows.size / nBatches)
-      rows.grouped(per).zipWithIndex.foreach { case (chunk, epoch) =>
-        val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(chunk, 2), ChangeEvent.schema())
-        MergeApply.applyBatch(spark, lake, df, epoch.toLong, cfg.job)
-      }
-      val expected = oracle(rows)
-      val actual = lake.read(spark).collect()
-        .groupBy(_.getAs[String]("doc_id"))
-        .view.mapValues(_.map { r =>
-          val start = r.getAs[java.sql.Timestamp]("scd_start_date").getTime / 1000 - 1700000000L
-          val end = Option(r.getAs[java.sql.Timestamp]("scd_end_date"))
-            .map(_.getTime / 1000 - 1700000000L)
-          Version(start, end, r.getAs[Int]("scd_current") == 1,
-            r.getAs[scala.collection.Seq[Int]]("tokens").head)
-        }.sortBy(_.start).toList).toMap
-      assert(actual == expected,
-        s"trial=$trial nBatches=$nBatches\n actual=$actual\n expected=$expected")
+      runTrial(rows, rows.grouped(per).toSeq, s"trial=$trial nBatches=$nBatches")
+    }
+  }
+
+  test("scd2 OUT-OF-ORDER arrival: shuffled batches splice into the same history") {
+    val caseGen = Gen.listOfN(50, eventGen)
+    (0 until 4).foreach { trial =>
+      val evs = caseGen(Gen.Parameters.default, Seed(101L + trial)).get
+      val rows = evs.zipWithIndex.map { case ((k, op, v), i) => mkRow(i + 1L, k, op, v) }
+      // adversarial arrival: shuffle the whole stream, then batch — late events
+      // (lower LSN in a later epoch) must splice, not corrupt
+      val shuffled = new scala.util.Random(trial).shuffle(rows)
+      runTrial(rows, shuffled.grouped(17).toSeq, s"ooo-trial=$trial")
     }
   }
 }
