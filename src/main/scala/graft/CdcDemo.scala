@@ -49,7 +49,7 @@ object CdcDemo {
     println(s"[demo] final table rows=${state.count()}")
     state.orderBy("doc_id").show(10, truncate = 60)
     val m = lake.manifest
-    println(s"[demo] snapshot v${m.version}, epochs=${m.committedEpochs.toList.sorted}")
+    println(s"[demo] snapshot v${m.version}, epochs=watermark ${m.epochWatermark} + ${m.recentEpochs.toList.sorted}")
     println(s"[demo] metrics=${m.metrics.toList.sortBy(_._1)}")
     spark.stop()
   }

@@ -132,7 +132,7 @@ object JobMain {
         }
         val m = lake.manifest
         println(s"[job] done: snapshot v${m.version} " +
-          s"epochs=${m.committedEpochs.size} metrics=${m.metrics.toList.sortBy(_._1)}")
+          s"epochs=${m.committedEpochCount} metrics=${m.metrics.toList.sortBy(_._1)}")
     }
     spark.stop()
   }

@@ -68,29 +68,91 @@ object DataFile {
 }
 final case class DataFile(
     path: String, bucket: Int, schemaId: Int, rows: Long,
-    kind: String = DataFile.BASE) {
+    kind: String = DataFile.BASE,
+    /** parquet-footer min/max of the (string-typed) leading merge key —
+      * intra-bucket file pruning for point lookups */
+    minKey: Option[String] = None,
+    maxKey: Option[String] = None) {
   def isDelta: Boolean = kind == DataFile.DELTA
+  def mayContainKey(k: String): Boolean = (minKey, maxKey) match {
+    case (Some(lo), Some(hi)) => lo <= k && k <= hi
+    case _ => true
+  }
 }
+
+/**
+ * One commit's file delta — the manifest-list indirection: a snapshot JSON
+ * references an ordered list of immutable fragments instead of carrying every
+ * live data file. Commit cost is O(files in this epoch), independent of total
+ * table file count; readers fold fragments (incrementally cached), and
+ * compaction rewrites the fragment list down to one.
+ */
+final case class ManifestFragment(
+    seq: Int,
+    added: Seq[DataFile],
+    replacedBuckets: Set[Int])
 
 final case class Manifest(
     version: Int,
     buckets: Int,
     currentSchemaId: Int,
     schemas: Seq[GraftSchema],
+    /** resolved live files at this snapshot (fold of the fragment list) */
     files: Seq[DataFile],
-    committedEpochs: Set[Long],
+    /** all streaming epochs in [-1, epochWatermark] are committed… */
+    epochWatermark: Long,
+    /** …plus these sparse committed epochs above the watermark (bounded: the
+      * watermark absorbs contiguous runs, so this only holds gap stragglers) */
+    recentEpochs: Set[Long],
     metrics: Map[String, Long],
     /** merge keys — required for read-time LWW resolution of delta files */
-    keyCols: Seq[String] = Nil) {
+    keyCols: Seq[String] = Nil,
+    /** fragment file names in fold order */
+    fragments: Seq[String] = Nil) {
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
+  def isCommittedEpoch(e: Long): Boolean =
+    (e >= -1 && e <= epochWatermark) || recentEpochs.contains(e)
+  def committedEpochCount: Long =
+    math.max(0L, epochWatermark + 2) + recentEpochs.count(_ > epochWatermark)
 }
 
 object ManifestJson {
+  private implicit val fmt: Formats = DefaultFormats
   private def typeToJson(dt: DataType): JValue = JString(dt.json)
   private def typeFromJson(j: JValue): DataType = DataType.fromJson(j.asInstanceOf[JString].s)
 
+  private def fileToJson(f: DataFile): JObject = JObject(List(
+    "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
+    "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
+    "kind" -> JString(f.kind)) ++
+    f.minKey.map(v => "min_key" -> (JString(v): JValue)).toList ++
+    f.maxKey.map(v => "max_key" -> (JString(v): JValue)).toList)
+
+  private def fileFromJson(jf: JValue): DataFile =
+    DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
+      (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long],
+      (jf \ "kind").extractOrElse[String](DataFile.BASE),
+      (jf \ "min_key").extractOpt[String],
+      (jf \ "max_key").extractOpt[String])
+
+  def writeFragment(fr: ManifestFragment): String =
+    JsonMethods.pretty(JsonMethods.render(JObject(
+      "seq" -> JInt(fr.seq),
+      "added" -> JArray(fr.added.toList.map(fileToJson)),
+      "replaced_buckets" -> JArray(fr.replacedBuckets.toList.sorted.map(JInt(_))))))
+
+  def readFragment(s: String): ManifestFragment = {
+    val j = JsonMethods.parse(s)
+    ManifestFragment(
+      (j \ "seq").extract[Int],
+      (j \ "added").asInstanceOf[JArray].arr.map(fileFromJson),
+      (j \ "replaced_buckets").asInstanceOf[JArray].arr.map(_.extract[Int]).toSet)
+  }
+
+  /** Snapshot JSON: metadata + fragment list — NO file list (commit cost stays
+    * independent of total table file count). */
   def write(m: Manifest): String = {
     val j = JObject(
       "version" -> JInt(m.version),
@@ -101,19 +163,18 @@ object ManifestJson {
         "fields" -> JArray(s.fields.toList.map(f => JObject(
           "id" -> JInt(f.id), "name" -> JString(f.name),
           "type" -> typeToJson(f.dataType), "nullable" -> JBool(f.nullable))))))),
-      "files" -> JArray(m.files.toList.map(f => JObject(
-        "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
-        "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
-        "kind" -> JString(f.kind)))),
-      "committed_epochs" -> JArray(m.committedEpochs.toList.sorted.map(JLong(_))),
+      "epoch_watermark" -> JLong(m.epochWatermark),
+      "recent_epochs" -> JArray(m.recentEpochs.toList.sorted.map(JLong(_))),
       "metrics" -> JObject(m.metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }),
-      "key_cols" -> JArray(m.keyCols.toList.map(JString(_)))
+      "key_cols" -> JArray(m.keyCols.toList.map(JString(_))),
+      "fragments" -> JArray(m.fragments.toList.map(JString(_)))
     )
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
+  /** Read the snapshot metadata; `files` is left empty — the caller folds the
+    * fragment list (LakeTable.resolve). */
   def read(s: String): Manifest = {
-    implicit val fmt: Formats = DefaultFormats
     val j = JsonMethods.parse(s)
     Manifest(
       version = (j \ "version").extract[Int],
@@ -127,19 +188,22 @@ object ManifestJson {
               typeFromJson(jf \ "type"), (jf \ "nullable").extract[Boolean])
           })
       },
-      files = (j \ "files").asInstanceOf[JArray].arr.map { jf =>
-        DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
-          (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long],
-          (jf \ "kind").extractOrElse[String](DataFile.BASE))
+      files = Nil,
+      epochWatermark = (j \ "epoch_watermark").extractOrElse[Long](-2L),
+      recentEpochs = (j \ "recent_epochs") match {
+        case JArray(es) => es.map(_.extract[Long]).toSet
+        case _ => Set.empty
       },
-      committedEpochs = (j \ "committed_epochs").asInstanceOf[JArray].arr
-        .map(_.extract[Long]).toSet,
       metrics = (j \ "metrics") match {
         case JObject(kvs) => kvs.map { case (k, v) => k -> v.extract[Long] }.toMap
         case _ => Map.empty
       },
       keyCols = (j \ "key_cols") match {
         case JArray(ks) => ks.map(_.extract[String])
+        case _ => Nil
+      },
+      fragments = (j \ "fragments") match {
+        case JArray(fs) => fs.map(_.extract[String])
         case _ => Nil
       })
   }
@@ -159,29 +223,66 @@ class LakeTable(val dir: String) {
     else new String(Files.readAllBytes(currentPtr)).trim.toInt
   }
 
+  /** Incremental fragment-fold cache: (snapshot version, fragment names, files).
+    * Steady-state resolution after a commit re-reads ZERO old fragments — the
+    * new fragment list extends the cached prefix. */
+  @volatile private var foldCache: Option[(Int, Seq[String], Seq[DataFile])] = None
+
+  private def readFragmentFile(name: String): ManifestFragment =
+    ManifestJson.readFragment(
+      new String(Files.readAllBytes(manifestsDir.resolve(name))))
+
+  private def foldFragments(fragNames: Seq[String]): Seq[DataFile] = {
+    val (startFiles, startIdx) = foldCache match {
+      case Some((_, cached, files)) if fragNames.startsWith(cached) =>
+        (files, cached.length)
+      case _ => (Seq.empty[DataFile], 0)
+    }
+    fragNames.drop(startIdx).foldLeft(startFiles) { (fs, name) =>
+      val fr = readFragmentFile(name)
+      fs.filterNot(f => fr.replacedBuckets.contains(f.bucket)) ++ fr.added
+    }
+  }
+
+  private def resolve(v: Int): Manifest = {
+    val meta = ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+    val files = foldFragments(meta.fragments)
+    foldCache = Some((v, meta.fragments, files))
+    meta.copy(files = files)
+  }
+
   def manifest: Manifest = {
     val v = currentVersion
     require(v > 0, s"lake table at $dir has no committed snapshot")
-    ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+    resolve(v)
   }
 
   def exists: Boolean = currentVersion > 0
-  def isCommitted(epoch: Long): Boolean = exists && manifest.committedEpochs.contains(epoch)
+  def isCommitted(epoch: Long): Boolean = exists && manifest.isCommittedEpoch(epoch)
 
   /** Hidden-partitioning bucket expression over the merge keys. */
   def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).cast(IntegerType)
 
   // ── atomic commit: tmp + ATOMIC_MOVE; version rename is the serialization point ──
-  private def writeManifest(m: Manifest): Unit = {
+  private def writeManifest(m: Manifest, fragment: Option[ManifestFragment]): Unit = {
     Files.createDirectories(manifestsDir)
+    fragment.foreach { fr =>
+      val name = f"mf-${fr.seq}%06d.json"
+      val ftmp = manifestsDir.resolve(s".$name.tmp-${System.nanoTime()}")
+      Files.write(ftmp, ManifestJson.writeFragment(fr).getBytes)
+      Files.move(ftmp, manifestsDir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     val tmp = manifestsDir.resolve(s".v${m.version}.json.tmp-${System.nanoTime()}")
     Files.write(tmp, ManifestJson.write(m).getBytes)
-    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     val ptmp = manifestsDir.resolve(s"._current.tmp-${System.nanoTime()}")
     Files.write(ptmp, m.version.toString.getBytes)
     Files.move(ptmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    foldCache = Some((m.version, m.fragments, m.files))
   }
 
   /** Create the table: empty snapshot v1 at schema id 1. `keyCols` enables
@@ -191,34 +292,58 @@ class LakeTable(val dir: String) {
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"key column '$k' not in table schema"))
     val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil,
-      Set.empty, Map.empty, keyCols)
-    writeManifest(m)
+      epochWatermark = -2L, recentEpochs = Set.empty, metrics = Map.empty,
+      keyCols = keyCols)
+    writeManifest(m, None)
     m
   }
 
+  /** Advance the epoch watermark: contiguous committed epochs collapse into it,
+    * keeping the sparse `recentEpochs` set bounded. Maintenance commits
+    * (epoch < -1) are not replayed through the stream, need no dedup, and are
+    * not recorded. */
+  private def advanceEpochs(m: Manifest, epoch: Long): Manifest = {
+    if (epoch < -1) return m
+    var wm = m.epochWatermark
+    var recent = m.recentEpochs + epoch
+    while (recent.contains(wm + 1)) { wm += 1; recent -= wm }
+    m.copy(epochWatermark = wm, recentEpochs = recent)
+  }
+
   /**
-   * Commit a copy-on-write snapshot: files of `replacedBuckets` are superseded by
-   * `newFiles`; all other buckets' files carry forward. Idempotent on `epoch`.
+   * Commit a snapshot: files of `replacedBuckets` are superseded by `newFiles`;
+   * all other buckets' files carry forward. Idempotent on `epoch`. Writes ONE
+   * fragment of O(newFiles) plus a small snapshot JSON — commit cost does not
+   * scale with total table file count. `consolidate` folds the whole fragment
+   * list into a single fragment (used by compaction).
    */
   def commit(
       epoch: Long,
       newFiles: Seq[DataFile],
       replacedBuckets: Set[Int],
       metricsDelta: Map[String, Long] = Map.empty,
-      changes: Seq[SchemaChange] = Nil): Manifest = this.synchronized {
+      changes: Seq[SchemaChange] = Nil,
+      consolidate: Boolean = false): Manifest = this.synchronized {
     val old = manifest
-    if (old.committedEpochs.contains(epoch)) return old
+    if (old.isCommittedEpoch(epoch)) return old
     val evolved = if (changes.isEmpty) old else applySchemaChanges(old, changes)
     val carried = evolved.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val mergedMetrics = (evolved.metrics.keySet ++ metricsDelta.keySet).map { k =>
       k -> (evolved.metrics.getOrElse(k, 0L) + metricsDelta.getOrElse(k, 0L))
     }.toMap
-    val m = evolved.copy(
-      version = evolved.version + 1,
-      files = carried ++ newFiles,
-      committedEpochs = evolved.committedEpochs + epoch,
+    val newVersion = evolved.version + 1
+    val liveFiles = carried ++ newFiles
+    val fragment =
+      if (consolidate)
+        ManifestFragment(newVersion, liveFiles, (0 until evolved.buckets).toSet)
+      else ManifestFragment(newVersion, newFiles, replacedBuckets)
+    val fragName = f"mf-${fragment.seq}%06d.json"
+    val m = advanceEpochs(evolved, epoch).copy(
+      version = newVersion,
+      files = liveFiles,
+      fragments = if (consolidate) Seq(fragName) else evolved.fragments :+ fragName,
       metrics = mergedMetrics)
-    writeManifest(m)
+    writeManifest(m, Some(fragment))
     writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
     m
   }
@@ -227,7 +352,18 @@ class LakeTable(val dir: String) {
   def evolve(changes: Seq[SchemaChange]): Manifest = this.synchronized {
     val old = manifest
     val m = applySchemaChanges(old, changes).copy(version = old.version + 1)
-    writeManifest(m)
+    writeManifest(m, None)
+    m
+  }
+
+  /** Fold the fragment list into one fragment without touching data files —
+    * bounds reader-side fold cost between compactions. */
+  def rewriteManifests(): Manifest = this.synchronized {
+    val old = manifest
+    val newVersion = old.version + 1
+    val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
+    val m = old.copy(version = newVersion, fragments = Seq(f"mf-$newVersion%06d.json"))
+    writeManifest(m, Some(fragment))
     m
   }
 
@@ -299,9 +435,10 @@ class LakeTable(val dir: String) {
   }
 
   /** Time travel: read the table as of snapshot `version` (snapshot isolation —
-    * manifests are immutable, data files are append-only until vacuumed). */
+    * manifests and fragments are immutable, data files append-only until
+    * vacuumed). */
   def readVersion(spark: SparkSession, version: Int): DataFrame = {
-    val m = ManifestJson.read(new String(Files.readAllBytes(manifestPath(version))))
+    val m = resolve(version)
     withoutTombstones(readResolved(spark, m, m.files))
   }
 
@@ -399,7 +536,8 @@ class LakeTable(val dir: String) {
       .write.mode("overwrite").partitionBy("_bucket")
       .parquet(dataDir(epoch))
     val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
-    commit(epoch, files, oversized, Map("compactions" -> 1L))
+    // compaction also folds the fragment list down to one (manifest rewrite)
+    commit(epoch, files, oversized, Map("compactions" -> 1L), consolidate = true)
   }
 
   /**
@@ -418,8 +556,7 @@ class LakeTable(val dir: String) {
     val cur = currentVersion
     val keepFrom = math.max(1, cur - keepVersions + 1)
     def filesOf(v: Int): Seq[String] =
-      ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
-        .files.map(f => Paths.get(f.path).toAbsolutePath.toString)
+      resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
     val live: Set[String] = (keepFrom to cur).flatMap(filesOf).toSet
     val dataRoot = Paths.get(dir, "data").toAbsolutePath
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
@@ -446,6 +583,18 @@ class LakeTable(val dir: String) {
       val mp = manifestPath(v)
       if (Files.deleteIfExists(mp)) deleted += mp.toString
     }
+    // fragments referenced by no kept snapshot (e.g. superseded by a
+    // consolidation rewrite) are dead too
+    val keptFragments: Set[String] = (keepFrom to cur).flatMap { v =>
+      ManifestJson.read(new String(Files.readAllBytes(manifestPath(v)))).fragments
+    }.toSet
+    scala.util.Using.resource(Files.list(manifestsDir)) { ls =>
+      ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("mf-") &&
+          p.getFileName.toString.endsWith(".json") &&
+          !keptFragments.contains(p.getFileName.toString))
+        .toSeq
+    }.foreach { p => if (Files.deleteIfExists(p)) deleted += p.toString }
     deleted.toSeq
   }
 
@@ -456,6 +605,16 @@ class LakeTable(val dir: String) {
       kind: String = DataFile.BASE): Seq[DataFile] = {
     val root = Paths.get(dataDir(epoch))
     if (!Files.exists(root)) return Nil
+    // per-file stats come from the parquet FOOTER (driver-side metadata read,
+    // no data scan): exact row count + leading-merge-key min/max when the key
+    // is string-typed — consumed by lookupFiles' intra-bucket pruning
+    val statsKey: Option[String] =
+      if (!exists) None
+      else {
+        val m = manifest
+        m.keyCols.headOption.filter(k =>
+          m.currentSchema.byName(k).exists(_.dataType == StringType))
+      }
     scala.util.Using.resource(Files.walk(root)) { walk =>
       walk.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
@@ -464,8 +623,66 @@ class LakeTable(val dir: String) {
             case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
             case _ => -1
           }
-          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L), kind)
+          footerStats(
+            DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L), kind),
+            statsKey)
         }.toSeq
     }
+  }
+
+  private def footerStats(f: DataFile, keyCol: Option[String]): DataFile = {
+    import org.apache.parquet.column.statistics.BinaryStatistics
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    try {
+      val footer = ParquetFileReader.readFooter(
+        new org.apache.hadoop.conf.Configuration(),
+        new org.apache.hadoop.fs.Path(f.path),
+        ParquetMetadataConverter.NO_FILTER)
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = keyCol.toSeq.flatMap { k =>
+        blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == k))
+          .map(_.getStatistics)
+      }
+      val (minK, maxK) =
+        if (stats.nonEmpty && stats.forall(s =>
+            s.isInstanceOf[BinaryStatistics] && s.hasNonNullValue)) {
+          val bs = stats.map(_.asInstanceOf[BinaryStatistics])
+          (Some(bs.map(_.genericGetMin.toStringUsingUTF8).min),
+            Some(bs.map(_.genericGetMax.toStringUsingUTF8).max))
+        } else (None, None)
+      f.copy(rows = rows, minKey = minK, maxKey = maxK)
+    } catch { case _: Throwable => f } // stats are an optimization, never fatal
+  }
+
+  /** Driver-side bucket of a single string key — must match [[bucketExpr]]
+    * (xxhash64 with Spark's default seed 42, pmod). */
+  def bucketOfKey(key: String, buckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** Files that can possibly hold `key`: the key's hash bucket, further pruned
+    * by per-file min/max key stats (delta files of epochs that never touched
+    * the key are skipped without opening them). */
+  def lookupFiles(key: String): Seq[DataFile] = {
+    val m = manifest
+    require(m.keyCols.size == 1, "point lookup requires a single merge key")
+    val b = bucketOfKey(key, m.buckets)
+    m.files.filter(f => f.bucket == b && f.mayContainKey(key))
+  }
+
+  /** Point lookup of one key's current row (empty if absent/deleted). */
+  def lookup(spark: SparkSession, key: String): DataFrame = {
+    val m = manifest
+    val files = lookupFiles(key)
+    if (files.isEmpty)
+      return withoutTombstones(readFiles(spark, m, Nil))
+    val df = readFiles(spark, m, files).filter(col(m.keyCols.head) === key)
+    withoutTombstones(
+      if (files.exists(_.isDelta)) resolveLww(df, m.keyCols) else df)
   }
 }

@@ -42,11 +42,62 @@ class MaintenanceSpec extends SparkSpec {
     val stateAfter = lake.read(spark).collect().map(_.toString).sorted
     assert(stateAfter.sameElements(stateBefore), "compaction is read-equivalent")
 
-    // vacuum: old files gone, head still reads, deep time travel pruned
-    val deleted = lake.vacuum(keepVersions = 2)
+    // manifest-list indirection: compaction consolidated the fragment list
+    assert(after.fragments.size == 1, s"consolidated: ${after.fragments}")
+    assert(before.fragments.size > after.fragments.size)
+
+    // vacuum: old files gone, head still reads, deep time travel pruned;
+    // keepVersions=1 drops the pre-compaction snapshot, so the fragments it
+    // alone referenced become dead and are GC'd too
+    val deleted = lake.vacuum(keepVersions = 1)
     assert(deleted.nonEmpty, "vacuum removed superseded files")
+    assert(deleted.exists(_.contains("mf-")), "dead fragments GC'd")
     val stateVacuumed = lake.read(spark).collect().map(_.toString).sorted
     assert(stateVacuumed.sameElements(stateBefore), "vacuum keeps the head intact")
     intercept[Exception](lake.readVersion(spark, 2).count()) // pruned history
+  }
+
+  test("commit cost is O(epoch files): snapshot JSON carries no file list; " +
+    "fragments are immutable; epoch watermark collapses the committed set") {
+    val root = tmpDir("graft-maint-frag")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4), maxFilesPerTrigger = 1)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 600, nDocs = 100)),
+      cfg.feedDir, nFiles = 5)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 30), cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+
+    val m = lake.manifest
+    // watermark absorbed the contiguous epochs -1,0,1,…: sparse set empty
+    assert(m.epochWatermark >= 0 && m.recentEpochs.isEmpty,
+      s"wm=${m.epochWatermark} recent=${m.recentEpochs}")
+    assert(m.isCommittedEpoch(-1) && m.isCommittedEpoch(0))
+    assert(!m.isCommittedEpoch(m.epochWatermark + 1))
+    // the snapshot file itself holds no data-file entries (only fragment names)
+    val snapJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${cfg.tableDir}/manifests", f"v${m.version}%06d.json")))
+    assert(!snapJson.contains(".parquet"), "snapshot JSON references no data file")
+    assert(m.fragments.size.toLong == m.epochWatermark + 2,
+      "one fragment per commit")
+    // a fragment written by an early commit is byte-identical later (immutable)
+    val frag0 = java.nio.file.Paths.get(s"${cfg.tableDir}/manifests", m.fragments.head)
+    assert(java.nio.file.Files.exists(frag0))
+
+    // per-file footer stats: exact rows and key ranges for the string key
+    assert(m.files.forall(_.rows > 0), "exact row counts from footers")
+    assert(m.files.forall(f => f.minKey.isDefined && f.maxKey.isDefined))
+
+    // point lookup prunes by bucket + key range and returns the current row
+    val someKey = lake.read(spark).select("doc_id").head().getString(0)
+    val pruned = lake.lookupFiles(someKey)
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.bucket == lake.bucketOfKey(someKey, m.buckets)))
+    assert(pruned.size < m.files.size, "pruned to one bucket at most")
+    val row = lake.lookup(spark, someKey).collect()
+    assert(row.length == 1 && row(0).getAs[String]("doc_id") == someKey)
+    assert(lake.lookup(spark, "doc-does-not-exist").isEmpty)
   }
 }
