@@ -138,12 +138,107 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
     copy(child = c)
 }
 
+/**
+ * Probe cells for IVF ANN: the `probes` centroid indices with the highest
+ * dot(v, ĉ) (centroids pre-normalized, so the ranking equals cosine ranking),
+ * best-first. The centroid matrix rides along as a codegen reference object —
+ * one tight double loop per row, no per-element lambda, no join against a
+ * centroid table.
+ */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], probes: Int)
+  extends UnaryExpression {
+  require(probes >= 1 && probes <= centroids.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Selection of the top-`probes` cells by score, best-first. */
+  private def topCells(scores: Array[Double]): Array[Int] = {
+    val out = new Array[Int](probes)
+    val used = new Array[Boolean](scores.length)
+    var p = 0
+    while (p < probes) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < scores.length) {
+        if (!used(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        c += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val d = math.min(n, cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += v * cent(i)
+        i += 1
+      }
+      scores(c) = acc
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(topCells(scores))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val n = ctx.freshName("n"); val scores = ctx.freshName("scores")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val out = ctx.freshName("out")
+      val used = ctx.freshName("used"); val p = ctx.freshName("p")
+      val best = ctx.freshName("best"); val bs = ctx.freshName("bs")
+      val getV = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $scores = new double[$mat.length];
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  int $d = java.lang.Math.min($n, $mat[$c].length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) { $acc += ($getV) * $mat[$c][$i]; }
+         |  $scores[$c] = $acc;
+         |}
+         |int[] $out = new int[$probes];
+         |boolean[] $used = new boolean[$mat.length];
+         |for (int $p = 0; $p < $probes; $p++) {
+         |  int $best = -1; double $bs = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $mat.length; $c++) {
+         |    if (!$used[$c] && $scores[$c] > $bs) { $best = $c; $bs = $scores[$c]; }
+         |  }
+         |  $used[$best] = true; $out[$p] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
 object VectorOps {
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   def hyperplane_sig(v: Column, planes: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(v), planes))
+
+  def nearest_cells(v: Column, centroids: Array[Array[Double]], probes: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(v), centroids, probes))
 
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))

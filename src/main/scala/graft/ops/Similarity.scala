@@ -56,6 +56,67 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF codebook: Lloyd's refinement over the corpus. Init =
+   * the `cells` vectors with the smallest xxhash64(id) (seeded, spread across
+   * the corpus, no RNG state); each iteration assigns every vector to its
+   * nearest centroid (codegen'd [[graft.functions.NearestCells]] — no
+   * per-element lambda) and re-averages per (cell, dimension) with one
+   * posexplode aggregation. Centroids returned unit-normalized so dot ranking
+   * equals cosine ranking. Driver memory is O(cells × dim) — trivial.
+   */
+  def trainCentroids(
+      corpus: DataFrame, cells: Int, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var cents = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(cells)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(normalize)
+    for (_ <- 0 until iters) {
+      val dims = corpus
+        .select(element_at(VectorOps.nearest_cells(col(vecCol), cents, 1), 1).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      dims.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val v = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        next(cell) = normalize(v)
+      }
+      cents = next // cells with no members keep their previous centroid
+    }
+    cents
+  }
+
+  /**
+   * IVF ANN top-k: corpus partitioned into `cells` inverted lists by nearest
+   * centroid; each query probes its `probes` nearest cells (multi-probe —
+   * recall/candidate-ratio knob). Candidates per query ≈ probes × corpus/cells;
+   * the join shuffles by cell id, never all-pairs.
+   */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = 16, probes: Int = 2, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = trainCentroids(corpus, cells, iters, vecCol, idCol)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
+      element_at(VectorOps.nearest_cells(col(vecCol), cents, 1), 1).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      explode(VectorOps.nearest_cells(col(vecCol), cents, probes)).as("cell")))
+    val scored = c.join(q, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * LSH-bucketed ANN top-k: corpus bucketed by hyperplane signature; each query
    * probes only its own bucket. Recall < 1 by design; `planes` trades recall
    * for candidate-set size (16 planes ⇒ ~corpus/65536 candidates per probe).

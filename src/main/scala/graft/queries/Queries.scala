@@ -403,6 +403,20 @@ object Queries {
         .orderBy("q_id")
     }),
 
+    // IVF ANN (k-means inverted lists, multi-probe): planted identical twins
+    // share their query's cell and rank first — deterministic hard signal on
+    // codebook training, cell assignment, probing, scoring, ranking
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      graft.ops.Similarity.ivfTopK(emb.filter(col("vec_id") < 10),
+        emb.unionAll(planted), k = 5, cells = 16, probes = 2)
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("c_id"), col("rank").cast(LongType).as("rank"))
+        .orderBy("q_id")
+    }),
+
     // multimodal: binary payloads + batched decode-stub feature extraction.
     // The synthetic payload and the stub codec are plain modular integer math,
     // so the DuckDB oracle regenerates the byte stream and refolds the features
@@ -690,6 +704,10 @@ object Queries {
 
     // rank-1 per query is the planted identical twin
     "q_ann_lsh" ->
+      """SELECT vec_id AS q_id, vec_id + 1000000 AS c_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
+
+    "q_ann_ivf" ->
       """SELECT vec_id AS q_id, vec_id + 1000000 AS c_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin,
 

@@ -146,6 +146,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("c_id") == 10000L)
   }
 
+  test("IVF ANN: planted twin is rank-1; decent recall vs brute force; codegen agrees") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val planted = queries.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(planted)
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5, cells = 8, probes = 2)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    (0L until 5L).foreach { q =>
+      val top = ivf(q).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("c_id") == q + 10000,
+        s"identical twin shares the cell and ranks first for query $q")
+    }
+    // recall@5 vs exact brute force (excluding the planted twins)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val got = ivf.view.mapValues(_.map(_.getAs[Long]("c_id")).filter(_ < 10000).toSet).toMap
+    val recall = (0L until 5L).map(q => (bf(q) intersect got(q)).size.toDouble / 5).sum / 5
+    assert(recall >= 0.4, s"multi-probe IVF recall@5 = $recall")
+
+    // NearestCells: generated code == interpreted eval
+    val cents = Similarity.trainCentroids(emb, cells = 8)
+    val expr = graft.functions.VectorOps.nearest_cells(col("embedding"), cents, 3)
+    def cellsOf(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try emb.select(col("vec_id"), expr.as("cells")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toList).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(cellsOf("CODEGEN_ONLY") == cellsOf("NO_CODEGEN"))
+  }
+
   test("hyperplane signature: codegen and interpreted paths agree") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 16).as("sig"))
