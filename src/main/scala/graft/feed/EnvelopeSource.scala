@@ -1,0 +1,123 @@
+package graft.feed
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Queue-message envelope source — the reference's RabbitMQ wire shape
+ * (CDCManager.structure_capture_changes_to_json, CDCManager.py:188-278: one
+ * message per batch page with `transaction_id`, `created_at`, `batch_page`,
+ * `batch_size` and `operations[{schema_name, table_name, operation,
+ * columns[{name,type,value}]}]`; published by MessageProducer.publish_message,
+ * MessageProducer.py:18-62).
+ *
+ * Here the bus is an append-only directory of JSON-lines files (one message
+ * per line) that a Structured Streaming text source tails — the message FORMAT
+ * is the reference's, the broker is replaced by source offsets in the
+ * checkpoint (a `format("kafka")` reader is a drop-in swap of the readStream
+ * line: same `value` column, same parse). Everything below the source is
+ * shared with the engine's other feeds.
+ *
+ * Event ordering: envelope messages carry no LSN — the reference replays in
+ * arrival order ($TREM_ROWNUM, CDCManager.py:313-316). The synthesized LSN
+ * `(created_at, batch_page, position)` packs exactly that arrival order into
+ * the engine's monotonic replay key.
+ */
+object EnvelopeSource {
+
+  /** JSON schema of one queue message (one envelope batch page). */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("source_database_type", StringType),
+    StructField("transaction_id", StringType),
+    StructField("created_at", LongType),
+    StructField("batch_page", IntegerType),
+    StructField("batch_size", IntegerType),
+    StructField("operations", ArrayType(StructType(Seq(
+      StructField("schema_name", StringType),
+      StructField("table_name", StringType),
+      StructField("operation", StringType),
+      StructField("columns", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("type", StringType),
+        StructField("value", StringType)))))))))))
+
+  /** Arrival-order LSN: created_at seconds ≪ 20 | batch_page ≪ 10 | position.
+    * Monotonic as long as pages stay < 1024 and ops/page < 1024 (the
+    * reference's batch_cdc_size default is 1000, EndpointFactory.py:17). */
+  private def packedLsn(createdAt: Column, page: Column, pos: Column): Column =
+    shiftleft(createdAt, 20) + shiftleft(page.cast(LongType), 10) + pos.cast(LongType)
+
+  /**
+   * Parse raw JSON-line messages (`value: string`) into typed change events —
+   * one `from_json` + two explodes, fully columnar.
+   */
+  def parse(
+      raw: DataFrame,
+      payload: StructType,
+      schemaVer: Int = 1): DataFrame = {
+    val msg = raw.select(from_json(col("value"), messageSchema).as("m"))
+      .select(col("m.*"))
+    val ops = msg.select(
+      col("transaction_id"), col("created_at"), col("batch_page"),
+      posexplode(col("operations")).as(Seq("_pos", "op_row")))
+    val kv = map_from_entries(transform(col("op_row.columns"),
+      c => struct(c.getField("name"), c.getField("value"))))
+    val lsn = packedLsn(col("created_at"), col("batch_page"), col("_pos"))
+    val typedPayload = payload.fields.toSeq.map { f =>
+      WalParser.castToken(element_at(kv, f.name), f.dataType).as(f.name)
+    }
+    ops.select(Seq(
+      lsn.as(graft.model.ChangeEvent.LSN),
+      // the reference's 6-char transaction hash → stable numeric txn id
+      xxhash64(col("transaction_id")).as(graft.model.ChangeEvent.TXN_ID),
+      timestamp_seconds(col("created_at")).as(graft.model.ChangeEvent.TS),
+      upper(col("op_row.operation")).as(graft.model.ChangeEvent.OP),
+      lit(schemaVer).as(graft.model.ChangeEvent.SCHEMA_VER),
+      col("op_row.schema_name").as("schema_name"),
+      col("op_row.table_name").as("table_name")) ++ typedPayload: _*)
+  }
+
+  /** Parse + route to one configured table (the reference keeps only task
+    * tables, CDCManager.py:219-234). */
+  def parseForTable(
+      raw: DataFrame, payload: StructType,
+      schemaName: String, tableName: String, schemaVer: Int = 1): DataFrame =
+    parse(raw, payload, schemaVer)
+      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
+      .drop("schema_name", "table_name")
+
+  /** Serialize change events INTO envelope messages (the producer half) —
+    * used to build reference-format feeds and to test round-trips. One message
+    * per (created_at, batch_page); `batchSize` ops per page. */
+  def toMessages(
+      events: DataFrame, schemaName: String, tableName: String,
+      batchSize: Int = 1000): DataFrame = {
+    val ev = events
+      .withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(graft.model.ChangeEvent.LSN))) - 1)
+      .withColumn("batch_page", (col("_rn") / batchSize).cast(IntegerType))
+    val payloadCols = events.columns
+      .filterNot(graft.model.ChangeEvent.envelopeFields.map(_.name).contains).toSeq
+    val colEntries = array(payloadCols.map(c =>
+      struct(lit(c).as("name"), lit("varchar").as("type"),
+        col(c).cast(StringType).as("value"))): _*)
+    val opRow = struct(
+      lit(schemaName).as("schema_name"), lit(tableName).as("table_name"),
+      lower(col(graft.model.ChangeEvent.OP)).as("operation"),
+      colEntries.as("columns"))
+    ev.groupBy(col("batch_page"))
+      .agg(sort_array(collect_list(struct(col("_rn"), opRow.as("r")))).as("rows"),
+        count(lit(1)).cast(IntegerType).as("batch_size"))
+      .select(to_json(struct(
+        lit("postgresql").as("source_database_type"),
+        lit("abc123").as("transaction_id"),
+        lit(1700000000L).as("created_at"),
+        col("batch_page"), col("batch_size"),
+        transform(col("rows"), r => r.getField("r")).as("operations"))).as("value"),
+        col("batch_page"))
+      .orderBy("batch_page")
+      .select("value")
+  }
+}

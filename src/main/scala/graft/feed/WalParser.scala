@@ -59,7 +59,7 @@ object WalParser {
   }
 
   /** Cast a cleaned string to the payload type; PG array literal for arrays. */
-  private def castToken(s: Column, dt: DataType): Column = dt match {
+  private[feed] def castToken(s: Column, dt: DataType): Column = dt match {
     case ArrayType(et, _) =>
       val inner = regexp_replace(s, "^\\{|\\}$", "")
       when(s.isNull, lit(null).cast(dt))

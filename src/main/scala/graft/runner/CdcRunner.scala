@@ -183,6 +183,33 @@ object CdcRunner {
   }
 
   /**
+   * S4 queue-shaped variant: tail a JSON-lines directory of the reference's
+   * RabbitMQ envelope messages (graft.feed.EnvelopeSource). Swapping the text
+   * source for `readStream.format("kafka")` is a one-line change — the
+   * message format and everything downstream are identical.
+   */
+  def startFromEnvelopes(
+      spark: SparkSession, cfg: RunnerConfig,
+      schemaName: String, tableName: String,
+      availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
+    import graft.feed.EnvelopeSource
+    val lake = ensureTable(spark, cfg)
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .text(cfg.feedDir)
+    val writer = stream.writeStream
+      .queryName(s"graft-env-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (raw: DataFrame, epoch: Long) =>
+        val events = EnvelopeSource
+          .parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+        processBatch(spark, lake, cfg)(events, epoch)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+  }
+
+  /**
    * S2 wire-format variant: tail a RAW test_decoding line feed — parquet files
    * of `(lsn, xid, data)` slot rows (pg_logical_slot_get_changes shape) — and
    * parse each micro-batch with [[graft.feed.WalParser]] before the merge.
