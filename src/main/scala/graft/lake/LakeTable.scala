@@ -209,7 +209,14 @@ object ManifestJson {
   }
 }
 
+object LakeTable {
+  /** One shared Configuration for footer reads — constructing one per file
+    * would dominate the metadata pass (XML resource loading). */
+  lazy val sharedHadoopConf = new org.apache.hadoop.conf.Configuration()
+}
+
 class LakeTable(val dir: String) {
+  import scala.collection.parallel.CollectionConverters._
   private val manifestsDir = Paths.get(dir, "manifests")
   private def manifestPath(v: Int): Path = manifestsDir.resolve(f"v$v%06d.json")
   private def currentPtr: Path = manifestsDir.resolve("_current")
@@ -615,7 +622,7 @@ class LakeTable(val dir: String) {
         m.keyCols.headOption.filter(k =>
           m.currentSchema.byName(k).exists(_.dataType == StringType))
       }
-    scala.util.Using.resource(Files.walk(root)) { walk =>
+    val listed = scala.util.Using.resource(Files.walk(root)) { walk =>
       walk.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .map { p =>
@@ -623,11 +630,12 @@ class LakeTable(val dir: String) {
             case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
             case _ => -1
           }
-          footerStats(
-            DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L), kind),
-            statsKey)
+          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L), kind)
         }.toSeq
     }
+    // footer reads in parallel — serial per-file metadata I/O on the driver
+    // would tax every commit by O(files-in-epoch) round-trips
+    listed.par.map(footerStats(_, statsKey)).seq
   }
 
   private def footerStats(f: DataFile, keyCol: Option[String]): DataFile = {
@@ -636,7 +644,7 @@ class LakeTable(val dir: String) {
     import org.apache.parquet.hadoop.ParquetFileReader
     try {
       val footer = ParquetFileReader.readFooter(
-        new org.apache.hadoop.conf.Configuration(),
+        LakeTable.sharedHadoopConf,
         new org.apache.hadoop.fs.Path(f.path),
         ParquetMetadataConverter.NO_FILTER)
       val blocks = footer.getBlocks.asScala.toSeq

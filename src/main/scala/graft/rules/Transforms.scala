@@ -71,7 +71,10 @@ case class CompiledTransforms(
 
 object TransformCompiler {
 
-  /** PG type-name → Spark type (reference mapping trempy/Shared/DataTypes/Datatype.py:38-68). */
+  /** PG type-name → Spark type (reference mapping trempy/Shared/DataTypes/Datatype.py:38-68).
+    * `character varying(n)` keeps its length only as documentation (Spark
+    * strings are unbounded); `USER-DEFINED` degrades to varchar exactly like
+    * the reference (trempy/Columns/Column.py:31-33). */
   def pgType(name: String): DataType = name.toLowerCase match {
     case "smallint"                      => ShortType
     case "integer" | "int"               => IntegerType
@@ -79,6 +82,8 @@ object TransformCompiler {
     case "real"                          => FloatType
     case "double precision" | "double"   => DoubleType
     case "character varying" | "varchar" | "text" | "string" => StringType
+    case s if s.startsWith("character varying(") || s.startsWith("varchar(") => StringType
+    case "user-defined"                  => StringType
     case "boolean"                       => BooleanType
     case "date"                          => DateType
     case "timestamp"                     => TimestampType

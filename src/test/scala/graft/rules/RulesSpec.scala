@@ -162,4 +162,13 @@ class TransformCompilerSpec extends SparkSpec {
     intercept[IllegalArgumentException](run(Seq(
       ModifyColumn("s", "extract_year")))) // string col
   }
+
+  test("pgType: length-qualified varchar and USER-DEFINED degrade to string " +
+    "(reference Column.py:31-33)") {
+    import org.apache.spark.sql.types._
+    assert(TransformCompiler.pgType("character varying(255)") == StringType)
+    assert(TransformCompiler.pgType("varchar(40)") == StringType)
+    assert(TransformCompiler.pgType("USER-DEFINED") == StringType)
+    assert(TransformCompiler.pgType("numeric") == DecimalType(38, 18))
+  }
 }
