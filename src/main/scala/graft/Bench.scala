@@ -111,6 +111,13 @@ object Bench {
 
     // ── 1. per-query timings at full parallelism ──
     var spark = newSession(cpus)
+    if (runQueries) {
+      // untimed warm-up: the session's FIRST streaming pipeline pays one-time
+      // stream-execution + codegen init (~4-5s) that would otherwise land on
+      // whichever query sorts first alphabetically
+      try SparkEntry.queries("q_cdc_pipeline_upsert")(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val queryTimes = if (!runQueries) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -28,7 +28,13 @@ case class RunnerConfig(
     maxFilesPerTrigger: Int = 4,
     /** change-event schema registry: schema_ver → lake-schema changes to apply
       * before merging a batch that carries that version (north-star requirement). */
-    schemaRegistry: Map[Int, Seq[SchemaChange]] = Map.empty)
+    schemaRegistry: Map[Int, Seq[SchemaChange]] = Map.empty,
+    /** >0: run a compaction pass after every N committed epochs — the fold
+      * cadence merge-on-read needs to bound read-time resolution cost (delta
+      * files otherwise accumulate one set per epoch). 0 disables. */
+    autoCompactEveryEpochs: Int = 0,
+    /** delta-file threshold handed to the auto compaction pass. */
+    autoCompactMaxDeltaFiles: Int = 8)
 
 object CdcRunner {
 
@@ -134,6 +140,12 @@ object CdcRunner {
       }
     }
     MergeApply.applyBatch(spark, lake, batch, epoch, cfg.job)
+    // scheduled maintenance: fold deltas / compact small files in-line with the
+    // stream (snapshot-isolated; epoch-count cadence keeps read cost bounded)
+    if (cfg.autoCompactEveryEpochs > 0 && epoch >= 0 &&
+        (epoch + 1) % cfg.autoCompactEveryEpochs == 0) {
+      lake.compact(spark, maxDeltaFiles = cfg.autoCompactMaxDeltaFiles): Unit
+    }
   }
 
   /**

@@ -66,6 +66,28 @@ class MorSpec extends SparkSpec {
     assert(rawRows == expected.size, s"raw=$rawRows visible=${expected.size}")
   }
 
+  test("auto-compaction cadence folds deltas in-line with the stream") {
+    val root = tmpDir("graft-mor-auto")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 4),
+      maxFilesPerTrigger = 1,
+      autoCompactEveryEpochs = 3, autoCompactMaxDeltaFiles = 1)
+    val seedDf = ChangeFeed.seedSnapshot(spark, 50)
+    val eventsDf = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 600, nDocs = 100))
+    ChangeFeed.writeFeed(eventsDf, cfg.feedDir, 6) // 6 epochs → 2 fold passes
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, seedDf, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val m = lake.manifest
+    assert(m.metrics.getOrElse("compactions", 0L) >= 2L, s"folds ran: ${m.metrics}")
+    // only the post-fold epochs' deltas remain — bounded, not one per epoch
+    assert(m.files.count(_.isDelta) <= 3, s"deltas bounded: ${m.files.count(_.isDelta)}")
+    val expected = LwwOracle.finalState(seedDf.collect().toSeq, eventsDf.collect().toSeq)
+    assert(LwwOracle.fromTable(lake.read(spark)) == expected)
+  }
+
   test("MoR exactly-once: re-delivered epoch is a no-op; time travel resolves deltas") {
     val root = tmpDir("graft-mor-once")
     val (lake, expected) = runPipeline(MergeStrategy.MergeOnRead, root, nEvents = 400)

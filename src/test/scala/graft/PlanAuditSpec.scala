@@ -37,6 +37,30 @@ class PlanAuditSpec extends SparkSpec {
       s"small query side broadcast:\n$p")
   }
 
+  test("merge-on-read resolution: partial max_by, and pure-CoW reads skip the agg") {
+    import graft.feed.ChangeFeed
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-plan-mor")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 4))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 20), cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    assert(lake.manifest.hasDeltas)
+    val morPlan = lake.read(spark).queryExecution.executedPlan.toString
+    assert(morPlan.contains("partial_max_by") || morPlan.contains("ObjectHashAggregate"),
+      s"delta resolution is a two-phase hash agg:\n$morPlan")
+    // folding the deltas removes the resolution from the read plan entirely
+    lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+    val cowPlan = lake.read(spark).queryExecution.executedPlan.toString
+    assert(!cowPlan.contains("max_by"), s"pure-CoW read has no aggregation:\n$cowPlan")
+  }
+
   test("LWW reduction uses partial aggregation (map-side combine)") {
     val feed = graft.queries.Queries.feedFromEvents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions._
