@@ -372,6 +372,7 @@ object MergeApply {
       .repartition(col("_bucket"), col("_wsalt"))
       .drop("_wsalt")
       .write.mode("overwrite")
+      .options(lake.bloomOptions(m.keyCols))
       .partitionBy("_bucket")
       .parquet(lake.dataDir(epoch))
     lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty, kind)

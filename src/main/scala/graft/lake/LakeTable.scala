@@ -271,6 +271,12 @@ class LakeTable(val dir: String) {
   def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).cast(IntegerType)
 
+  /** Parquet writer options enabling native bloom filters on the merge keys —
+    * keys are hash-scattered inside a bucket, so min/max stats rarely prune
+    * there; the row-group bloom is what makes `lookup` skip data pages. */
+  def bloomOptions(keyCols: Seq[String]): Map[String, String] =
+    keyCols.map(k => s"parquet.bloom.filter.enabled#$k" -> "true").toMap
+
   // ── atomic commit: tmp + ATOMIC_MOVE; version rename is the serialization point ──
   private def writeManifest(m: Manifest, fragment: Option[ManifestFragment]): Unit = {
     Files.createDirectories(manifestsDir)
@@ -540,7 +546,9 @@ class LakeTable(val dir: String) {
       case _ => df
     }
     gced.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket")
+      .write.mode("overwrite")
+      .options(bloomOptions(m.keyCols))
+      .partitionBy("_bucket")
       .parquet(dataDir(epoch))
     val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
     // compaction also folds the fragment list down to one (manifest rewrite)

@@ -88,8 +88,9 @@ object CdcRunner {
             StructField("_lsn", LongType),
             StructField("_deleted", BooleanType)))
       }
-      lake.create(tableSchema, cfg.job.buckets,
-        keyCols = if (cfg.job.mode == CdcMode.Scd2) Nil else outKeys)
+      // scd2 never writes deltas (read-time resolution can't trigger), so
+      // carrying the natural keys is safe and feeds bloom filters + lookups
+      lake.create(tableSchema, cfg.job.buckets, keyCols = outKeys)
     }
     lake
   }
@@ -113,7 +114,9 @@ object CdcRunner {
       case _ => snapshot.withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
     }).withColumn("_bucket", lake.bucketExpr(keys, m.buckets))
     withBucket.repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(lake.dataDir(epoch))
+      .write.mode("overwrite")
+      .options(lake.bloomOptions(m.keyCols))
+      .partitionBy("_bucket").parquet(lake.dataDir(epoch))
     val files = lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty)
     lake.commit(epoch, files, (0 until m.buckets).toSet,
       Map("full_load_rows" -> -1L))

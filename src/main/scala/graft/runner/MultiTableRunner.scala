@@ -95,17 +95,33 @@ object MultiTableRunner {
       TableJob(rules, payload, lake, job, targetId)
     }
 
-  /** Route one micro-batch to every table in priority order. */
+  /**
+   * Route one micro-batch to every table: priority CLASSES apply in order
+   * (FK-safe, the reference's contract — Task.py:149,170), tables WITHIN a
+   * class merge concurrently (independent lake dirs; Spark actions are
+   * thread-safe). The batch is cached so N tables don't re-read the source
+   * files N times.
+   */
   def processBatch(spark: SparkSession, jobs: Seq[TableJob])(
-      batch: DataFrame, epoch: Long): Unit =
-    jobs.foreach { tj =>
+      batch: DataFrame, epoch: Long): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    def applyOne(tj: TableJob): Unit = {
       val cols = ChangeEvent.envelopeFields.map(_.name) ++ tj.payload.schema.fieldNames
       val sub = batch
         .filter(col(SCHEMA_COL) === tj.rules.schemaName &&
           col(TABLE_COL) === tj.rules.tableName)
         .select(cols.map(col): _*)
-      MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job)
+      MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job): Unit
     }
+    val cache = jobs.size > 1
+    if (cache) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      jobs.groupBy(_.rules.priority).toSeq.sortBy(_._1).foreach { case (_, group) =>
+        if (group.size == 1) applyOne(group.head)
+        else group.par.foreach(applyOne)
+      }
+    finally if (cache) { batch.unpersist(); () }
+  }
 
   def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery =
     startWithJobs(spark, cfg, ensureTables(spark, cfg), availableNow)

@@ -99,5 +99,19 @@ class MaintenanceSpec extends SparkSpec {
     val row = lake.lookup(spark, someKey).collect()
     assert(row.length == 1 && row(0).getAs[String]("doc_id") == someKey)
     assert(lake.lookup(spark, "doc-does-not-exist").isEmpty)
+
+    // data files carry a parquet-native bloom filter on the merge key:
+    // inside a bucket (hash-scattered keys defeat min/max) the row-group
+    // bloom is what lets a point lookup skip data pages
+    import org.apache.parquet.format.converter.ParquetMetadataConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import scala.jdk.CollectionConverters._
+    val footer = ParquetFileReader.readFooter(
+      graft.lake.LakeTable.sharedHadoopConf,
+      new org.apache.hadoop.fs.Path(m.files.head.path),
+      ParquetMetadataConverter.NO_FILTER)
+    val keyChunk = footer.getBlocks.asScala.head.getColumns.asScala
+      .find(_.getPath.toDotString == "doc_id").get
+    assert(keyChunk.getBloomFilterOffset >= 0, "bloom filter written for the merge key")
   }
 }

@@ -124,6 +124,42 @@ class MultiTableSpec extends SparkSpec {
     assert(new java.io.File(s"$root/lake/hr.employee_f/manifests").exists())
   }
 
+  test("equal-priority tables apply concurrently with identical results") {
+    val root = tmpDir("graft-multi-par")
+    // same task, both tables in one priority class → parallel group
+    val settings = TaskSettings.parse(settingsJson
+      .replace("\"priority\": 0", "\"priority\": 1")
+      .replace("\"priority\": 2", "\"priority\": 1"))
+    assert(settings.tables.map(_.priority).distinct == Seq(1))
+    val payloads = Map(
+      "hr.employee" -> TablePayload(StructType(Seq(
+        StructField("emp_id", StringType), StructField("name", StringType),
+        StructField("gender", StringType))), Seq("emp_id")),
+      "hr.department" -> TablePayload(StructType(Seq(
+        StructField("dept_id", StringType), StructField("dept_name", StringType))),
+        Seq("dept_id")))
+    val cfg = Config(
+      feedDir = s"$root/feed", lakeRoot = s"$root/lake",
+      checkpointDir = s"$root/cp", settings = settings, payloads = payloads,
+      buckets = 4, maxFilesPerTrigger = 8)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "hr", "employee", "e1", "ada", "F", null, null),
+      Row(2L, 2L, ts(2), "INSERT", 1, "hr", "department", null, null, null, "d1", "research"),
+      Row(3L, 3L, ts(3), "UPDATE", 1, "hr", "employee", "e1", "ada l", "F", null, null),
+      Row(4L, 4L, ts(4), "UPDATE", 1, "hr", "department", null, null, null, "d1", "r&d"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiTableRunner.feedSchema(cfg))
+    graft.feed.ChangeFeed.writeFeed(df, cfg.feedDir, 1)
+    val jobs = MultiTableRunner.runAvailableNow(spark, cfg)
+    val emp = jobs.find(_.targetId == "hr.employee_f").get.lake.read(spark)
+      .select("emp_id", "name").collect().map(r => (r.getString(0), r.getString(1)))
+    val dept = jobs.find(_.targetId == "hr.department").get.lake.read(spark)
+      .select("dept_id", "dept_name").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(emp.toSeq == Seq(("e1", "ADA L")))
+    assert(dept.toSeq == Seq(("d1", "r&d")))
+  }
+
   test("examples/settings.json drives full_load_and_cdc: load completes first, " +
     "then the continuous trigger tails at interval_seconds") {
     import graft.feed.ChangeFeed
