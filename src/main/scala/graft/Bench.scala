@@ -115,8 +115,11 @@ object Bench {
       // untimed warm-up: the session's FIRST streaming pipeline pays one-time
       // stream-execution + codegen init (~4-5s) that would otherwise land on
       // whichever query sorts first alphabetically
-      try SparkEntry.queries("q_cdc_pipeline_upsert")(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try SparkEntry.queries("q_cdc_pipeline_upsert")(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed (timings of the first " +
+          s"pipeline query will absorb init): ${e.getMessage}")
+      }
     }
     val queryTimes = if (!runQueries) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -42,11 +42,18 @@ object EnvelopeSource {
         StructField("type", StringType),
         StructField("value", StringType)))))))))))
 
-  /** Arrival-order LSN: created_at seconds ≪ 20 | batch_page ≪ 10 | position.
-    * Monotonic as long as pages stay < 1024 and ops/page < 1024 (the
-    * reference's batch_cdc_size default is 1000, EndpointFactory.py:17). */
-  private def packedLsn(createdAt: Column, page: Column, pos: Column): Column =
-    shiftleft(createdAt, 20) + shiftleft(page.cast(LongType), 10) + pos.cast(LongType)
+  /** Arrival-order LSN:
+    * created_at ≪ 32 | hash16(transaction_id) ≪ 16 | batch_page ≪ 10 | position.
+    * Monotonic within a message (page, position); two capture cycles landing
+    * in the same second are separated by 16 bits of their transaction-id hash
+    * (their mutual order is arbitrary — it genuinely is unknown — but their
+    * events can no longer collide onto the same LSN, which would make
+    * max_by/dropDuplicates silently discard real events). Budget: pages < 64,
+    * ops/page < 1024 (reference batch_cdc_size default 1000). */
+  private def packedLsn(createdAt: Column, txnId: Column, page: Column, pos: Column): Column =
+    shiftleft(createdAt, 32) +
+      shiftleft(xxhash64(txnId).bitwiseAND(lit(0xFFFFL)), 16) +
+      shiftleft(page.cast(LongType), 10) + pos.cast(LongType)
 
   /**
    * Parse raw JSON-line messages (`value: string`) into typed change events —
@@ -63,7 +70,8 @@ object EnvelopeSource {
       posexplode(col("operations")).as(Seq("_pos", "op_row")))
     val kv = map_from_entries(transform(col("op_row.columns"),
       c => struct(c.getField("name"), c.getField("value"))))
-    val lsn = packedLsn(col("created_at"), col("batch_page"), col("_pos"))
+    val lsn = packedLsn(col("created_at"), col("transaction_id"),
+      col("batch_page"), col("_pos"))
     val typedPayload = payload.fields.toSeq.map { f =>
       WalParser.castToken(element_at(kv, f.name), f.dataType).as(f.name)
     }

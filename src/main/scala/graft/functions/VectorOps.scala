@@ -19,24 +19,48 @@ import org.apache.spark.sql.types._
  * the fold order of the SQL oracle (DuckDB list_reduce) and of the HOF
  * formulation they replace, so results are bit-identical.
  */
+/** Numeric-array element access shared by the vector kernels: every numeric
+  * element type reads as double (the old HOF formulations cast too); anything
+  * else is rejected at construction, not silently misread at eval. */
+private[functions] object VecElem {
+  def elemType(e: Expression, what: String): DataType = e.dataType match {
+    case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType | ShortType), _) => et
+    case other => throw new IllegalArgumentException(
+      s"$what requires an array<numeric> input, got $other")
+  }
+  def read(et: DataType, x: ArrayData, i: Int): Double = et match {
+    case FloatType   => x.getFloat(i).toDouble
+    case DoubleType  => x.getDouble(i)
+    case IntegerType => x.getInt(i).toDouble
+    case LongType    => x.getLong(i).toDouble
+    case ShortType   => x.getShort(i).toDouble
+    case other       => throw new IllegalStateException(s"unreachable: $other")
+  }
+  def getter(et: DataType, arr: String, i: String): String = et match {
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case ShortType   => s"(double) $arr.getShort($i)"
+    case other       => throw new IllegalStateException(s"unreachable: $other")
+  }
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftET = VecElem.elemType(left, prettyName)
+  private lazy val rightET = VecElem.elemType(right, prettyName)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val xf = isFloat(left); val yf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += VecElem.read(leftET, x, i) * VecElem.read(rightET, y, i)
       i += 1
     }
     acc
@@ -47,8 +71,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val getX = VecElem.getter(leftET, a, i)
+      val getY = VecElem.getter(rightET, b, i)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
@@ -78,8 +102,7 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val elemT = VecElem.elemType(child, prettyName)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -87,7 +110,7 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
     val acc = new Array[Double](planes)
     var i = 0
     while (i < n) {
-      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val v = VecElem.read(elemT, x, i)
       val hv = XXH64.hashLong(i.toLong, 42L)
       var h = 0
       while (h < planes) {
@@ -114,7 +137,7 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
       val hv = ctx.freshName("hv")
       val v = ctx.freshName("v")
       val sig = ctx.freshName("sig")
-      val getV = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getV = VecElem.getter(elemT, a, i)
       val xxh = classOf[XXH64].getName
       s"""
          |int $n = $a.numElements();
@@ -151,20 +174,24 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
-  private def isFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val elemT = VecElem.elemType(child, prettyName)
 
-  /** Selection of the top-`probes` cells by score, best-first. */
+  /** Selection of the top-`probes` cells by score, best-first. Seeded with the
+    * first unused cell so an all-NaN score vector (a NaN embedding element
+    * poisons every dot product) still yields a valid — if arbitrary — probe
+    * list instead of indexing with -1. */
   private def topCells(scores: Array[Double]): Array[Int] = {
     val out = new Array[Int](probes)
     val used = new Array[Boolean](scores.length)
     var p = 0
     while (p < probes) {
       var best = -1
-      var bestScore = Double.NegativeInfinity
+      var bestScore = 0.0
       var c = 0
       while (c < scores.length) {
-        if (!used(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        if (!used(c) && (best < 0 || scores(c) > bestScore)) {
+          best = c; bestScore = scores(c)
+        }
         c += 1
       }
       used(best) = true
@@ -185,8 +212,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
       var acc = 0.0
       var i = 0
       while (i < d) {
-        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-        acc += v * cent(i)
+        acc += VecElem.read(elemT, x, i) * cent(i)
         i += 1
       }
       scores(c) = acc
@@ -203,7 +229,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
       val acc = ctx.freshName("acc"); val out = ctx.freshName("out")
       val used = ctx.freshName("used"); val p = ctx.freshName("p")
       val best = ctx.freshName("best"); val bs = ctx.freshName("bs")
-      val getV = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getV = VecElem.getter(elemT, a, i)
       s"""
          |int $n = $a.numElements();
          |double[] $scores = new double[$mat.length];
@@ -216,9 +242,11 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
          |int[] $out = new int[$probes];
          |boolean[] $used = new boolean[$mat.length];
          |for (int $p = 0; $p < $probes; $p++) {
-         |  int $best = -1; double $bs = java.lang.Double.NEGATIVE_INFINITY;
+         |  int $best = -1; double $bs = 0.0;
          |  for (int $c = 0; $c < $mat.length; $c++) {
-         |    if (!$used[$c] && $scores[$c] > $bs) { $best = $c; $bs = $scores[$c]; }
+         |    if (!$used[$c] && ($best < 0 || $scores[$c] > $bs)) {
+         |      $best = $c; $bs = $scores[$c];
+         |    }
          |  }
          |  $used[$best] = true; $out[$p] = $best;
          |}

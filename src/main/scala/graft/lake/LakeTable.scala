@@ -65,6 +65,11 @@ object DataFile {
   /** Merge-on-read delta: per-epoch per-key LWW rows layered over the base;
     * resolved at read time by per-key max(_lsn), folded away by compaction. */
   val DELTA = "delta"
+
+  /** Unsigned UTF-8 lexicographic compare (parquet binary-stats order). */
+  def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 }
 final case class DataFile(
     path: String, bucket: Int, schemaId: Int, rows: Long,
@@ -74,8 +79,12 @@ final case class DataFile(
     minKey: Option[String] = None,
     maxKey: Option[String] = None) {
   def isDelta: Boolean = kind == DataFile.DELTA
+  /** Range check in UNSIGNED UTF-8 byte order — the order parquet binary
+    * statistics use. Java String (UTF-16) ordering diverges for
+    * supplementary-plane characters and would wrongly prune files. */
   def mayContainKey(k: String): Boolean = (minKey, maxKey) match {
-    case (Some(lo), Some(hi)) => lo <= k && k <= hi
+    case (Some(lo), Some(hi)) =>
+      DataFile.utf8Cmp(lo, k) <= 0 && DataFile.utf8Cmp(k, hi) <= 0
     case _ => true
   }
 }
@@ -176,6 +185,12 @@ object ManifestJson {
     * fragment list (LakeTable.resolve). */
   def read(s: String): Manifest = {
     val j = JsonMethods.parse(s)
+    // refuse the pre-fragment snapshot layout loudly: reading it as "no
+    // fragments" would present an existing table as empty (silent data loss
+    // once the next commit/vacuum runs)
+    require((j \ "files") == JNothing && (j \ "committed_epochs") == JNothing,
+      "unsupported legacy manifest layout (inline file list) — " +
+        "this build reads fragment-list snapshots only")
     Manifest(
       version = (j \ "version").extract[Int],
       buckets = (j \ "buckets").extract[Int],
@@ -570,8 +585,11 @@ class LakeTable(val dir: String) {
   def vacuum(keepVersions: Int = 2): Seq[String] = this.synchronized {
     val cur = currentVersion
     val keepFrom = math.max(1, cur - keepVersions + 1)
+    // snapshots below keepFrom may already be gone (pruned by an earlier
+    // vacuum) — guard every old-manifest access
     def filesOf(v: Int): Seq[String] =
-      resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
+      if (!Files.exists(manifestPath(v))) Nil
+      else resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
     val live: Set[String] = (keepFrom to cur).flatMap(filesOf).toSet
     val dataRoot = Paths.get(dir, "data").toAbsolutePath
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
@@ -665,8 +683,12 @@ class LakeTable(val dir: String) {
         if (stats.nonEmpty && stats.forall(s =>
             s.isInstanceOf[BinaryStatistics] && s.hasNonNullValue)) {
           val bs = stats.map(_.asInstanceOf[BinaryStatistics])
-          (Some(bs.map(_.genericGetMin.toStringUsingUTF8).min),
-            Some(bs.map(_.genericGetMax.toStringUsingUTF8).max))
+          // aggregate across row groups in the SAME unsigned-UTF-8 order the
+          // per-block stats are computed in (String.min would use UTF-16)
+          (Some(bs.map(_.genericGetMin.toStringUsingUTF8)
+             .reduce((a, b) => if (DataFile.utf8Cmp(a, b) <= 0) a else b)),
+            Some(bs.map(_.genericGetMax.toStringUsingUTF8)
+              .reduce((a, b) => if (DataFile.utf8Cmp(a, b) >= 0) a else b)))
         } else (None, None)
       f.copy(rows = rows, minKey = minK, maxKey = maxK)
     } catch { case _: Throwable => f } // stats are an optimization, never fatal

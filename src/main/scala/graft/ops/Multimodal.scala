@@ -44,9 +44,10 @@ object Multimodal {
   private def idHash(salt: Long): Column =
     pmod(col("media_id") * LEHMER_A + lit(salt * 1299709L), lit(LEHMER_P))
 
-  /** Deterministic synthetic media table (payload bytes derived from the id).
+  /** Deterministic synthetic media table (payload bytes derived from the id;
+    * the constants are fixed so the DuckDB oracle regenerates the exact bytes).
     * Bytes = a 4-byte value word (zero-padded to 8) repeated 4..67 times. */
-  def synthetic(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+  def synthetic(spark: SparkSession, n: Long): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     spark.range(n).withColumnRenamed("id", "media_id").select(
       col("media_id"),
