@@ -307,6 +307,52 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // schema evolution mid-stream (north-star requirement): v2 events rename
+    // source→origin, add lang, widen n_tok to long via the schema registry;
+    // v1-era rows read null-filled/projected by field id — the final state is
+    // an exact SQL fold over both event generations
+    "q_cdc_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-evo").toString
+      val v2Payload = StructType(Seq(
+        StructField("doc_id", StringType, nullable = false),
+        StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", LongType),
+        StructField("origin", StringType),
+        StructField("lang", StringType)))
+      val registry = Map(2 -> Seq(
+        graft.lake.AddColumn("lang", StringType),
+        graft.lake.RenameColumn("source", "origin"),
+        graft.lake.WidenColumn("n_tok", LongType)))
+      val cfg1 = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
+        schemaRegistry = registry, maxFilesPerTrigger = 2)
+      val f = feedFromEvents(s, dir)
+      ChangeFeed.writeFeed(f, cfg1.feedDir, nFiles = 4)
+      val lake = CdcRunner.ensureTable(s, cfg1)
+      CdcRunner.runAvailableNow(s, cfg1)
+      // stage 2 (stream restart with the evolved event schema): every 10th
+      // event re-arrives as a v2 UPDATE carrying origin + lang
+      val lsn = col(ChangeEvent.LSN)
+      val ev2 = f.filter(lsn % 10 === 0 && col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
+        .select(
+          (lsn + 2000000L).as(ChangeEvent.LSN),
+          col(ChangeEvent.TXN_ID), col(ChangeEvent.TS),
+          lit(ChangeEvent.UPDATE).as(ChangeEvent.OP),
+          lit(2).as(ChangeEvent.SCHEMA_VER),
+          col(ChangeEvent.DOC_ID), col("tokens"),
+          col("n_tok").cast(LongType).as("n_tok"),
+          concat(lit("v2-"), col("source")).as("origin"),
+          concat(lit("l"), (lsn % 5).cast(StringType)).as("lang"))
+      ChangeFeed.writeFeed(ev2, cfg1.feedDir, nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(s, cfg1.copy(payloadSchema = v2Payload))
+      lake.read(s)
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("origin"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // merge-on-read strategy: delta commits + read-time LWW resolution must
     // land on the exact same final state as the CoW upsert fold
     "q_cdc_pipeline_mor" -> ((s, dir) => {
@@ -578,6 +624,28 @@ object Queries {
          |  FROM ev GROUP BY doc_id)
          |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
          |  n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+
+    // both event generations folded in one pass; arg_max-over-NULL handled
+    // with a sentinel (DuckDB's arg_max skips NULLs, the engine must not)
+    "q_cdc_evolution" ->
+      s"""WITH ev AS ($feedSql),
+         |u AS (
+         |  SELECT lsn, op, doc_id, CAST(n_tok AS BIGINT) AS n_tok, eid,
+         |    coalesce(source, '@') AS origin, '@' AS lang
+         |  FROM ev
+         |  UNION ALL
+         |  SELECT 2000000 + eid AS lsn, 'UPDATE' AS op, doc_id,
+         |    CAST(n_tok AS BIGINT) AS n_tok, eid,
+         |    'v2-' || source AS origin, 'l' || CAST(eid % 5 AS VARCHAR) AS lang
+         |  FROM ev WHERE eid % 10 = 0 AND op <> 'DELETE'),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(origin, lsn) AS origin,
+         |    arg_max(lang, lsn) AS lang
+         |  FROM u GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, nullif(origin, '@') AS origin, nullif(lang, '@') AS lang
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_mor" ->
