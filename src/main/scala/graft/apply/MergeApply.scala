@@ -328,6 +328,17 @@ object MergeApply {
           (col(ChangeEvent.OP) === ChangeEvent.DELETE).as("_deleted") :+
           col("_bucket")): _*)
 
+      // merge-on-read: the version rows themselves are the commit — the chain
+      // (end_date/current) is rebuilt at read time / folded by compaction,
+      // so history ingest never rewrites the hot buckets either
+      if (cfg.merge == MergeStrategy.MergeOnRead) {
+        val files = timed("delta-write")(
+          writeEpoch(spark, lake, evRows, epoch, m, kind = DataFile.DELTA))
+        timed("commit")(
+          lake.commit(epoch, files, Set.empty, metrics + ("delta_commits" -> 1L)))
+        return BatchResult(epoch, skipped = false, metrics)
+      }
+
       val base = lake.readBuckets(spark, affected)
         .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
 

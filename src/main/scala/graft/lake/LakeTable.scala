@@ -89,6 +89,11 @@ final case class DataFile(
   }
 }
 
+object Manifest {
+  val LWW = "lww"
+  val SCD2 = "scd2"
+}
+
 /**
  * One commit's file delta — the manifest-list indirection: a snapshot JSON
  * references an ordered list of immutable fragments instead of carrying every
@@ -117,7 +122,12 @@ final case class Manifest(
     /** merge keys — required for read-time LWW resolution of delta files */
     keyCols: Seq[String] = Nil,
     /** fragment file names in fold order */
-    fragments: Seq[String] = Nil) {
+    fragments: Seq[String] = Nil,
+    /** how delta files resolve at read time: "lww" (per-key max _lsn) or
+      * "scd2" (chain rebuild over version rows) */
+    tableMode: String = Manifest.LWW,
+    /** scd2 column names (start, end, current) when tableMode == scd2 */
+    scdCols: Seq[String] = Nil) {
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
@@ -176,7 +186,9 @@ object ManifestJson {
       "recent_epochs" -> JArray(m.recentEpochs.toList.sorted.map(JLong(_))),
       "metrics" -> JObject(m.metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }),
       "key_cols" -> JArray(m.keyCols.toList.map(JString(_))),
-      "fragments" -> JArray(m.fragments.toList.map(JString(_)))
+      "fragments" -> JArray(m.fragments.toList.map(JString(_))),
+      "table_mode" -> JString(m.tableMode),
+      "scd_cols" -> JArray(m.scdCols.toList.map(JString(_)))
     )
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -219,6 +231,11 @@ object ManifestJson {
       },
       fragments = (j \ "fragments") match {
         case JArray(fs) => fs.map(_.extract[String])
+        case _ => Nil
+      },
+      tableMode = (j \ "table_mode").extractOrElse[String](Manifest.LWW),
+      scdCols = (j \ "scd_cols") match {
+        case JArray(cs) => cs.map(_.extract[String])
         case _ => Nil
       })
   }
@@ -314,14 +331,16 @@ class LakeTable(val dir: String) {
   }
 
   /** Create the table: empty snapshot v1 at schema id 1. `keyCols` enables
-    * merge-on-read delta commits (read-time per-key LWW resolution). */
-  def create(schema: StructType, buckets: Int, keyCols: Seq[String] = Nil): Manifest = {
+    * merge-on-read delta commits; `tableMode`/`scdCols` pick how deltas
+    * resolve at read time (per-key LWW vs scd2 chain rebuild). */
+  def create(schema: StructType, buckets: Int, keyCols: Seq[String] = Nil,
+      tableMode: String = Manifest.LWW, scdCols: Seq[String] = Nil): Manifest = {
     require(!exists, s"lake table at $dir already exists")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"key column '$k' not in table schema"))
     val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil,
       epochWatermark = -2L, recentEpochs = Set.empty, metrics = Map.empty,
-      keyCols = keyCols)
+      keyCols = keyCols, tableMode = tableMode, scdCols = scdCols)
     writeManifest(m, None)
     m
   }
@@ -450,9 +469,27 @@ class LakeTable(val dir: String) {
       .select(keys.map(col) ++ others.map(c => col(s"_r.$c").as(c)): _*)
   }
 
+  /**
+   * SCD2 resolution: rebuild every key's version chain from base + delta
+   * version rows — the same LSN-ordered window the write path uses, so folding
+   * is read-equivalent. Idempotent over already-chained base rows.
+   */
+  private def rebuildScd2(df: DataFrame, m: Manifest): DataFrame = {
+    require(m.scdCols.size == 3, s"lake table at $dir has scd2 deltas but no scd_cols")
+    val Seq(start, end, cur) = m.scdCols
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(m.keyCols.map(col): _*).orderBy(col("_lsn"))
+    val nextStart = lead(col(start), 1).over(w)
+    df.dropDuplicates(m.keyCols :+ "_lsn")
+      .withColumn(end, nextStart)
+      .withColumn(cur, when(nextStart.isNull && !col("_deleted"), lit(1)).otherwise(lit(0)))
+  }
+
   private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
     val df = readFiles(spark, m, files)
-    if (files.exists(_.isDelta)) resolveLww(df, m.keyCols) else df
+    if (!files.exists(_.isDelta)) df
+    else if (m.tableMode == Manifest.SCD2) rebuildScd2(df, m)
+    else resolveLww(df, m.keyCols)
   }
 
   /** Read the whole table at the current snapshot/schema (tombstones hidden,
@@ -555,8 +592,11 @@ class LakeTable(val dir: String) {
     val df = byBucket.map { case (b, fs) =>
       readResolved(spark, m, fs).withColumn("_bucket", lit(b))
     }.reduce(_ unionAll _)
+    // tombstone GC applies to LWW tables only: an scd2 delete marker anchors
+    // the previous version's end_date — dropping it would make a later chain
+    // rebuild resurrect the closed entity as current
     val gced = dropTombstonesBelow match {
-      case Some(wm) if df.columns.contains("_deleted") =>
+      case Some(wm) if m.tableMode == Manifest.LWW && df.columns.contains("_deleted") =>
         df.filter(!(coalesce(col("_deleted"), lit(false)) && col("_lsn") < wm))
       case _ => df
     }
@@ -720,7 +760,10 @@ class LakeTable(val dir: String) {
     if (files.isEmpty)
       return withoutTombstones(readFiles(spark, m, Nil))
     val df = readFiles(spark, m, files).filter(col(m.keyCols.head) === key)
-    withoutTombstones(
-      if (files.exists(_.isDelta)) resolveLww(df, m.keyCols) else df)
+    val resolved =
+      if (!files.exists(_.isDelta)) df
+      else if (m.tableMode == Manifest.SCD2) rebuildScd2(df, m)
+      else resolveLww(df, m.keyCols)
+    withoutTombstones(resolved)
   }
 }

@@ -371,6 +371,16 @@ object Queries {
         .orderBy("doc_id", "scd_start_date")
     }),
 
+    // SCD2 over merge-on-read: delta version rows + read-time chain rebuild
+    // must produce the exact same history as the CoW window oracle
+    "q_cdc_pipeline_scd2_mor" -> ((s, dir) => {
+      runPipeline(s, dir, CdcMode.Scd2, merge = MergeStrategy.MergeOnRead)
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"),
+          col("scd_start_date"), col("scd_end_date"), col("scd_current"))
+        .orderBy("doc_id", "scd_start_date")
+    }),
+
     // ── training-data ops (SURVEY-adjacent, graded first-class) ──
 
     // text analysis: token counts, ratios, quality score, language-ID heuristic
@@ -659,6 +669,17 @@ object Queries {
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_scd2" ->
+      s"""WITH ev AS ($feedSql),
+         |v AS (
+         |  SELECT *, lead(ts) OVER (PARTITION BY doc_id ORDER BY lsn) AS nxt
+         |  FROM ev)
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source,
+         |  ts AS scd_start_date, nxt AS scd_end_date,
+         |  CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS scd_current
+         |FROM v WHERE op <> 'DELETE' ORDER BY doc_id, scd_start_date""".stripMargin,
+
+    "q_cdc_pipeline_scd2_mor" ->
       s"""WITH ev AS ($feedSql),
          |v AS (
          |  SELECT *, lead(ts) OVER (PARTITION BY doc_id ORDER BY lsn) AS nxt

@@ -88,9 +88,12 @@ object CdcRunner {
             StructField("_lsn", LongType),
             StructField("_deleted", BooleanType)))
       }
-      // scd2 never writes deltas (read-time resolution can't trigger), so
-      // carrying the natural keys is safe and feeds bloom filters + lookups
-      lake.create(tableSchema, cfg.job.buckets, keyCols = outKeys)
+      val scd = cfg.job.scdCols
+      lake.create(tableSchema, cfg.job.buckets, keyCols = outKeys,
+        tableMode = if (cfg.job.mode == CdcMode.Scd2) graft.lake.Manifest.SCD2
+                    else graft.lake.Manifest.LWW,
+        scdCols = if (cfg.job.mode == CdcMode.Scd2)
+          Seq(scd.startDate, scd.endDate, scd.current) else Nil)
     }
     lake
   }

@@ -102,6 +102,40 @@ class MorSpec extends SparkSpec {
     assert(LwwOracle.fromTable(lake.read(spark)) == expected)
   }
 
+  test("SCD2 merge-on-read: delta version rows + read-time chain rebuild == CoW history") {
+    def runScd2(merge: MergeStrategy, root: String): graft.lake.LakeTable = {
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Scd2, merge = merge, buckets = 4),
+        maxFilesPerTrigger = 2)
+      ChangeFeed.writeFeed(
+        ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 500, nDocs = 60)),
+        cfg.feedDir, 6)
+      val lake = CdcRunner.ensureTable(spark, cfg)
+      CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 30), cfg)
+      CdcRunner.runAvailableNow(spark, cfg)
+      lake
+    }
+    def history(lake: graft.lake.LakeTable) = lake.read(spark)
+      .select("doc_id", "tokens", "n_tok", "source",
+        "scd_start_date", "scd_end_date", "scd_current")
+      .collect().map(_.toString).sorted
+
+    val mor = runScd2(MergeStrategy.MergeOnRead, tmpDir("graft-scd2-mor"))
+    val cow = runScd2(MergeStrategy.CopyOnWrite, tmpDir("graft-scd2-cow"))
+    val morHist = history(mor)
+    assert(mor.manifest.hasDeltas, "scd2 delta commits")
+    assert(morHist.sameElements(history(cow)), "read-time rebuild == CoW history")
+    // fold is read-equivalent; no tombstone GC for scd2 (markers anchor ends)
+    mor.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1,
+      dropTombstonesBelow = Some(Long.MaxValue))
+    assert(!mor.manifest.hasDeltas)
+    assert(history(mor).sameElements(morHist), "fold preserves the chains")
+    // a delete marker must still be physically present (GC refused)
+    val raw = spark.read.parquet(mor.manifest.files.map(_.path): _*)
+    assert(raw.filter(org.apache.spark.sql.functions.col("_deleted")).count() > 0)
+  }
+
   test("MoR tombstone blocks out-of-order resurrection (same contract as CoW)") {
     val root = tmpDir("graft-mor-tomb")
     val cfg = RunnerConfig(
