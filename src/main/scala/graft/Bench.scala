@@ -145,8 +145,13 @@ object Bench {
     val tWarm = timedCdcRun(spark, feedDir, nDocs)._1
     val tHi1 = timedCdcRun(spark, feedDir, nDocs)._1
     // merge-on-read at full parallelism on the same feed: ingest + delta fold
-    val (tMor, tMorFold) = timedCdcRun(spark, feedDir, nDocs,
+    // (min-of-2 like the CoW walls — single samples catch co-tenant spikes)
+    val (tMorA, tMorFoldA) = timedCdcRun(spark, feedDir, nDocs,
       merge = MergeStrategy.MergeOnRead)
+    val (tMorB, tMorFoldB) = timedCdcRun(spark, feedDir, nDocs,
+      merge = MergeStrategy.MergeOnRead)
+    val (tMor, tMorFold) =
+      if (tMorA <= tMorB) (tMorA, tMorFoldA) else (tMorB, tMorFoldB)
     spark.stop()
     def level(cores: Int): Double = {
       val s = newSession(cores)
@@ -159,10 +164,14 @@ object Bench {
     val tLo2 = level(scaleLo)
     val tHi3 = level(scaleHi)
     val tLo3 = level(scaleLo)
-    val tHi = Seq(tHi1, tHi2, tHi3).min
+    // the hi-core wall is the co-tenant-noise-sensitive one (observed spread
+    // up to 1.5× within an hour) and a hi run costs a third of a lo run —
+    // spend one extra sample there
+    val tHi4 = level(scaleHi)
+    val tHi = Seq(tHi1, tHi2, tHi3, tHi4).min
     val tLo = Seq(tLo1, tLo2, tLo3).min
     System.err.println(
-      f"[bench] cdc warm=$tWarm%.1fs hi($scaleHi)=$tHi1%.1f/$tHi2%.1f/$tHi3%.1fs " +
+      f"[bench] cdc warm=$tWarm%.1fs hi($scaleHi)=$tHi1%.1f/$tHi2%.1f/$tHi3%.1f/$tHi4%.1fs " +
         f"lo($scaleLo)=$tLo1%.1f/$tLo2%.1f/$tLo3%.1fs mor=$tMor%.1f+fold$tMorFold%.1fs")
     rm(new java.io.File(feedDir).getParentFile)
 
