@@ -42,18 +42,35 @@ object EnvelopeSource {
         StructField("type", StringType),
         StructField("value", StringType)))))))))))
 
+  /** Epoch base subtracted before packing: a raw epoch-seconds value overflows
+    * the 31 bits above the shift in Jan 2038; relative to 2020-01-01 the field
+    * is valid through 2088. */
+  private[feed] val BASE_EPOCH_S = 1577836800L // 2020-01-01T00:00:00Z
+  private val MAX_REL_S = (1L << 31) - 1
+
   /** Arrival-order LSN:
-    * created_at ≪ 32 | hash16(transaction_id) ≪ 16 | batch_page ≪ 10 | position.
+    * (created_at − base) ≪ 32 | hash16(transaction_id) ≪ 16 | batch_page ≪ 10 | position.
     * Monotonic within a message (page, position); two capture cycles landing
     * in the same second are separated by 16 bits of their transaction-id hash
     * (their mutual order is arbitrary — it genuinely is unknown — but their
     * events can no longer collide onto the same LSN, which would make
-    * max_by/dropDuplicates silently discard real events). Budget: pages < 64,
-    * ops/page < 1024 (reference batch_cdc_size default 1000). */
-  private def packedLsn(createdAt: Column, txnId: Column, page: Column, pos: Column): Column =
-    shiftleft(createdAt, 32) +
+    * max_by/dropDuplicates silently discard real events). Field budgets are
+    * ENFORCED, not just documented — an out-of-range created_at/page/position
+    * would silently bleed into the adjacent bit field and corrupt replay
+    * order, so the parse fails loudly instead: created_at in 2020..2088,
+    * pages < 64, ops/page < 1024 (reference batch_cdc_size default 1000). */
+  private def packedLsn(createdAt: Column, txnId: Column, page: Column, pos: Column): Column = {
+    val rel = createdAt.cast(LongType) - BASE_EPOCH_S
+    val inBudget = rel.between(0L, MAX_REL_S) &&
+      page.between(0, 63) && pos.between(0, 1023)
+    val packed = shiftleft(rel, 32) +
       shiftleft(xxhash64(txnId).bitwiseAND(lit(0xFFFFL)), 16) +
       shiftleft(page.cast(LongType), 10) + pos.cast(LongType)
+    when(inBudget, packed).otherwise(raise_error(format_string(
+      "envelope LSN field out of budget: created_at=%s (2020..2088 epoch-s), " +
+        "batch_page=%s (< 64), position=%s (< 1024)",
+      createdAt, page, pos)).cast(LongType))
+  }
 
   /**
    * Parse raw JSON-line messages (`value: string`) into typed change events —

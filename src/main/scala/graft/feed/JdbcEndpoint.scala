@@ -38,15 +38,21 @@ object JdbcEndpoint {
       spark: SparkSession, conn: Conn, table: String,
       partitionColumn: String, numPartitions: Int,
       bounds: Option[(Long, Long)] = None): DataFrame = {
-    val (lo, hi) = bounds.getOrElse {
+    val discovered = bounds.orElse {
       // identifier double-quoted: JDBC writers quote column names, so the
       // stored identifier is case-exact (unquoted would fold per dialect)
       val r = spark.read.jdbc(conn.url,
         s"""(SELECT MIN("$partitionColumn") AS lo, MAX("$partitionColumn") AS hi FROM $table) b""",
         conn.props).head()
-      (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())
+      // MIN/MAX are SQL NULL on an empty table — no ranges to split
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
     }
-    spark.read.jdbc(conn.url, table, partitionColumn, lo, hi, numPartitions, conn.props)
+    discovered match {
+      case Some((lo, hi)) =>
+        spark.read.jdbc(conn.url, table, partitionColumn, lo, hi, numPartitions, conn.props)
+      case None => snapshot(spark, conn, table) // empty: plain (empty) read
+    }
   }
 
   /** Bulk insert (reference S6): target table created if absent, rows appended

@@ -113,10 +113,11 @@ final case class Manifest(
     schemas: Seq[GraftSchema],
     /** resolved live files at this snapshot (fold of the fragment list) */
     files: Seq[DataFile],
-    /** all streaming epochs in [-1, epochWatermark] are committed… */
+    /** all streaming epochs in [0, epochWatermark] are committed (-2 = none)… */
     epochWatermark: Long,
-    /** …plus these sparse committed epochs above the watermark (bounded: the
-      * watermark absorbs contiguous runs, so this only holds gap stragglers) */
+    /** …plus these sparse committed epochs outside the watermark range
+      * (bounded: the watermark absorbs contiguous runs from 0, so this only
+      * holds gap stragglers plus the single fullLoad epoch -1 when present) */
     recentEpochs: Set[Long],
     metrics: Map[String, Long],
     /** merge keys — required for read-time LWW resolution of delta files */
@@ -132,9 +133,10 @@ final case class Manifest(
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
   def isCommittedEpoch(e: Long): Boolean =
-    (e >= -1 && e <= epochWatermark) || recentEpochs.contains(e)
+    (e >= 0 && e <= epochWatermark) || recentEpochs.contains(e)
   def committedEpochCount: Long =
-    math.max(0L, epochWatermark + 2) + recentEpochs.count(_ > epochWatermark)
+    math.max(0L, epochWatermark + 1) +
+      recentEpochs.count(e => e < 0 || e > epochWatermark)
 }
 
 object ManifestJson {
@@ -346,12 +348,16 @@ class LakeTable(val dir: String) {
   }
 
   /** Advance the epoch watermark: contiguous committed epochs collapse into it,
-    * keeping the sparse `recentEpochs` set bounded. Maintenance commits
-    * (epoch < -1) are not replayed through the stream, need no dedup, and are
-    * not recorded. */
+    * keeping the sparse `recentEpochs` set bounded. Streaming epochs are
+    * contiguous from 0, so absorption always starts there; epoch -1 (fullLoad)
+    * is never absorbed — it stays in `recentEpochs` as one bounded entry, so a
+    * CDC-only table (no fullLoad, first commit = epoch 0) advances the
+    * watermark too instead of growing `recentEpochs` forever. Maintenance
+    * commits (epoch < -1) are not replayed through the stream, need no dedup,
+    * and are not recorded. */
   private def advanceEpochs(m: Manifest, epoch: Long): Manifest = {
     if (epoch < -1) return m
-    var wm = m.epochWatermark
+    var wm = math.max(m.epochWatermark, -1L)
     var recent = m.recentEpochs + epoch
     while (recent.contains(wm + 1)) { wm += 1; recent -= wm }
     m.copy(epochWatermark = wm, recentEpochs = recent)

@@ -74,8 +74,11 @@ object Similarity {
     var cents = corpus
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(cells)
+      // read generically: the NearestCells/VecElem kernels accept any numeric
+      // array element type, so centroid init must too (array<double>/<int>
+      // embeddings would ClassCastException on a hardcoded getSeq[Float])
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
       .map(normalize)
     for (_ <- 0 until iters) {
       val dims = corpus

@@ -85,6 +85,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
   }
 
+  test("CDC-only table (no fullLoad) advances the epoch watermark too") {
+    import org.apache.spark.sql.types._
+    val lake = new graft.lake.LakeTable(tmpDir("graft-maint-cdconly") + "/t")
+    lake.create(StructType(Seq(StructField("doc_id", StringType))), buckets = 2,
+      keyCols = Seq("doc_id"))
+    // streaming epochs 0..4 arrive with no epoch -1 ever committed (CDC-only
+    // start modes: startFromWal / startFromEnvelopes / replication_type=cdc)
+    (0L to 4L).foreach(e => lake.commit(e, Nil, Set.empty))
+    val m = lake.manifest
+    assert(m.epochWatermark == 4 && m.recentEpochs.isEmpty,
+      s"watermark absorbs from epoch 0 without a fullLoad: " +
+        s"wm=${m.epochWatermark} recent=${m.recentEpochs}")
+    assert((0L to 4L).forall(m.isCommittedEpoch) && !m.isCommittedEpoch(-1) &&
+      !m.isCommittedEpoch(5))
+    // an out-of-order straggler stays sparse until its gap fills
+    lake.commit(7L, Nil, Set.empty)
+    assert(lake.manifest.recentEpochs == Set(7L))
+    lake.commit(5L, Nil, Set.empty)
+    lake.commit(6L, Nil, Set.empty)
+    val m2 = lake.manifest
+    assert(m2.epochWatermark == 7 && m2.recentEpochs.isEmpty)
+  }
+
   test("commit cost is O(epoch files): snapshot JSON carries no file list; " +
     "fragments are immutable; epoch watermark collapses the committed set") {
     val root = tmpDir("graft-maint-frag")
@@ -99,8 +122,9 @@ class MaintenanceSpec extends SparkSpec {
     CdcRunner.runAvailableNow(spark, cfg)
 
     val m = lake.manifest
-    // watermark absorbed the contiguous epochs -1,0,1,…: sparse set empty
-    assert(m.epochWatermark >= 0 && m.recentEpochs.isEmpty,
+    // watermark absorbed the contiguous streaming epochs 0,1,…; the fullLoad
+    // epoch -1 stays as the single bounded sparse entry
+    assert(m.epochWatermark >= 0 && m.recentEpochs == Set(-1L),
       s"wm=${m.epochWatermark} recent=${m.recentEpochs}")
     assert(m.isCommittedEpoch(-1) && m.isCommittedEpoch(0))
     assert(!m.isCommittedEpoch(m.epochWatermark + 1))

@@ -34,6 +34,26 @@ class EnvelopeSpec extends SparkSpec {
     assert(parsed.select("txn_id").distinct().count() == 1)
   }
 
+  test("packed-LSN field budgets are enforced, not silently bled into") {
+    def msg(createdAt: Long, page: Int): String =
+      s"""{"source_database_type":"postgresql","transaction_id":"t1",""" +
+        s""""created_at":$createdAt,"batch_page":$page,"batch_size":1,""" +
+        s""""operations":[{"schema_name":"s","table_name":"t","operation":"insert",""" +
+        s""""columns":[{"name":"doc_id","type":"varchar","value":"d-1"}]}]}"""
+    val pl = StructType(Seq(StructField("doc_id", StringType)))
+    def parseOne(j: String) = {
+      import spark.implicits._
+      EnvelopeSource.parse(Seq(j).toDF("value"), pl).select("lsn").collect()
+    }
+    // in budget: fine
+    assert(parseOne(msg(1700000000L, 3)).length == 1)
+    // page ≥ 64 would corrupt the txn-hash bits; created_at past 2088 (or the
+    // pre-2020 base) would overflow the seconds field — both must fail loudly
+    intercept[Exception](parseOne(msg(1700000000L, 64)))
+    intercept[Exception](parseOne(msg(1500000000L, 0)))
+    intercept[Exception](parseOne(msg(1577836800L + (1L << 31), 0)))
+  }
+
   test("e2e: envelope bus feed → streaming parse → upsert merge == direct pipeline") {
     val root = tmpDir("graft-env-e2e")
     val events = ChangeFeed.events(spark,

@@ -78,4 +78,12 @@ class JdbcSpec extends SparkSpec {
     JdbcEndpoint.bulkInsert(state, conn, "TGT_DOCS", overwrite = true)
     assert(JdbcEndpoint.snapshot(spark, conn, "TGT_DOCS").count() == 50)
   }
+
+  test("partitioned snapshot of an empty table: bounds are NULL, falls back clean") {
+    JdbcEndpoint.bulkInsert(
+      spark.range(0).select(col("id").as("seq"), lit("x").as("v")), conn, "EMPTY_T")
+    val df = JdbcEndpoint.snapshotPartitioned(spark, conn, "EMPTY_T",
+      partitionColumn = "seq", numPartitions = 4)
+    assert(df.count() == 0, "empty table reads as empty, no NPE on NULL min/max")
+  }
 }

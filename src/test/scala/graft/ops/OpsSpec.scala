@@ -179,6 +179,17 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsOf("CODEGEN_ONLY") == cellsOf("NO_CODEGEN"))
   }
 
+  test("trainCentroids accepts any numeric array element type (not just float)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val asDouble = emb.withColumn("embedding", col("embedding").cast("array<double>"))
+    val cf = Similarity.trainCentroids(emb, cells = 4, iters = 1)
+    val cd = Similarity.trainCentroids(asDouble, cells = 4, iters = 1)
+    assert(cf.length == 4 && cd.length == 4)
+    // float→double widening is exact, so the codebooks agree
+    assert(cf.flatten.toSeq == cd.flatten.toSeq)
+  }
+
   test("hyperplane signature: codegen and interpreted paths agree") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), Similarity.hyperplaneSignature(col("embedding"), 16).as("sig"))
