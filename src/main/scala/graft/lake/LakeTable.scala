@@ -247,6 +247,30 @@ object LakeTable {
   /** One shared Configuration for footer reads — constructing one per file
     * would dominate the metadata pass (XML resource loading). */
   lazy val sharedHadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Allocation-free per-row key equality for the sorted bucket-local folds.
+    * Lives on the companion so the executor-side fold closures stay static —
+    * an instance method would drag the (non-serializable) LakeTable into the
+    * task closure. */
+  private[lake] def sameKey(keyIdx: Array[Int],
+      a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Boolean = {
+    var i = 0
+    while (i < keyIdx.length) {
+      val x = a.get(keyIdx(i)); val y = b.get(keyIdx(i))
+      if (if (x == null) y != null else x != y) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Result of [[LakeTable.reconcile]]: committed streaming epochs with no
+  * lineage record, and metric keys whose per-epoch lineage sum disagrees with
+  * the manifest's cumulative value (manifest total, lineage sum). */
+final case class ReconcileReport(
+    missingLineage: Seq[Long],
+    mismatchedMetrics: Map[String, (Long, Long)]) {
+  def ok: Boolean = missingLineage.isEmpty && mismatchedMetrics.isEmpty
 }
 
 class LakeTable(val dir: String) {
@@ -462,10 +486,10 @@ class LakeTable(val dir: String) {
     else df
 
   /**
-   * Merge-on-read resolution: collapse base + delta rows to the per-key
-   * latest-LSN record. Only applied when the file set actually contains
-   * deltas — a pure-CoW snapshot reads with zero overhead. Map-side partial
-   * max_by bounds the shuffle (one row per key per map task).
+   * Merge-on-read resolution (single-bucket file sets, e.g. point lookups):
+   * collapse base + delta rows to the per-key latest-LSN record. Map-side
+   * partial max_by bounds the shuffle. Whole-table reads use the bucket-local
+   * zero-shuffle path in [[readResolved]] instead.
    */
   private def resolveLww(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, s"lake table at $dir has delta files but no key_cols")
@@ -476,9 +500,10 @@ class LakeTable(val dir: String) {
   }
 
   /**
-   * SCD2 resolution: rebuild every key's version chain from base + delta
-   * version rows — the same LSN-ordered window the write path uses, so folding
-   * is read-equivalent. Idempotent over already-chained base rows.
+   * SCD2 resolution (single-bucket file sets, e.g. point lookups): rebuild
+   * every key's version chain from base + delta version rows — the same
+   * LSN-ordered window the write path uses, so folding is read-equivalent.
+   * Idempotent over already-chained base rows.
    */
   private def rebuildScd2(df: DataFrame, m: Manifest): DataFrame = {
     require(m.scdCols.size == 3, s"lake table at $dir has scd2 deltas but no scd_cols")
@@ -491,11 +516,100 @@ class LakeTable(val dir: String) {
       .withColumn(cur, when(nextStart.isNull && !col("_deleted"), lit(1)).otherwise(lit(0)))
   }
 
+  /**
+   * Sort each partition by (keys, _lsn) and fold it with one streaming pass.
+   * Callers guarantee every partition is bucket-complete (all of a bucket's
+   * files in exactly one partition), so all of a key's rows are present and,
+   * after the in-partition sort, adjacent — no Exchange is needed anywhere.
+   * Memory is bounded by Spark's spillable sort plus a one-row lookahead, not
+   * by a per-bucket hash map.
+   */
+  private def foldSortedPartitions(df: DataFrame, keys: Seq[String])(
+      fold: (Array[Int], Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    df.sortWithinPartitions((keys :+ "_lsn").map(col): _*)
+      .mapPartitions(it => fold(keyIdx, it))(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  import LakeTable.sameKey
+
+  /** Bucket-local LWW fold: per key (consecutive after the sort) keep the
+    * last = max-`_lsn` row. Equal to [[resolveLww]] without its shuffle. */
+  private def resolveLwwLocal(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, s"lake table at $dir has delta files but no key_cols")
+    foldSortedPartitions(df, keys) { (keyIdx, it0) =>
+      val it = it0.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          var last = it.next()
+          while (it.hasNext && sameKey(keyIdx, it.head, last)) last = it.next()
+          last
+        }
+      }
+    }
+  }
+
+  /** Bucket-local SCD2 chain rebuild: per key (consecutive after the sort,
+    * LSN-ordered) set end_date = next version's start and flag the last
+    * non-deleted version current; re-delivered (key, _lsn) duplicates are
+    * dropped. Equal to [[rebuildScd2]] without its shuffle. */
+  private def rebuildScd2Local(df: DataFrame, m: Manifest): DataFrame = {
+    require(m.scdCols.size == 3, s"lake table at $dir has scd2 deltas but no scd_cols")
+    val schema = df.schema
+    val Seq(startC, endC, curC) = m.scdCols
+    val si = schema.fieldIndex(startC)
+    val ei = schema.fieldIndex(endC)
+    val ci = schema.fieldIndex(curC)
+    val li = schema.fieldIndex("_lsn")
+    val di = schema.fieldIndex("_deleted")
+    foldSortedPartitions(df, m.keyCols) { (keyIdx, it0) =>
+      val it = it0.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          val lsn = r.getLong(li)
+          // at-least-once upstream: drop re-delivered copies of this version
+          while (it.hasNext && it.head.getLong(li) == lsn &&
+            sameKey(keyIdx, it.head, r)) it.next()
+          val nextSameKey = it.hasNext && sameKey(keyIdx, it.head, r)
+          val vals = r.toSeq.toArray
+          vals(ei) = if (nextSameKey) it.head.get(si) else null
+          val deleted = !r.isNullAt(di) && r.getBoolean(di)
+          vals(ci) = if (!nextSameKey && !deleted) 1 else 0
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }
+  }
+
+  /**
+   * Read a file set with merge-on-read deltas resolved. Data files are
+   * disjoint by bucket (hidden hash partitioning), so every key's rows —
+   * base + deltas — live in one bucket's file set: each delta-bearing
+   * bucket's files are read as ONE Spark partition (narrow coalesce, no
+   * shuffle) and folded inside the partition. The read plan of a 100 TB MoR
+   * table therefore contains ZERO Exchange — the previous groupBy/Window
+   * resolution re-shuffled every row by key on every read. Buckets without
+   * deltas skip the fold entirely (plain multi-file scan); a pure-CoW
+   * snapshot reads with zero overhead. The one-task-per-bucket granularity
+   * is the same contract the write/compaction path already has (a bucket is
+   * sized to one task).
+   */
   private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
-    val df = readFiles(spark, m, files)
-    if (!files.exists(_.isDelta)) df
-    else if (m.tableMode == Manifest.SCD2) rebuildScd2(df, m)
-    else resolveLww(df, m.keyCols)
+    val deltaBuckets = files.filter(_.isDelta).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return readFiles(spark, m, files)
+    val (hot, cold) = files.partition(f => deltaBuckets.contains(f.bucket))
+    val unioned = hot.groupBy(_.bucket).values
+      .map(fs => readFiles(spark, m, fs).coalesce(1))
+      .reduce(_ unionAll _)
+    val resolved =
+      if (m.tableMode == Manifest.SCD2) rebuildScd2Local(unioned, m)
+      else resolveLwwLocal(unioned, m.keyCols)
+    if (cold.isEmpty) resolved else resolved.unionByName(readFiles(spark, m, cold))
   }
 
   /** Read the whole table at the current snapshot/schema (tombstones hidden,
@@ -556,6 +670,49 @@ class LakeTable(val dir: String) {
     Files.write(tmp, JsonMethods.pretty(JsonMethods.render(j)).getBytes)
     Files.move(tmp, dirP.resolve(s"epoch=$epoch.json"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /**
+   * Reconciliation check — the reference's replication-stats audit
+   * (SQL_GET_MESSAGES_STATS over stats_cdc/stats_message,
+   * trempy/Metadata/Query.py:141-150): every commit writes a per-epoch
+   * lineage record with its metric deltas, so summing all lineage records
+   * must reproduce the manifest's cumulative metrics exactly, and every
+   * committed streaming epoch must have a record. A disagreement means a
+   * commit path half-completed (e.g. crash between the manifest move and the
+   * lineage write) or someone tampered with the audit trail — either way the
+   * table needs operator attention before trusting downstream counts.
+   */
+  def reconcile(): ReconcileReport = {
+    implicit val fmt: Formats = DefaultFormats
+    val m = manifest
+    val lineageDir = Paths.get(dir, "lineage")
+    val perEpoch: Map[Long, Map[String, Long]] =
+      if (!Files.exists(lineageDir)) Map.empty
+      else scala.util.Using.resource(Files.list(lineageDir)) { ls =>
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.matches("epoch=-?\\d+\\.json"))
+          .map { p =>
+            val j = JsonMethods.parse(new String(Files.readAllBytes(p)))
+            val metrics = (j \ "metrics") match {
+              case JObject(kvs) => kvs.map { case (k, v) => k -> v.extract[Long] }.toMap
+              case _ => Map.empty[String, Long]
+            }
+            (j \ "epoch").extract[Long] -> metrics
+          }.toMap
+      }
+    val committed: Seq[Long] =
+      ((0L to m.epochWatermark) ++ m.recentEpochs.toSeq).distinct
+    val missing = committed.filterNot(perEpoch.contains).sorted
+    val sums = perEpoch.values.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (k, kvs) => k -> kvs.map(_._2).sum }
+    val mismatched = (m.metrics.keySet ++ sums.keySet).flatMap { k =>
+      val manifestTotal = m.metrics.getOrElse(k, 0L)
+      val lineageSum = sums.getOrElse(k, 0L)
+      if (manifestTotal == lineageSum) None
+      else Some(k -> ((manifestTotal, lineageSum)))
+    }.toMap
+    ReconcileReport(missing, mismatched)
   }
 
   // ── maintenance: compaction + vacuum (mandatory at 10^10-event scale, where

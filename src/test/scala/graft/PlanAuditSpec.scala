@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
       s"small query side broadcast:\n$p")
   }
 
-  test("merge-on-read resolution: partial max_by, and pure-CoW reads skip the agg") {
+  test("merge-on-read resolution is bucket-local: zero Exchange in the read plan; " +
+    "pure-CoW reads skip the fold") {
     import graft.feed.ChangeFeed
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
@@ -52,13 +53,20 @@ class PlanAuditSpec extends SparkSpec {
     CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 20), cfg)
     CdcRunner.runAvailableNow(spark, cfg)
     assert(lake.manifest.hasDeltas)
+    // files are disjoint by bucket, so resolution needs no data movement:
+    // each bucket's files read as one partition (narrow Coalesce) + an
+    // in-partition sorted fold — a key-hash Exchange here would re-shuffle
+    // the whole table on every read at 100 TB scale
     val morPlan = lake.read(spark).queryExecution.executedPlan.toString
-    assert(morPlan.contains("partial_max_by") || morPlan.contains("ObjectHashAggregate"),
-      s"delta resolution is a two-phase hash agg:\n$morPlan")
+    assert(!morPlan.contains("Exchange"),
+      s"delta-bearing read has NO shuffle (bucket-local fold):\n$morPlan")
+    assert(morPlan.contains("MapPartitions") && morPlan.contains("Coalesce"),
+      s"bucket-coalesced in-partition fold present:\n$morPlan")
     // folding the deltas removes the resolution from the read plan entirely
     lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
     val cowPlan = lake.read(spark).queryExecution.executedPlan.toString
-    assert(!cowPlan.contains("max_by"), s"pure-CoW read has no aggregation:\n$cowPlan")
+    assert(!cowPlan.contains("MapPartitions") && !cowPlan.contains("Exchange"),
+      s"pure-CoW read is a plain pruned scan:\n$cowPlan")
   }
 
   test("LWW reduction uses partial aggregation (map-side combine)") {
