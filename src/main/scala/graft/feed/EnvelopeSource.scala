@@ -112,22 +112,75 @@ object EnvelopeSource {
       .filter(col("schema_name") === schemaName && col("table_name") === tableName)
       .drop("schema_name", "table_name")
 
+  /** Kafka-frame adapter: a `format("kafka")` source yields
+    * (key/value: binary, topic, partition, offset, timestamp, …) — decode
+    * `value` and share [[parse]]. Everything below the source line is
+    * identical to the JSON-lines bus. */
+  def parseKafka(raw: DataFrame, payload: StructType, schemaVer: Int = 1): DataFrame =
+    parse(raw.select(col("value").cast(StringType).as("value")), payload, schemaVer)
+
+  /** [[parseKafka]] + single-table routing (see [[parseForTable]]). */
+  def parseKafkaForTable(
+      raw: DataFrame, payload: StructType,
+      schemaName: String, tableName: String, schemaVer: Int = 1): DataFrame =
+    parseForTable(raw.select(col("value").cast(StringType).as("value")),
+      payload, schemaName, tableName, schemaVer)
+
+  /** PG-ish wire type name for a payload column (cosmetic — the consumer
+    * types from its declared payload schema, like the reference). */
+  private def wireType(dt: DataType): String = dt match {
+    case StringType           => "varchar"
+    case IntegerType          => "integer"
+    case LongType             => "bigint"
+    case DoubleType           => "double precision"
+    case FloatType            => "real"
+    case BooleanType          => "boolean"
+    case TimestampType        => "timestamp"
+    case DateType             => "date"
+    case ArrayType(et, _)     => s"${wireType(et)}[]"
+    case other                => other.simpleString
+  }
+
   /** Serialize change events INTO envelope messages (the producer half) —
     * used to build reference-format feeds and to test round-trips. One message
-    * per (created_at, batch_page); `batchSize` ops per page. */
+    * per (created_at, batch_page); `batchSize` ops per page, pages in LSN
+    * order. Array columns serialize as PG array literals (`{1,2,3}`), the
+    * format [[WalParser.castToken]] decodes.
+    *
+    * The global page numbering is computed DISTRIBUTED: range-partition by
+    * LSN + per-partition indices offset by `zipWithIndex` — no
+    * whole-feed single-partition window (which would serialize the producer
+    * at scale). */
   def toMessages(
       events: DataFrame, schemaName: String, tableName: String,
       batchSize: Int = 1000): DataFrame = {
-    val ev = events
-      .withColumn("_rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col(graft.model.ChangeEvent.LSN))) - 1)
-      .withColumn("batch_page", (col("_rn") / batchSize).cast(IntegerType))
+    val spark = events.sparkSession
+    val lsnCol = graft.model.ChangeEvent.LSN
     val payloadCols = events.columns
       .filterNot(graft.model.ChangeEvent.envelopeFields.map(_.name).contains).toSeq
-    val colEntries = array(payloadCols.map(c =>
-      struct(lit(c).as("name"), lit("varchar").as("type"),
-        col(c).cast(StringType).as("value"))): _*)
+    // global dense rank by LSN without a single-partition exchange:
+    // range-partition (globally ordered partitions) + partition-local sort,
+    // then zipWithIndex (one extra count job, no shuffle)
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = events
+      .repartitionByRange(parts, col(lsnCol))
+      .sortWithinPartitions(lsnCol)
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      sorted.schema.add("_rn", LongType))
+    val ev = indexed.withColumn("batch_page", (col("_rn") / batchSize).cast(IntegerType))
+    val colEntries = array(payloadCols.map { c =>
+      val dt = events.schema(c).dataType
+      val valueStr = dt match {
+        case ArrayType(_, _) =>
+          when(col(c).isNull, lit(null).cast(StringType)).otherwise(concat(
+            lit("{"), array_join(col(c).cast(ArrayType(StringType)), ","), lit("}")))
+        case _ => col(c).cast(StringType)
+      }
+      struct(lit(c).as("name"), lit(wireType(dt)).as("type"), valueStr.as("value"))
+    }: _*)
     val opRow = struct(
       lit(schemaName).as("schema_name"), lit(tableName).as("table_name"),
       lower(col(graft.model.ChangeEvent.OP)).as("operation"),

@@ -521,6 +521,29 @@ object Queries {
         .orderBy("lsn")
     }),
 
+    // §2.1 S4 (wire format): the reference's RabbitMQ envelope JSON — producer
+    // serialization (PG array literals, page batching) → consumer parse
+    // (from_json + explode, typed cast, packed arrival-order LSN). The oracle
+    // recomputes the packed LSNs and typed rows directly from events: a hard
+    // driver signal on both envelope halves. Restricted to lsn<5000 so the
+    // single-capture-cycle page count stays inside the enforced 6-bit budget
+    // at every sf.
+    "q_source_envelope" -> ((s, dir) => {
+      import graft.feed.EnvelopeSource
+      val feed = feedFromEvents(s, dir).filter(col(ChangeEvent.LSN) < 5000)
+      val messages = EnvelopeSource.toMessages(feed, "corpus", "documents", batchSize = 100)
+      val payload = StructType(Seq(
+        StructField("doc_id", StringType),
+        StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", IntegerType),
+        StructField("source", StringType)))
+      EnvelopeSource.parseForTable(messages, payload, "corpus", "documents")
+        .select(col("lsn"), col("txn_id"), col("op"), col("ts"), col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("lsn")
+    }),
+
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
     "q_source_fullload" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft-q-fl").toString
@@ -693,6 +716,23 @@ object Queries {
     "q_source_fullload" ->
       """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin,
 
+    // expected parse of the synthesized envelope bus: packed arrival-order LSN
+    // ((created_at−base)≪32 | txnhash16≪16 | page≪10 | pos) recomputed from
+    // the events' global lsn rank; typed payload refolded from events
+    "q_source_envelope" ->
+      s"""WITH ev AS ($feedSql),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY lsn) - 1 AS rn
+         |  FROM ev WHERE lsn < 5000)
+         |SELECT $ENV_LSN_BASE + (rn // 100) * 1024 + (rn % 100) AS lsn,
+         |  CAST($ENV_TXN AS BIGINT) AS txn_id, op,
+         |  TIMESTAMP '2023-11-14 22:13:20' AS ts, doc_id,
+         |  CASE WHEN op='DELETE' THEN NULL
+         |       ELSE array_to_string(${tokensSql("eid", "n_tok")}, ',') END AS tokens_csv,
+         |  CASE WHEN op='DELETE' THEN NULL ELSE n_tok END AS n_tok,
+         |  CASE WHEN op='DELETE' THEN NULL ELSE source END AS source
+         |FROM r ORDER BY lsn""".stripMargin,
+
     // expected typed rows computed directly from events — the parse round-trip
     // must land exactly here
     "q_source_walparse" ->
@@ -849,6 +889,24 @@ object Queries {
         |  least(8, greatest(n_bytes, 1)) AS frames_sampled
         |FROM f ORDER BY media_id""".stripMargin
   )
+
+  /** Spark's xxhash64 of a string at the default seed 42 — computed once so
+    * the DuckDB oracle can carry the envelope txn hash as a literal. */
+  private def xxh64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+  }
+
+  /** toMessages' constant transaction id, hashed the way EnvelopeSource packs
+    * it. `def`, not `val`: oracleSql above interpolates this during object
+    * init, and a val declared below it would still read as 0 there. */
+  private def ENV_TXN: Long = xxh64("abc123")
+
+  /** Packed-LSN constant part for toMessages' fixed (created_at, txn):
+    * (created_at − 2020 base) ≪ 32 | hash16(txn) ≪ 16. */
+  private def ENV_LSN_BASE: Long =
+    ((1700000000L - 1577836800L) << 32) + ((ENV_TXN & 0xFFFFL) << 16)
 
   /** The near-dup corpus both engines use: documents + planted copies. */
   private def dedupCorpusSql: String =

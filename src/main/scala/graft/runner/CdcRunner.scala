@@ -125,26 +125,32 @@ object CdcRunner {
       Map("full_load_rows" -> -1L))
   }
 
+  /** Schema registry: evolve the lake schema for any schema_ver present in
+    * this batch (idempotent — already-applied changes are filtered). Shared
+    * by the single-table foreachBatch and the multi-table router. */
+  def applySchemaRegistry(
+      lake: LakeTable, registry: Map[Int, Seq[SchemaChange]], batch: DataFrame): Unit = {
+    if (registry.isEmpty) return
+    val vers = batch.select(ChangeEvent.SCHEMA_VER).distinct()
+      .collect().map(_.getInt(0)).sorted
+    vers.foreach { v =>
+      registry.get(v).foreach { changes =>
+        val cur = lake.manifest.currentSchema
+        val pending = changes.filter {
+          case AddColumn(n, _, _)   => cur.byName(n).isEmpty
+          case RenameColumn(f, t)   => cur.byName(f).isDefined && cur.byName(t).isEmpty
+          case WidenColumn(n, to)   => cur.byName(n).exists(_.dataType != to)
+        }
+        if (pending.nonEmpty) lake.evolve(pending)
+      }
+    }
+  }
+
   /** The foreachBatch body: schema-registry evolution, then merge-apply. */
   def processBatch(spark: SparkSession, lake: LakeTable, cfg: RunnerConfig)(
       batch: DataFrame, epoch: Long): Unit = {
     if (lake.isCommitted(epoch)) return
-    // schema registry: evolve the lake schema for any schema_ver in this batch
-    if (cfg.schemaRegistry.nonEmpty) {
-      val vers = batch.select(ChangeEvent.SCHEMA_VER).distinct()
-        .collect().map(_.getInt(0)).sorted
-      vers.foreach { v =>
-        cfg.schemaRegistry.get(v).foreach { changes =>
-          val cur = lake.manifest.currentSchema
-          val pending = changes.filter {
-            case AddColumn(n, _, _)   => cur.byName(n).isEmpty
-            case RenameColumn(f, t)   => cur.byName(f).isDefined && cur.byName(t).isEmpty
-            case WidenColumn(n, to)   => cur.byName(n).exists(_.dataType != to)
-          }
-          if (pending.nonEmpty) lake.evolve(pending)
-        }
-      }
-    }
+    applySchemaRegistry(lake, cfg.schemaRegistry, batch)
     MergeApply.applyBatch(spark, lake, batch, epoch, cfg.job)
     // scheduled maintenance: fold deltas / compact small files in-line with the
     // stream (snapshot-isolated; epoch-count cadence keeps read cost bounded)
@@ -202,9 +208,9 @@ object CdcRunner {
 
   /**
    * S4 queue-shaped variant: tail a JSON-lines directory of the reference's
-   * RabbitMQ envelope messages (graft.feed.EnvelopeSource). Swapping the text
-   * source for `readStream.format("kafka")` is a one-line change — the
-   * message format and everything downstream are identical.
+   * RabbitMQ envelope messages (graft.feed.EnvelopeSource). For a real broker
+   * use [[startFromKafka]] — the message format and everything downstream are
+   * identical, only the source line differs.
    */
   def startFromEnvelopes(
       spark: SparkSession, cfg: RunnerConfig,
@@ -221,6 +227,51 @@ object CdcRunner {
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
         val events = EnvelopeSource
           .parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+        processBatch(spark, lake, cfg)(events, epoch)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+  }
+
+  /** True when the spark-sql-kafka connector is on the classpath (NOT bundled
+    * in this sandbox's /opt/spark/jars — a cluster deployment adds it via
+    * --packages, which is all [[startFromKafka]] needs). */
+  def kafkaConnectorPresent: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  /**
+   * S4 with a real broker: tail a Kafka topic of envelope messages — the
+   * reference's RabbitMQ consumer deployment (MessageConsumer.py:33-111),
+   * broker-for-broker. The source line is the ONLY difference from
+   * [[startFromEnvelopes]]: same value-column JSON parse
+   * (EnvelopeSource.parseKafkaForTable), same merge; offsets live in the
+   * checkpoint exactly like file-source offsets, so exactly-once and replay
+   * semantics are identical.
+   */
+  def startFromKafka(
+      spark: SparkSession, cfg: RunnerConfig,
+      brokers: String, topic: String,
+      schemaName: String, tableName: String,
+      startingOffsets: String = "earliest",
+      availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
+    require(kafkaConnectorPresent,
+      "startFromKafka needs the spark-sql-kafka-0-10 connector on the classpath " +
+        "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)")
+    import graft.feed.EnvelopeSource
+    val lake = ensureTable(spark, cfg)
+    val stream = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    val writer = stream.writeStream
+      .queryName(s"graft-kafka-${java.util.UUID.randomUUID().toString.take(8)}")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (raw: DataFrame, epoch: Long) =>
+        val events = EnvelopeSource
+          .parseKafkaForTable(raw, cfg.payloadSchema, schemaName, tableName)
         processBatch(spark, lake, cfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())

@@ -17,21 +17,67 @@ class EnvelopeSpec extends SparkSpec {
     StructField("n_tok", IntegerType),
     StructField("source", StringType)))
 
+  private val payloadWithTokens = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+
   test("round-trip: events → envelope messages → parse == original (arrival order)") {
     val events = ChangeFeed.events(spark,
       ChangeFeed.FeedSpec(nEvents = 500, nDocs = 100))
-      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "tokens", "n_tok", "source")
     val messages = EnvelopeSource.toMessages(events, "corpus", "documents",
       batchSize = 64)
+    // producer page numbering is distributed (range partition + zipWithIndex):
+    // a whole-feed window would single-partition the producer at scale
+    val producerPlan = messages.queryExecution.executedPlan.toString
+    assert(!producerPlan.contains("Window"),
+      s"no global row_number window in the producer plan:\n$producerPlan")
     assert(messages.count() == 8, "500 ops / 64 per page = 8 messages")
-    val parsed = EnvelopeSource.parseForTable(messages, payload, "corpus", "documents")
-    // arrival order preserved: parsed lsn is monotone in original lsn
+    val parsed = EnvelopeSource.parseForTable(messages, payloadWithTokens,
+      "corpus", "documents")
+    // arrival order preserved: parsed lsn is monotone in original lsn;
+    // tokens round-trip through the PG array-literal wire format
     val pairs = parsed.orderBy("lsn")
-      .select("doc_id", "op", "n_tok", "source").collect().map(_.toString)
+      .select("doc_id", "op", "tokens", "n_tok", "source").collect().map(_.toString)
     val want = events.orderBy("lsn")
-      .select("doc_id", "op", "n_tok", "source").collect().map(_.toString)
+      .select("doc_id", "op", "tokens", "n_tok", "source").collect().map(_.toString)
     assert(pairs.sameElements(want), "ops replay in arrival order with typed values")
     assert(parsed.select("txn_id").distinct().count() == 1)
+  }
+
+  test("kafka-shaped frame (binary value + broker metadata) shares the parse") {
+    val events = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 200, nDocs = 50))
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+    val messages = EnvelopeSource.toMessages(events, "corpus", "documents",
+      batchSize = 50)
+    // shape a kafka source batch: binary key/value + topic/partition/offset/ts
+    val kafkaShaped = messages.select(
+      lit(null).cast(BinaryType).as("key"),
+      col("value").cast(BinaryType).as("value"),
+      lit("graft-cdc").as("topic"),
+      lit(0).as("partition"),
+      monotonically_increasing_id().as("offset"),
+      current_timestamp().as("timestamp"),
+      lit(0).as("timestampType"))
+    val viaKafka = EnvelopeSource
+      .parseKafkaForTable(kafkaShaped, payload, "corpus", "documents")
+      .orderBy("lsn").collect().map(_.toString)
+    val direct = EnvelopeSource
+      .parseForTable(messages, payload, "corpus", "documents")
+      .orderBy("lsn").collect().map(_.toString)
+    assert(viaKafka.sameElements(direct), "kafka value decode == text-bus parse")
+    // the sandbox has no connector jar: the entry point must gate loudly
+    if (!graft.runner.CdcRunner.kafkaConnectorPresent) {
+      val e = intercept[IllegalArgumentException] {
+        graft.runner.CdcRunner.startFromKafka(spark,
+          RunnerConfig("/tmp/nofeed", "/tmp/notable", "/tmp/nocp", payloadSchema = payload),
+          "localhost:9092", "graft-cdc", "corpus", "documents")
+      }
+      assert(e.getMessage.contains("spark-sql-kafka"))
+    }
   }
 
   test("packed-LSN field budgets are enforced, not silently bled into") {
