@@ -366,7 +366,12 @@ object MergeApply {
     * whole buckets onto shuffle.partitions slots — at low bucket:core ratios the
     * Poisson collisions leave cores idle and a hot (zipf) bucket becomes one
     * straggler task. The salt splits each bucket across up to WRITE_SALT tasks
-    * (bounded: ≤ WRITE_SALT files per bucket per epoch). */
+    * (bounded: ≤ WRITE_SALT files per bucket per epoch).
+    *
+    * Salt input = ALL merge-key columns (hashing only the first schema field
+    * would collapse the salt whenever that field isn't part of a composite
+    * key), plus `_lsn` for scd2 version rows so one hot key's version HISTORY
+    * — many rows, same key — spreads across salt tasks too. */
   private val WRITE_SALT = 4
   private def writeEpoch(
       spark: SparkSession,
@@ -375,11 +380,16 @@ object MergeApply {
       epoch: Long,
       m: Manifest,
       kind: String = DataFile.BASE): Seq[DataFile] = {
+    val keyCols =
+      if (m.keyCols.nonEmpty) m.keyCols else Seq(m.currentSchema.fields.head.name)
+    val saltCols = keyCols ++
+      (if (m.tableMode == Manifest.SCD2 && merged.columns.contains("_lsn"))
+        Seq("_lsn") else Nil)
     merged
-      // extra lit distinguishes the salt hash from the bucket hash (4 | 64 would
-      // otherwise make salt a pure function of bucket)
+      // extra lit distinguishes the salt hash from the bucket hash (which also
+      // hashes the keys — salt would otherwise be a pure function of bucket)
       .withColumn("_wsalt",
-        pmod(xxhash64(col(m.currentSchema.fields.head.name), lit(7919)), lit(WRITE_SALT)))
+        pmod(xxhash64(saltCols.map(col) :+ lit(7919): _*), lit(WRITE_SALT)))
       .repartition(col("_bucket"), col("_wsalt"))
       .drop("_wsalt")
       .write.mode("overwrite")

@@ -1,6 +1,7 @@
 package graft.feed
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /**
  * JDBC source/target endpoints — the reference's live-database surface:
@@ -64,4 +65,68 @@ object JdbcEndpoint {
       .option("truncate", "true") // reference truncate mode, TableManager.py:28-99
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .jdbc(conn.url, table, conn.props)
+
+  /** ANSI SQL type for a column in the synthesized target DDL. */
+  private def sqlType(dt: DataType, varcharLen: Int): String = dt match {
+    case StringType     => s"VARCHAR($varcharLen)"
+    case IntegerType    => "INTEGER"
+    case LongType       => "BIGINT"
+    case ShortType      => "SMALLINT"
+    case DoubleType     => "DOUBLE"
+    case FloatType      => "REAL"
+    case BooleanType    => "BOOLEAN"
+    case TimestampType  => "TIMESTAMP"
+    case DateType       => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(s"no JDBC target DDL mapping for $other")
+  }
+
+  /**
+   * Synthesize the target CREATE TABLE — the reference's TableCreator
+   * (trempy/Shared/TableCreator.py:20-105): typed columns with explicit
+   * VARCHAR lengths, NOT NULL on key columns, and a PRIMARY KEY clause.
+   * Column identifiers are double-quoted (case-exact, matching what the
+   * Spark JDBC writer emits on insert); the table identifier is left to the
+   * dialect's folding, like [[bulkInsert]]'s auto-created tables.
+   */
+  def createTableDdl(table: String, schema: StructType, keyCols: Seq[String],
+      varcharLen: Int = 255): String = {
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"primary-key column '$k' not in schema"))
+    val cols = schema.fields.map { f =>
+      val notNull = if (keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
+      s""""${f.name}" ${sqlType(f.dataType, varcharLen)}$notNull"""
+    }
+    val pk =
+      if (keyCols.isEmpty) ""
+      else keyCols.mkString(", PRIMARY KEY (\"", "\", \"", "\")")
+    s"CREATE TABLE $table (${cols.mkString(", ")}$pk)"
+  }
+
+  /** Create the target table with its primary key if absent. Returns true
+    * when this call created it. Unlike the writer's auto-created table
+    * (no constraints), a full load lands in a properly keyed target —
+    * reference behavior (TableCreator.py:20-105). */
+  def ensureTable(conn: Conn, table: String, schema: StructType,
+      keyCols: Seq[String], varcharLen: Int = 255): Boolean = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.props)
+    try {
+      val exists = scala.util.Using.resource(
+        c.getMetaData.getTables(null, null, table, null))(_.next())
+      if (!exists)
+        scala.util.Using.resource(c.createStatement())(
+          _.execute(createTableDdl(table, schema, keyCols, varcharLen)))
+      !exists
+    } finally c.close()
+  }
+
+  /** Full load into a keyed JDBC target: DDL with PRIMARY KEY first, then the
+    * paged bulk insert (the reference's create-then-execute_values sequence,
+    * FullLoadHandler.py:32-78). */
+  def fullLoadTo(df: DataFrame, conn: Conn, table: String, keyCols: Seq[String],
+      batchSize: Int = 10000, varcharLen: Int = 255): Unit = {
+    ensureTable(conn, table, df.schema, keyCols, varcharLen)
+    bulkInsert(df, conn, table, batchSize)
+  }
 }

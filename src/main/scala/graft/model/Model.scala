@@ -71,9 +71,11 @@ object CdcMode {
  * scans, but under zipf skew at 10^10-event scale nearly every bucket is
  * touched every epoch and write amplification approaches a full-table rewrite
  * per batch. MergeOnRead writes the reduced change set as per-bucket DELTA
- * files (O(batch) bytes per commit, no base read, no join) and defers the
- * per-key max-LSN resolution to read time + background compaction folding
- * (LakeTable.compact). SCD2 is always CoW (history rewrite semantics).
+ * files (O(batch) bytes per commit, no base read, no join) and defers
+ * resolution to read time + background compaction folding (LakeTable.compact).
+ * Both CDC modes support both strategies: LWW tables resolve deltas by per-key
+ * max-LSN, SCD2 tables commit raw version rows as deltas and rebuild the
+ * end_date/current chain at read time (manifest tableMode picks the fold).
  */
 sealed trait MergeStrategy
 object MergeStrategy {

@@ -35,7 +35,11 @@ object TaskSettings {
       mergeStrategy: MergeStrategy,
       scdCols: ScdCols,
       errorPolicy: ErrorPolicy,
-      tables: Seq[TableRules])
+      tables: Seq[TableRules],
+      /** change-event schema registry (task.schema_versions): schema_ver →
+        * lake-schema evolution steps to apply before merging a batch carrying
+        * that version — evolution is config-contract like every other rule. */
+      schemaRegistry: Map[Int, Seq[graft.lake.SchemaChange]] = Map.empty)
 
   private implicit val fmt: Formats = DefaultFormats
 
@@ -98,6 +102,26 @@ object TaskSettings {
     }
   }
 
+  /** One schema_versions entry: add / rename / widen with PG-style type names
+    * (same vocabulary the create_column contract uses). */
+  private def parseSchemaChange(j: JValue): graft.lake.SchemaChange =
+    (j \ "change_type").extract[String] match {
+      case "add_column" =>
+        graft.lake.AddColumn(
+          (j \ "column_name").extract[String],
+          TransformCompiler.pgType((j \ "data_type").extract[String]))
+      case "rename_column" =>
+        graft.lake.RenameColumn(
+          (j \ "column_name").extract[String],
+          (j \ "target_column_name").extract[String])
+      case "widen_column" =>
+        graft.lake.WidenColumn(
+          (j \ "column_name").extract[String],
+          TransformCompiler.pgType((j \ "data_type").extract[String]))
+      case other =>
+        throw new IllegalArgumentException(s"unknown schema change_type: $other")
+    }
+
   def parse(json: String): Parsed = {
     val j = JsonMethods.parse(json)
     val task = j \ "task"
@@ -150,6 +174,15 @@ object TaskSettings {
         (err \ "stop_if_delete_error").extractOrElse[Boolean](false),
         (err \ "stop_if_upsert_error").extractOrElse[Boolean](false),
         (err \ "stop_if_scd2_error").extractOrElse[Boolean](false)),
-      tables = tables.sortBy(_.priority))
+      tables = tables.sortBy(_.priority),
+      schemaRegistry = (task \ "schema_versions") match {
+        case JObject(vers) => vers.map { case (ver, changes) =>
+          ver.toInt -> (changes match {
+            case JArray(cs) => cs.map(parseSchemaChange)
+            case single     => Seq(parseSchemaChange(single))
+          })
+        }.toMap
+        case _ => Map.empty
+      })
   }
 }

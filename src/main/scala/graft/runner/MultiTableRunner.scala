@@ -102,7 +102,8 @@ object MultiTableRunner {
    * thread-safe). The batch is cached so N tables don't re-read the source
    * files N times.
    */
-  def processBatch(spark: SparkSession, jobs: Seq[TableJob])(
+  def processBatch(spark: SparkSession, jobs: Seq[TableJob],
+      schemaRegistry: Map[Int, Seq[graft.lake.SchemaChange]] = Map.empty)(
       batch: DataFrame, epoch: Long): Unit = {
     import scala.collection.parallel.CollectionConverters._
     def applyOne(tj: TableJob): Unit = {
@@ -111,6 +112,7 @@ object MultiTableRunner {
         .filter(col(SCHEMA_COL) === tj.rules.schemaName &&
           col(TABLE_COL) === tj.rules.tableName)
         .select(cols.map(col): _*)
+      CdcRunner.applySchemaRegistry(tj.lake, schemaRegistry, sub)
       MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job): Unit
     }
     val cache = jobs.size > 1
@@ -138,7 +140,7 @@ object MultiTableRunner {
     val writer = stream.writeStream
       .queryName(s"graft-multi-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch(processBatch(spark, jobs) _)
+      .foreachBatch(processBatch(spark, jobs, cfg.settings.schemaRegistry) _)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(
        Trigger.ProcessingTime(s"${cfg.settings.intervalSeconds} seconds"))).start()

@@ -85,6 +85,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
   }
 
+  test("reconcile: lineage re-sums to the manifest metrics; gaps and tampering flagged") {
+    val root = tmpDir("graft-maint-rec")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2), maxFilesPerTrigger = 1)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 60)),
+      cfg.feedDir, nFiles = 3)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 20), cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    assert(lake.reconcile().ok, s"clean table reconciles: ${lake.reconcile()}")
+
+    // injected mismatch: tamper one epoch's lineage metrics + drop another's
+    val lineageDir = new java.io.File(s"${cfg.tableDir}/lineage")
+    val e1 = new java.io.File(lineageDir, "epoch=1.json")
+    val tampered = java.nio.file.Files.readString(e1.toPath)
+      .replaceFirst(""""applied_inserts"\s*:\s*(\d+)""", "\"applied_inserts\" : 999999")
+    java.nio.file.Files.writeString(e1.toPath, tampered)
+    assert(new java.io.File(lineageDir, "epoch=0.json").delete())
+    val r = lake.reconcile()
+    assert(r.missingLineage == Seq(0L), s"dropped epoch flagged: $r")
+    assert(r.mismatchedMetrics.contains("applied_inserts"), s"tampered sum flagged: $r")
+    assert(!r.ok)
+  }
+
   test("CDC-only table (no fullLoad) advances the epoch watermark too") {
     import org.apache.spark.sql.types._
     val lake = new graft.lake.LakeTable(tmpDir("graft-maint-cdconly") + "/t")

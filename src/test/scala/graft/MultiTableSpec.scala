@@ -160,6 +160,67 @@ class MultiTableSpec extends SparkSpec {
     assert(dept.toSeq == Seq(("d1", "r&d")))
   }
 
+  test("schema_versions in settings.json drive mid-stream lake evolution " +
+    "(config-contract registry, reference task-settings shape)") {
+    val root = tmpDir("graft-multi-evo")
+    val evoJson =
+      """{
+        |  "task": {
+        |    "task_name": "evo_test", "replication_type": "cdc",
+        |    "start_mode": "continue",
+        |    "cdc_settings": { "mode": "upsert" },
+        |    "schema_versions": { "2": [
+        |      { "change_type": "add_column", "column_name": "lang",
+        |        "data_type": "varchar" },
+        |      { "change_type": "rename_column", "column_name": "name",
+        |        "target_column_name": "full_name" } ] }
+        |  },
+        |  "error_handling": {},
+        |  "tables": [ { "schema_name": "hr", "table_name": "employee", "priority": 0 } ]
+        |}""".stripMargin
+    val settings = TaskSettings.parse(evoJson)
+    assert(settings.schemaRegistry(2) == Seq(
+      graft.lake.AddColumn("lang", StringType),
+      graft.lake.RenameColumn("name", "full_name")))
+
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // stage 1: v1 feed (emp_id, name)
+    val payloadsV1 = Map("hr.employee" -> TablePayload(StructType(Seq(
+      StructField("emp_id", StringType), StructField("name", StringType))), Seq("emp_id")))
+    val cfg1 = Config(feedDir = s"$root/feed", lakeRoot = s"$root/lake",
+      checkpointDir = s"$root/cp", settings = settings, payloads = payloadsV1, buckets = 2)
+    val v1Rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "hr", "employee", "e1", "ada"),
+      Row(2L, 2L, ts(2), "INSERT", 1, "hr", "employee", "e2", "bob"))
+    graft.feed.ChangeFeed.writeFeed(spark.createDataFrame(
+      spark.sparkContext.parallelize(v1Rows, 1), MultiTableRunner.feedSchema(cfg1)),
+      cfg1.feedDir, 1)
+    MultiTableRunner.runAvailableNow(spark, cfg1)
+
+    // stage 2 (stream restart, evolved feed contract): v2 events carry the
+    // renamed column + the added one; the registry evolves the lake mid-stream
+    val payloadsV2 = Map("hr.employee" -> TablePayload(StructType(Seq(
+      StructField("emp_id", StringType), StructField("full_name", StringType),
+      StructField("lang", StringType))), Seq("emp_id")))
+    val cfg2 = cfg1.copy(payloads = payloadsV2)
+    val v2Rows = Seq(
+      Row(3L, 3L, ts(3), "UPDATE", 2, "hr", "employee", "e1", "ada lovelace", "en"))
+    graft.feed.ChangeFeed.writeFeed(spark.createDataFrame(
+      spark.sparkContext.parallelize(v2Rows, 1), MultiTableRunner.feedSchema(cfg2)),
+      cfg2.feedDir, 1, append = true)
+    val jobs = MultiTableRunner.runAvailableNow(spark, cfg2)
+
+    val lake = jobs.head.lake
+    val schema = lake.manifest.currentSchema
+    assert(schema.byName("full_name").isDefined && schema.byName("lang").isDefined &&
+      schema.byName("name").isEmpty, s"evolved schema: ${schema.fields.map(_.name)}")
+    val state = lake.read(spark).select("emp_id", "full_name", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(state("e1") == (("ada lovelace", "en")), "v2 update applied post-evolution")
+    // v1-era row projects by field id: old `name` value under `full_name`, lang null
+    assert(state("e2") == (("bob", null)))
+  }
+
   test("examples/settings.json drives full_load_and_cdc: load completes first, " +
     "then the continuous trigger tails at interval_seconds") {
     import graft.feed.ChangeFeed

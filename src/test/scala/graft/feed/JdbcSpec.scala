@@ -79,6 +79,34 @@ class JdbcSpec extends SparkSpec {
     assert(JdbcEndpoint.snapshot(spark, conn, "TGT_DOCS").count() == 50)
   }
 
+  test("target DDL: CREATE TABLE with PRIMARY KEY + varchar lengths, then full load") {
+    val df = spark.range(20).select(
+      concat(lit("k-"), lpad(col("id").cast(StringType), 3, "0")).as("doc_id"),
+      col("id").cast(IntegerType).as("n_tok"),
+      lit("web").as("source"))
+    JdbcEndpoint.fullLoadTo(df, conn, "KEYED_T", keyCols = Seq("doc_id"), varcharLen = 64)
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.props)
+    try {
+      // the PRIMARY KEY clause landed in the Derby catalog
+      val rs = c.getMetaData.getPrimaryKeys(null, null, "KEYED_T")
+      val pkCols = scala.collection.mutable.ListBuffer.empty[String]
+      while (rs.next()) pkCols += rs.getString("COLUMN_NAME")
+      rs.close()
+      assert(pkCols.toList == List("doc_id"), s"pk columns: $pkCols")
+      // explicit varchar length materialized (writer default would be CLOB-ish)
+      val cols = c.getMetaData.getColumns(null, null, "KEYED_T", "doc_id")
+      assert(cols.next() && cols.getInt("COLUMN_SIZE") == 64)
+      cols.close()
+      // key column is NOT NULL
+      val nn = c.getMetaData.getColumns(null, null, "KEYED_T", "doc_id")
+      assert(nn.next() && nn.getString("IS_NULLABLE") == "NO")
+      nn.close()
+    } finally c.close()
+    assert(JdbcEndpoint.snapshot(spark, conn, "KEYED_T").count() == 20)
+    // ensure is idempotent (no duplicate-table error on restart)
+    assert(!JdbcEndpoint.ensureTable(conn, "KEYED_T", df.schema, Seq("doc_id")))
+  }
+
   test("partitioned snapshot of an empty table: bounds are NULL, falls back clean") {
     JdbcEndpoint.bulkInsert(
       spark.range(0).select(col("id").as("seq"), lit("x").as("v")), conn, "EMPTY_T")
