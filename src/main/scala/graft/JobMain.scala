@@ -117,7 +117,8 @@ object JobMain {
             transforms = table.transforms,
             errorPolicy = settings.errorPolicy,
             scdCols = settings.scdCols),
-          payloadSchema = payload)
+          payloadSchema = payload,
+          schemaRegistry = settings.schemaRegistry)
         val lake = CdcRunner.ensureTable(spark, cfg, reload = reload)
         if (settings.replicationType.startsWith("full_load"))
           opt("--snapshot").foreach { snap =>

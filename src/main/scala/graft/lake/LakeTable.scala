@@ -74,10 +74,14 @@ object DataFile {
 final case class DataFile(
     path: String, bucket: Int, schemaId: Int, rows: Long,
     kind: String = DataFile.BASE,
-    /** parquet-footer min/max of the (string-typed) leading merge key —
+    /** parquet-footer min/max of a string-typed leading merge key —
       * intra-bucket file pruning for point lookups */
     minKey: Option[String] = None,
-    maxKey: Option[String] = None) {
+    maxKey: Option[String] = None,
+    /** parquet-footer min/max of an integral-typed leading merge key
+      * (bigint/int doc ids) — same pruning, numeric order */
+    minKeyNum: Option[Long] = None,
+    maxKeyNum: Option[Long] = None) {
   def isDelta: Boolean = kind == DataFile.DELTA
   /** Range check in UNSIGNED UTF-8 byte order — the order parquet binary
     * statistics use. Java String (UTF-16) ordering diverges for
@@ -85,6 +89,10 @@ final case class DataFile(
   def mayContainKey(k: String): Boolean = (minKey, maxKey) match {
     case (Some(lo), Some(hi)) =>
       DataFile.utf8Cmp(lo, k) <= 0 && DataFile.utf8Cmp(k, hi) <= 0
+    case _ => true
+  }
+  def mayContainKeyNum(k: Long): Boolean = (minKeyNum, maxKeyNum) match {
+    case (Some(lo), Some(hi)) => lo <= k && k <= hi
     case _ => true
   }
 }
@@ -128,7 +136,10 @@ final case class Manifest(
       * "scd2" (chain rebuild over version rows) */
     tableMode: String = Manifest.LWW,
     /** scd2 column names (start, end, current) when tableMode == scd2 */
-    scdCols: Seq[String] = Nil) {
+    scdCols: Seq[String] = Nil,
+    /** wall-clock commit time (ms) — metadata only (age-based vacuum
+      * retention); never feeds data or replay decisions */
+    committedAtMs: Long = 0L) {
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
@@ -149,14 +160,18 @@ object ManifestJson {
     "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
     "kind" -> JString(f.kind)) ++
     f.minKey.map(v => "min_key" -> (JString(v): JValue)).toList ++
-    f.maxKey.map(v => "max_key" -> (JString(v): JValue)).toList)
+    f.maxKey.map(v => "max_key" -> (JString(v): JValue)).toList ++
+    f.minKeyNum.map(v => "min_key_num" -> (JLong(v): JValue)).toList ++
+    f.maxKeyNum.map(v => "max_key_num" -> (JLong(v): JValue)).toList)
 
   private def fileFromJson(jf: JValue): DataFile =
     DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
       (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long],
       (jf \ "kind").extractOrElse[String](DataFile.BASE),
       (jf \ "min_key").extractOpt[String],
-      (jf \ "max_key").extractOpt[String])
+      (jf \ "max_key").extractOpt[String],
+      (jf \ "min_key_num").extractOpt[Long],
+      (jf \ "max_key_num").extractOpt[Long])
 
   def writeFragment(fr: ManifestFragment): String =
     JsonMethods.pretty(JsonMethods.render(JObject(
@@ -190,7 +205,8 @@ object ManifestJson {
       "key_cols" -> JArray(m.keyCols.toList.map(JString(_))),
       "fragments" -> JArray(m.fragments.toList.map(JString(_))),
       "table_mode" -> JString(m.tableMode),
-      "scd_cols" -> JArray(m.scdCols.toList.map(JString(_)))
+      "scd_cols" -> JArray(m.scdCols.toList.map(JString(_))),
+      "committed_at_ms" -> JLong(m.committedAtMs)
     )
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -239,7 +255,8 @@ object ManifestJson {
       scdCols = (j \ "scd_cols") match {
         case JArray(cs) => cs.map(_.extract[String])
         case _ => Nil
-      })
+      },
+      committedAtMs = (j \ "committed_at_ms").extractOrElse[Long](0L))
   }
 }
 
@@ -248,16 +265,20 @@ object LakeTable {
     * would dominate the metadata pass (XML resource loading). */
   lazy val sharedHadoopConf = new org.apache.hadoop.conf.Configuration()
 
-  /** Allocation-free per-row key equality for the sorted bucket-local folds.
+  /** Per-row key equality over InternalRows for the sorted bucket-local
+    * folds (UTF8String/primitive internal values — no external conversion).
     * Lives on the companion so the executor-side fold closures stay static —
     * an instance method would drag the (non-serializable) LakeTable into the
     * task closure. */
-  private[lake] def sameKey(keyIdx: Array[Int],
-      a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Boolean = {
+  private[lake] def sameKey(keyIdx: Array[Int], keyTypes: Array[DataType],
+      a: org.apache.spark.sql.catalyst.InternalRow,
+      b: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
     var i = 0
     while (i < keyIdx.length) {
-      val x = a.get(keyIdx(i)); val y = b.get(keyIdx(i))
-      if (if (x == null) y != null else x != y) return false
+      val o = keyIdx(i)
+      val an = a.isNullAt(o); val bn = b.isNullAt(o)
+      if (an != bn) return false
+      if (!an && a.get(o, keyTypes(i)) != b.get(o, keyTypes(i))) return false
       i += 1
     }
     true
@@ -336,7 +357,9 @@ class LakeTable(val dir: String) {
     keyCols.map(k => s"parquet.bloom.filter.enabled#$k" -> "true").toMap
 
   // ── atomic commit: tmp + ATOMIC_MOVE; version rename is the serialization point ──
-  private def writeManifest(m: Manifest, fragment: Option[ManifestFragment]): Unit = {
+  private def writeManifest(m0: Manifest, fragment: Option[ManifestFragment]): Unit = {
+    // commit wall-clock stamp: metadata for age-based vacuum retention only
+    val m = m0.copy(committedAtMs = System.currentTimeMillis())
     Files.createDirectories(manifestsDir)
     fragment.foreach { fr =>
       val name = f"mf-${fr.seq}%06d.json"
@@ -517,35 +540,47 @@ class LakeTable(val dir: String) {
   }
 
   /**
-   * Sort each partition by (keys, _lsn) and fold it with one streaming pass.
-   * Callers guarantee every partition is bucket-complete (all of a bucket's
-   * files in exactly one partition), so all of a key's rows are present and,
-   * after the in-partition sort, adjacent — no Exchange is needed anywhere.
-   * Memory is bounded by Spark's spillable sort plus a one-row lookahead, not
-   * by a per-bucket hash map.
+   * Sort each partition by (keys, _lsn) and fold it with one streaming pass
+   * at the INTERNAL-row layer (the external Row codec's per-element array
+   * conversion costs ~4× on token-array tables; measured 105s vs ~30s on the
+   * 20M-event compaction fold). Callers guarantee every partition is
+   * bucket-complete (all of a bucket's files in exactly one partition), so
+   * all of a key's rows are present and, after the in-partition sort,
+   * adjacent — no Exchange is needed anywhere. Memory is bounded by Spark's
+   * spillable sort plus a one-row lookahead, not by a per-bucket hash map.
+   *
+   * Fold contract: scan/sort iterators REUSE row buffers — a fold must
+   * `copy()` any row it retains past the next `next()`/`head` advance.
    */
   private def foldSortedPartitions(df: DataFrame, keys: Seq[String])(
-      fold: (Array[Int], Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row])
-      : DataFrame = {
+      mkFold: (Array[Int], Array[DataType]) =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+          Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
     val schema = df.schema
     val keyIdx = keys.map(schema.fieldIndex).toArray
-    df.sortWithinPartitions((keys :+ "_lsn").map(col): _*)
-      .mapPartitions(it => fold(keyIdx, it))(org.apache.spark.sql.Encoders.row(schema))
+    val keyTypes = keyIdx.map(i => schema(i).dataType)
+    val sorted = df.sortWithinPartitions((keys :+ "_lsn").map(col): _*)
+    val rdd = sorted.queryExecution.toRdd
+      .mapPartitions(mkFold(keyIdx, keyTypes), preservesPartitioning = true)
+    org.apache.spark.sql.graftbridge.Bridge
+      .internalCreateDataFrame(df.sparkSession, rdd, schema)
   }
 
   import LakeTable.sameKey
+  import org.apache.spark.sql.catalyst.InternalRow
 
   /** Bucket-local LWW fold: per key (consecutive after the sort) keep the
     * last = max-`_lsn` row. Equal to [[resolveLww]] without its shuffle. */
   private def resolveLwwLocal(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, s"lake table at $dir has delta files but no key_cols")
-    foldSortedPartitions(df, keys) { (keyIdx, it0) =>
+    foldSortedPartitions(df, keys) { (keyIdx, keyTypes) => it0 =>
       val it = it0.buffered
-      new Iterator[org.apache.spark.sql.Row] {
+      new Iterator[InternalRow] {
         def hasNext: Boolean = it.hasNext
-        def next(): org.apache.spark.sql.Row = {
-          var last = it.next()
-          while (it.hasNext && sameKey(keyIdx, it.head, last)) last = it.next()
+        def next(): InternalRow = {
+          var last = it.next().copy() // row buffers are reused; own what we keep
+          while (it.hasNext && sameKey(keyIdx, keyTypes, it.head, last))
+            last = it.next().copy()
           last
         }
       }
@@ -560,27 +595,38 @@ class LakeTable(val dir: String) {
     require(m.scdCols.size == 3, s"lake table at $dir has scd2 deltas but no scd_cols")
     val schema = df.schema
     val Seq(startC, endC, curC) = m.scdCols
+    val fieldTypes = schema.fields.map(_.dataType)
     val si = schema.fieldIndex(startC)
     val ei = schema.fieldIndex(endC)
     val ci = schema.fieldIndex(curC)
     val li = schema.fieldIndex("_lsn")
     val di = schema.fieldIndex("_deleted")
-    foldSortedPartitions(df, m.keyCols) { (keyIdx, it0) =>
+    val n = schema.size
+    foldSortedPartitions(df, m.keyCols) { (keyIdx, keyTypes) => it0 =>
       val it = it0.buffered
-      new Iterator[org.apache.spark.sql.Row] {
+      new Iterator[InternalRow] {
         def hasNext: Boolean = it.hasNext
-        def next(): org.apache.spark.sql.Row = {
-          val r = it.next()
+        def next(): InternalRow = {
+          val r = it.next().copy() // owned: values below view into this buffer
           val lsn = r.getLong(li)
           // at-least-once upstream: drop re-delivered copies of this version
           while (it.hasNext && it.head.getLong(li) == lsn &&
-            sameKey(keyIdx, it.head, r)) it.next()
-          val nextSameKey = it.hasNext && sameKey(keyIdx, it.head, r)
-          val vals = r.toSeq.toArray
-          vals(ei) = if (nextSameKey) it.head.get(si) else null
+            sameKey(keyIdx, keyTypes, it.head, r)) it.next()
+          val nextSameKey = it.hasNext && sameKey(keyIdx, keyTypes, it.head, r)
+          val vals = new Array[Any](n)
+          var i = 0
+          while (i < n) {
+            vals(i) = if (r.isNullAt(i)) null else r.get(i, fieldTypes(i))
+            i += 1
+          }
+          // next version's start is a primitive (timestamp micros) — safe to
+          // read from the peeked (reused) row without copying it
+          vals(ei) =
+            if (nextSameKey && !it.head.isNullAt(si)) it.head.get(si, fieldTypes(si))
+            else null
           val deleted = !r.isNullAt(di) && r.getBoolean(di)
           vals(ci) = if (!nextSameKey && !deleted) 1 else 0
-          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         }
       }
     }
@@ -750,10 +796,15 @@ class LakeTable(val dir: String) {
     if (oversized.isEmpty) return m
     val epoch = maintenanceEpoch(m)
     // bucket comes from the manifest (keys may be composite): read per bucket,
-    // tag with its literal id, union — maintenance path, not the hot path
+    // tag with its literal id, union. Each branch is narrowed to ONE partition
+    // — delta-bearing branches already are (bucket-local fold), small-file
+    // branches coalesce — so the partitionBy write emits exactly one task and
+    // one base file set per bucket with ZERO shuffle: compaction of a 100 TB
+    // table moves no rows between executors (the previous global
+    // repartition(_bucket) re-shuffled everything being compacted).
     val byBucket = m.files.filter(f => oversized.contains(f.bucket)).groupBy(_.bucket)
     val df = byBucket.map { case (b, fs) =>
-      readResolved(spark, m, fs).withColumn("_bucket", lit(b))
+      readResolved(spark, m, fs).coalesce(1).withColumn("_bucket", lit(b))
     }.reduce(_ unionAll _)
     // tombstone GC applies to LWW tables only: an scd2 delete marker anchors
     // the previous version's end_date — dropping it would make a later chain
@@ -763,7 +814,7 @@ class LakeTable(val dir: String) {
         df.filter(!(coalesce(col("_deleted"), lit(false)) && col("_lsn") < wm))
       case _ => df
     }
-    gced.repartition(col("_bucket"))
+    gced
       .write.mode("overwrite")
       .options(bloomOptions(m.keyCols))
       .partitionBy("_bucket")
@@ -778,6 +829,10 @@ class LakeTable(val dir: String) {
    * `keepVersions` most recent, plus their manifests. Readers of kept snapshots
    * are unaffected (time travel window shrinks to `keepVersions`).
    *
+   * `olderThanMs`: wall-clock retention floor — a snapshot committed at or
+   * after this cutoff is kept even when it falls outside `keepVersions`
+   * ("keep the last 2 versions AND everything from the past 7 days").
+   *
    * Deletion candidates come from the PRUNED manifests' file lists (minus files
    * still referenced by kept manifests) — never from a directory walk. Files of
    * an epoch already written but not yet committed (the window inside
@@ -785,9 +840,17 @@ class LakeTable(val dir: String) {
    * vacuum running beside an active stream/maintenance job cannot eat data the
    * next commit will reference.
    */
-  def vacuum(keepVersions: Int = 2): Seq[String] = this.synchronized {
+  def vacuum(keepVersions: Int = 2, olderThanMs: Option[Long] = None): Seq[String] =
+      this.synchronized {
     val cur = currentVersion
-    val keepFrom = math.max(1, cur - keepVersions + 1)
+    var keepFrom = math.max(1, cur - keepVersions + 1)
+    olderThanMs.foreach { cutoff =>
+      // commit stamps are monotone per table (one writer, serialized commits):
+      // walk the kept window back until the next-older snapshot predates the cutoff
+      while (keepFrom > 1 && Files.exists(manifestPath(keepFrom - 1)) &&
+        ManifestJson.read(new String(Files.readAllBytes(manifestPath(keepFrom - 1))))
+          .committedAtMs >= cutoff) keepFrom -= 1
+    }
     // snapshots below keepFrom may already be gone (pruned by an earlier
     // vacuum) — guard every old-manifest access
     def filesOf(v: Int): Seq[String] =
@@ -843,13 +906,17 @@ class LakeTable(val dir: String) {
     if (!Files.exists(root)) return Nil
     // per-file stats come from the parquet FOOTER (driver-side metadata read,
     // no data scan): exact row count + leading-merge-key min/max when the key
-    // is string-typed — consumed by lookupFiles' intra-bucket pruning
-    val statsKey: Option[String] =
+    // is string- or integral-typed — consumed by lookup*'s intra-bucket pruning
+    val statsKey: Option[(String, DataType)] =
       if (!exists) None
       else {
         val m = manifest
-        m.keyCols.headOption.filter(k =>
-          m.currentSchema.byName(k).exists(_.dataType == StringType))
+        m.keyCols.headOption
+          .flatMap(k => m.currentSchema.byName(k))
+          .collect {
+            case f if f.dataType == StringType || f.dataType == LongType ||
+              f.dataType == IntegerType => (f.name, f.dataType)
+          }
       }
     val listed = scala.util.Using.resource(Files.walk(root)) { walk =>
       walk.iterator().asScala
@@ -867,8 +934,8 @@ class LakeTable(val dir: String) {
     listed.par.map(footerStats(_, statsKey)).seq
   }
 
-  private def footerStats(f: DataFile, keyCol: Option[String]): DataFile = {
-    import org.apache.parquet.column.statistics.BinaryStatistics
+  private def footerStats(f: DataFile, keyCol: Option[(String, DataType)]): DataFile = {
+    import org.apache.parquet.column.statistics.{BinaryStatistics, IntStatistics, LongStatistics}
     import org.apache.parquet.format.converter.ParquetMetadataConverter
     import org.apache.parquet.hadoop.ParquetFileReader
     try {
@@ -878,22 +945,32 @@ class LakeTable(val dir: String) {
         ParquetMetadataConverter.NO_FILTER)
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = keyCol.toSeq.flatMap { k =>
+      val stats = keyCol.toSeq.flatMap { case (k, _) =>
         blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == k))
           .map(_.getStatistics)
       }
-      val (minK, maxK) =
-        if (stats.nonEmpty && stats.forall(s =>
-            s.isInstanceOf[BinaryStatistics] && s.hasNonNullValue)) {
+      val withRows = f.copy(rows = rows)
+      if (stats.isEmpty || !stats.forall(_.hasNonNullValue)) withRows
+      else keyCol.map(_._2) match {
+        case Some(StringType) if stats.forall(_.isInstanceOf[BinaryStatistics]) =>
           val bs = stats.map(_.asInstanceOf[BinaryStatistics])
           // aggregate across row groups in the SAME unsigned-UTF-8 order the
           // per-block stats are computed in (String.min would use UTF-16)
-          (Some(bs.map(_.genericGetMin.toStringUsingUTF8)
-             .reduce((a, b) => if (DataFile.utf8Cmp(a, b) <= 0) a else b)),
-            Some(bs.map(_.genericGetMax.toStringUsingUTF8)
+          withRows.copy(
+            minKey = Some(bs.map(_.genericGetMin.toStringUsingUTF8)
+              .reduce((a, b) => if (DataFile.utf8Cmp(a, b) <= 0) a else b)),
+            maxKey = Some(bs.map(_.genericGetMax.toStringUsingUTF8)
               .reduce((a, b) => if (DataFile.utf8Cmp(a, b) >= 0) a else b)))
-        } else (None, None)
-      f.copy(rows = rows, minKey = minK, maxKey = maxK)
+        case Some(LongType) if stats.forall(_.isInstanceOf[LongStatistics]) =>
+          val ls = stats.map(_.asInstanceOf[LongStatistics])
+          withRows.copy(minKeyNum = Some(ls.map(_.getMin).min),
+            maxKeyNum = Some(ls.map(_.getMax).max))
+        case Some(IntegerType) if stats.forall(_.isInstanceOf[IntStatistics]) =>
+          val is = stats.map(_.asInstanceOf[IntStatistics])
+          withRows.copy(minKeyNum = Some(is.map(_.getMin).min.toLong),
+            maxKeyNum = Some(is.map(_.getMax).max.toLong))
+        case _ => withRows
+      }
     } catch { case _: Throwable => f } // stats are an optimization, never fatal
   }
 
@@ -903,6 +980,20 @@ class LakeTable(val dir: String) {
     val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** Driver-side bucket of a single integral key — must match [[bucketExpr]]:
+    * Spark's xxhash64 hashes int and long inputs differently, so the width of
+    * the key COLUMN (not the lookup value) picks the kernel. */
+  def bucketOfNumKey(key: Long, dt: DataType, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = dt match {
+      case LongType                => XXH64.hashLong(key, 42L)
+      case IntegerType | ShortType => XXH64.hashInt(key.toInt, 42L)
+      case other => throw new IllegalArgumentException(
+        s"numeric lookup on non-integral key column type $other")
+    }
     (((h % buckets) + buckets) % buckets).toInt
   }
 
@@ -916,17 +1007,32 @@ class LakeTable(val dir: String) {
     m.files.filter(f => f.bucket == b && f.mayContainKey(key))
   }
 
-  /** Point lookup of one key's current row (empty if absent/deleted). */
-  def lookup(spark: SparkSession, key: String): DataFrame = {
+  /** [[lookupFiles]] for an integral-typed merge key (numeric-order stats). */
+  def lookupFilesNum(key: Long): Seq[DataFile] = {
     val m = manifest
-    val files = lookupFiles(key)
+    require(m.keyCols.size == 1, "point lookup requires a single merge key")
+    val dt = m.currentSchema.byName(m.keyCols.head).get.dataType
+    val b = bucketOfNumKey(key, dt, m.buckets)
+    m.files.filter(f => f.bucket == b && f.mayContainKeyNum(key))
+  }
+
+  private def lookupIn(spark: SparkSession, m: Manifest, files: Seq[DataFile],
+      key: Any): DataFrame = {
     if (files.isEmpty)
       return withoutTombstones(readFiles(spark, m, Nil))
-    val df = readFiles(spark, m, files).filter(col(m.keyCols.head) === key)
+    val df = readFiles(spark, m, files).filter(col(m.keyCols.head) === lit(key))
     val resolved =
       if (!files.exists(_.isDelta)) df
       else if (m.tableMode == Manifest.SCD2) rebuildScd2(df, m)
       else resolveLww(df, m.keyCols)
     withoutTombstones(resolved)
   }
+
+  /** Point lookup of one key's current row (empty if absent/deleted). */
+  def lookup(spark: SparkSession, key: String): DataFrame =
+    lookupIn(spark, manifest, lookupFiles(key), key)
+
+  /** [[lookup]] for an integral-typed merge key. */
+  def lookupNum(spark: SparkSession, key: Long): DataFrame =
+    lookupIn(spark, manifest, lookupFilesNum(key), key)
 }

@@ -85,6 +85,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
   }
 
+  test("numeric merge-key footer stats: bucket + range pruning, point lookup on bigint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft-maint-numkey")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4, keyCols = Seq("doc_id")),
+      payloadSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n", IntegerType))))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake,
+      spark.range(200).select(col("id").as("doc_id"),
+        (col("id") % 7).cast(IntegerType).as("n")), cfg)
+    val m = lake.manifest
+    assert(m.files.forall(f => f.minKeyNum.isDefined && f.maxKeyNum.isDefined),
+      "integral leading key gets numeric footer stats")
+    assert(m.files.forall(f => f.minKey.isEmpty), "no string stats for a bigint key")
+    val pruned = lake.lookupFilesNum(42L)
+    assert(pruned.nonEmpty && pruned.size < m.files.size, "pruned to one bucket at most")
+    val row = lake.lookupNum(spark, 42L).collect()
+    assert(row.length == 1 && row(0).getAs[Long]("doc_id") == 42L)
+    assert(lake.lookupNum(spark, 5000000L).isEmpty)
+  }
+
+  test("vacuum age-based retention keeps snapshots younger than the cutoff") {
+    import org.apache.spark.sql.types._
+    val lake = new graft.lake.LakeTable(tmpDir("graft-maint-age") + "/t")
+    lake.create(StructType(Seq(StructField("doc_id", StringType))), buckets = 2,
+      keyCols = Seq("doc_id"))
+    (0L to 3L).foreach(e => lake.commit(e, Nil, Set.empty))
+    assert(lake.manifest.committedAtMs > 0, "commits carry a wall-clock stamp")
+    // every snapshot is younger than an epoch-0 cutoff → retention floor keeps all
+    assert(lake.vacuum(keepVersions = 1, olderThanMs = Some(0L)).isEmpty)
+    // future cutoff: nothing is protected by age, version policy prunes history
+    val deleted = lake.vacuum(keepVersions = 1,
+      olderThanMs = Some(System.currentTimeMillis() + 3600000L))
+    assert(deleted.nonEmpty, "old manifests pruned once past the age floor")
+  }
+
   test("reconcile: lineage re-sums to the manifest metrics; gaps and tampering flagged") {
     val root = tmpDir("graft-maint-rec")
     val cfg = RunnerConfig(

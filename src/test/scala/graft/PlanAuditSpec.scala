@@ -55,18 +55,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(lake.manifest.hasDeltas)
     // files are disjoint by bucket, so resolution needs no data movement:
     // each bucket's files read as one partition (narrow Coalesce) + an
-    // in-partition sorted fold — a key-hash Exchange here would re-shuffle
-    // the whole table on every read at 100 TB scale
-    val morPlan = lake.read(spark).queryExecution.executedPlan.toString
+    // in-partition sorted fold at the InternalRow layer — a key-hash
+    // Exchange here would re-shuffle the whole table on every read at
+    // 100 TB scale. Hard proof: walk the ENTIRE physical RDD lineage of the
+    // resolved read (including inside the fold's pre-executed pipeline) and
+    // assert no ShuffleDependency exists anywhere.
+    def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => hasShuffle(d.rdd)
+      }
+    val reading = lake.read(spark)
+    assert(!hasShuffle(reading.queryExecution.toRdd),
+      "no ShuffleDependency in the full lineage of a delta-bearing read")
+    val morPlan = reading.queryExecution.executedPlan.toString
     assert(!morPlan.contains("Exchange"),
       s"delta-bearing read has NO shuffle (bucket-local fold):\n$morPlan")
-    assert(morPlan.contains("MapPartitions") && morPlan.contains("Coalesce"),
-      s"bucket-coalesced in-partition fold present:\n$morPlan")
     // folding the deltas removes the resolution from the read plan entirely
     lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
-    val cowPlan = lake.read(spark).queryExecution.executedPlan.toString
-    assert(!cowPlan.contains("MapPartitions") && !cowPlan.contains("Exchange"),
+    val cowQe = lake.read(spark).queryExecution
+    val cowPlan = cowQe.executedPlan.toString
+    assert(!cowPlan.contains("ExistingRDD") && !cowPlan.contains("Exchange"),
       s"pure-CoW read is a plain pruned scan:\n$cowPlan")
+    assert(!hasShuffle(cowQe.toRdd))
   }
 
   test("LWW reduction uses partial aggregation (map-side combine)") {
