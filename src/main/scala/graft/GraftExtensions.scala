@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
+
+import graft.functions.{DotProduct, HyperplaneSig, NearestCells, RollingHash}
+
+/**
+ * SQL surface for the native kernels: `--conf
+ * spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions(new
+ * GraftExtensions)`) registers them in the session's function registry, so
+ * `spark.sql("SELECT vec_dot(emb, q) ...")` plans the same whole-stage-codegen
+ * expressions as the Column API in [[graft.functions.VectorOps]] /
+ * [[graft.functions.RollingHash]]. The reference exposes its transforms only
+ * through task JSON (`trempy/Tasks/Task.py`); on Spark the equivalent
+ * first-class citizenship is SQL-callable Catalyst expressions.
+ *
+ * Registered functions:
+ *   - `vec_dot(a, b)`                      — dot product over numeric arrays
+ *   - `vec_cosine(a, b)`                   — cosine similarity
+ *   - `hyperplane_sig(v, planes)`          — 64-bit random-hyperplane LSH signature
+ *   - `nearest_cells(v, centroids, probes)`— IVF probe list (centroids = foldable
+ *                                            array<array<double>> literal)
+ *   - `rolling_hash(s[, prime, mod])`      — polynomial fingerprint hash
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (name, usage, builder) triples shared by the extension injection and
+    * [[register]] (for an already-built session, e.g. the test fixture). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      fn("vec_dot", "_FUNC_(a, b) - dot product of two numeric arrays") { args =>
+        arity("vec_dot", args, 2)
+        DotProduct(args(0), args(1))
+      },
+      fn("vec_cosine", "_FUNC_(a, b) - cosine similarity of two numeric arrays") { args =>
+        arity("vec_cosine", args, 2)
+        val (a, b) = (args(0), args(1))
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      },
+      fn("hyperplane_sig",
+        "_FUNC_(v, planes) - 64-bit random-hyperplane LSH signature of a numeric array") { args =>
+        arity("hyperplane_sig", args, 2)
+        HyperplaneSig(args(0), intArg("hyperplane_sig", "planes", args(1)))
+      },
+      fn("nearest_cells",
+        "_FUNC_(v, centroids, probes) - best-first IVF probe cells; centroids is a " +
+          "foldable array<array<double>> literal") { args =>
+        arity("nearest_cells", args, 3)
+        NearestCells(args(0), centroidsArg(args(1)),
+          intArg("nearest_cells", "probes", args(2)))
+      },
+      fn("rolling_hash",
+        "_FUNC_(s[, prime, mod]) - polynomial rolling hash fingerprint of a string") { args =>
+        if (args.size < 1 || args.size > 3)
+          fail(s"rolling_hash expects 1 to 3 arguments, got ${args.size}")
+        val s = Cast(args(0), StringType)
+        args.size match {
+          case 1 => RollingHash(s)
+          case 2 => RollingHash(s, longArg("rolling_hash", "prime", args(1)))
+          case _ => RollingHash(s, longArg("rolling_hash", "prime", args(1)),
+            longArg("rolling_hash", "mod", args(2)))
+        }
+      }
+    )
+
+  /** Register on a live session (same builders as the extension path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    // 3-arg ExpressionInfo: the richer constructors assert a _FUNC_ usage/example
+    // format contract that isn't worth inheriting here; `usage` stays as doc
+    val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    (FunctionIdentifier(name), info, builder)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) fail(s"$name expects $n arguments, got ${args.size}")
+
+  private def foldableArg(name: String, arg: String, e: Expression): Expression = {
+    if (!e.foldable) fail(s"$name: $arg must be a foldable literal, got ${e.sql}")
+    e
+  }
+
+  private def intArg(name: String, arg: String, e: Expression): Int =
+    Cast(foldableArg(name, arg, e), IntegerType).eval() match {
+      case i: Int => i
+      case other  => fail(s"$name: $arg must be an integer literal, got $other")
+    }
+
+  private def longArg(name: String, arg: String, e: Expression): Long =
+    Cast(foldableArg(name, arg, e), LongType).eval() match {
+      case l: Long => l
+      case other   => fail(s"$name: $arg must be a long literal, got $other")
+    }
+
+  /** Evaluate a foldable array<array<numeric>> literal into the centroid matrix. */
+  private def centroidsArg(e: Expression): Array[Array[Double]] = {
+    if (!e.foldable)
+      fail(s"nearest_cells: centroids must be a foldable array<array<double>> literal")
+    val elemT = e.dataType match {
+      case ArrayType(ArrayType(t @ (DoubleType | FloatType | IntegerType | LongType), _), _) => t
+      case other => fail(s"nearest_cells: centroids must be array<array<numeric>>, got $other")
+    }
+    val outer = e.eval() match {
+      case a: ArrayData => a
+      case _ => fail("nearest_cells: centroids literal evaluated to null")
+    }
+    Array.tabulate(outer.numElements()) { c =>
+      val row = outer.getArray(c)
+      Array.tabulate(row.numElements()) { i =>
+        elemT match {
+          case DoubleType  => row.getDouble(i)
+          case FloatType   => row.getFloat(i).toDouble
+          case IntegerType => row.getInt(i).toDouble
+          case LongType    => row.getLong(i).toDouble
+          case other       => fail(s"unreachable centroid element type $other")
+        }
+      }
+    }
+  }
+}

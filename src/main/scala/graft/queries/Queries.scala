@@ -558,6 +558,152 @@ object Queries {
       val lake = CdcRunner.ensureTable(s, cfg)
       CdcRunner.fullLoad(s, lake, docs, cfg)
       lake.read(s).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    // §2.1 S12 (metadata/metrics sink): the per-epoch lineage JSON the commit
+    // path writes must re-sum to op counts DuckDB derives from the raw events,
+    // and reconcile() (the reference's replication-stats audit) must hold.
+    // Single batch (maxFilesPerTrigger covers the feed) so the per-batch LWW
+    // winner counts equal the global winner counts the oracle recomputes.
+    "q_cdc_lineage" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-lineage").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
+        maxFilesPerTrigger = 64)
+      ChangeFeed.writeFeed(feedFromEvents(s, dir), cfg.feedDir, nFiles = 4)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      val rep = lake.reconcile()
+      require(rep.ok, s"lineage/manifest reconciliation failed: $rep")
+      val finalRows = lake.read(s).count()
+      // lineage records are pretty-printed JSON, one object per file
+      s.read.option("multiLine", true).json(s"${cfg.tableDir}/lineage")
+        .agg(
+          sum(col("metrics.applied_inserts")).as("applied_inserts"),
+          sum(col("metrics.applied_updates")).as("applied_updates"),
+          sum(col("metrics.applied_deletes")).as("applied_deletes"),
+          sum(col("metrics.events_quarantined")).as("events_quarantined"))
+        .withColumn("final_rows", lit(finalRows))
+    }),
+
+    // §2.5 table routing + priority classes + all four structural transforms
+    // (modify_table_name, modify_schema_name, add/remove_primary_key), driven
+    // end-to-end from the reference's settings.json contract: one feed
+    // demultiplexed into three tables whose final states (and physical target
+    // identities, asserted in-query) the oracle replays per routed subset.
+    // docs_keyed merges on (doc_id, source) after remove_primary_key(n_tok) +
+    // add_primary_key(source) — its multi-row-per-doc history is the hard
+    // signal that the key mutation really reached the merge.
+    "q_multitable_routing" -> ((s, dir) => {
+      import graft.runner.MultiTableRunner
+      import graft.runner.MultiTableRunner.TablePayload
+      val root = java.nio.file.Files.createTempDirectory("graft-q-route").toString
+      val settings = TaskSettings.parse(
+        """{
+          |"task": {"task_name": "routing", "replication_type": "cdc",
+          |  "cdc_settings": {"mode": "upsert"}},
+          |"tables": [
+          |  {"schema_name": "corpus", "table_name": "docs_even", "priority": 0},
+          |  {"schema_name": "corpus", "table_name": "docs_odd",  "priority": 1},
+          |  {"schema_name": "corpus", "table_name": "docs_keyed", "priority": 1}],
+          |"filters": [
+          |  {"table_info": {"schema_name": "corpus", "table_name": "docs_even"},
+          |   "settings": {"filter_type": "greater_than", "column_name": "n_tok", "value": 20}}],
+          |"transformations": [
+          |  {"table_info": {"schema_name": "corpus", "table_name": "docs_even"},
+          |   "settings": {"transformation_type": "modify_table_name",
+          |     "contract": {"target_table_name": "docs_even_v2"}, "priority": 0}},
+          |  {"table_info": {"schema_name": "corpus", "table_name": "docs_odd"},
+          |   "settings": {"transformation_type": "modify_schema_name",
+          |     "contract": {"target_schema_name": "corpus_v2"}, "priority": 0}},
+          |  {"table_info": {"schema_name": "corpus", "table_name": "docs_odd"},
+          |   "settings": {"transformation_type": "modify_column_value",
+          |     "contract": {"column_name": "source", "operation": "uppercase"}, "priority": 1}},
+          |  {"table_info": {"schema_name": "corpus", "table_name": "docs_keyed"},
+          |   "settings": {"transformation_type": "remove_primary_key",
+          |     "contract": {"column_names": ["n_tok"]}, "priority": 0}},
+          |  {"table_info": {"schema_name": "corpus", "table_name": "docs_keyed"},
+          |   "settings": {"transformation_type": "add_primary_key",
+          |     "contract": {"column_names": ["source"]}, "priority": 1}}]
+          |}""".stripMargin)
+      val payload = StructType(ChangeEvent.defaultPayloadFields)
+      val route = col(ChangeEvent.DOC_ID).substr(5, 6).cast(IntegerType) % 3
+      val feed = feedFromEvents(s, dir)
+        .withColumn(MultiTableRunner.SCHEMA_COL, lit("corpus"))
+        .withColumn(MultiTableRunner.TABLE_COL,
+          when(route === 0, "docs_even").when(route === 1, "docs_odd")
+            .otherwise("docs_keyed"))
+      ChangeFeed.writeFeed(feed, s"$root/feed", nFiles = 4)
+      val mcfg = MultiTableRunner.Config(
+        feedDir = s"$root/feed", lakeRoot = s"$root/lake", checkpointDir = s"$root/cp",
+        settings = settings,
+        payloads = Map(
+          "corpus.docs_even" -> TablePayload(payload, Seq("doc_id")),
+          "corpus.docs_odd" -> TablePayload(payload, Seq("doc_id")),
+          "corpus.docs_keyed" -> TablePayload(payload, Seq("doc_id", "n_tok"))),
+        buckets = 16, maxFilesPerTrigger = 64)
+      val jobs = MultiTableRunner.runAvailableNow(s, mcfg)
+      val byName = jobs.map(j => j.rules.tableName -> j).toMap
+      require(byName("docs_even").targetId == "corpus.docs_even_v2",
+        s"modify_table_name not applied: ${byName("docs_even").targetId}")
+      require(byName("docs_odd").targetId == "corpus_v2.docs_odd",
+        s"modify_schema_name not applied: ${byName("docs_odd").targetId}")
+      jobs.map { tj =>
+        tj.lake.read(s).select(
+          lit(tj.targetId).as("target_table"), col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+      }.reduce(_ unionAll _).orderBy("target_table", "doc_id", "source")
+    }),
+
+    // lake-format time travel (snapshot isolation): after a second ingest the
+    // as-of-v1 read must still reproduce exactly the stage-1 fold while the
+    // current read reproduces the full fold — manifests/fragments immutable,
+    // data files append-only until vacuumed
+    "q_lake_timetravel" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-tt").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
+        maxFilesPerTrigger = 64)
+      val feed = feedFromEvents(s, dir)
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 === 0), cfg.feedDir, nFiles = 4)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      val v1 = lake.currentVersion
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 =!= 0), cfg.feedDir,
+        nFiles = 4, append = true)
+      CdcRunner.runAvailableNow(s, cfg)
+      def shape(df: DataFrame, tag: String): DataFrame =
+        df.select(lit(tag).as("snapshot"), col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+      shape(lake.readVersion(s, v1), "v1")
+        .unionAll(shape(lake.read(s), "current"))
+        .orderBy("snapshot", "doc_id")
+    }),
+
+    // maintenance read-equivalence: a many-epoch merge-on-read ingest, fully
+    // compacted (delta folding) and vacuumed to one retained snapshot, must
+    // still read as exactly the replay fold
+    "q_lake_maintenance" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-maint").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+          buckets = 16),
+        maxFilesPerTrigger = 1)
+      ChangeFeed.writeFeed(feedFromEvents(s, dir), cfg.feedDir, nFiles = 8)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      lake.compact(s, maxFilesPerBucket = 1, maxDeltaFiles = 1)
+      lake.vacuum(keepVersions = 1)
+      lake.read(s)
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("doc_id")
     })
   )
 
@@ -715,6 +861,82 @@ object Queries {
 
     "q_source_fullload" ->
       """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+
+    // lineage metric sums == winner-op counts straight from the events
+    // (single-batch run: per-batch reduced winners are the global winners)
+    "q_cdc_lineage" ->
+      s"""WITH ev AS ($feedSql),
+         |w AS (SELECT doc_id, arg_max(op, lsn) AS op FROM ev GROUP BY doc_id)
+         |SELECT count(*) FILTER (WHERE op = 'INSERT') AS applied_inserts,
+         |  count(*) FILTER (WHERE op = 'UPDATE') AS applied_updates,
+         |  count(*) FILTER (WHERE op = 'DELETE') AS applied_deletes,
+         |  CAST(0 AS BIGINT) AS events_quarantined,
+         |  count(*) FILTER (WHERE op <> 'DELETE') AS final_rows
+         |FROM w""".stripMargin,
+
+    // per routed subset: docs_even filtered (DELETE passthrough) + renamed
+    // target; docs_odd uppercased + schema-renamed; docs_keyed folded on the
+    // mutated key set (doc_id, source) — DELETEs carry NULL source, so they
+    // form their own groups and never tombstone a payload row
+    "q_multitable_routing" ->
+      s"""WITH ev AS ($feedSql),
+         |r AS (SELECT *, CAST(substr(doc_id, 5) AS INT) % 3 AS route FROM ev),
+         |e_kept AS (SELECT * FROM r WHERE route = 0 AND (op = 'DELETE' OR n_tok > 20)),
+         |e_last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM e_kept GROUP BY doc_id),
+         |o_last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM r WHERE route = 1 GROUP BY doc_id),
+         |k_last AS (
+         |  SELECT doc_id, source, arg_max(eid, lsn) AS eid, arg_max(n_tok, lsn) AS n_tok
+         |  FROM r WHERE route = 2 AND op <> 'DELETE' GROUP BY doc_id, source)
+         |SELECT 'corpus.docs_even_v2' AS target_table, doc_id,
+         |  array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv, n_tok, source
+         |FROM e_last WHERE last_op <> 'DELETE'
+         |UNION ALL
+         |SELECT 'corpus_v2.docs_odd' AS target_table, doc_id,
+         |  array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv, n_tok,
+         |  upper(source) AS source
+         |FROM o_last WHERE last_op <> 'DELETE'
+         |UNION ALL
+         |SELECT 'corpus.docs_keyed' AS target_table, doc_id,
+         |  array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv, n_tok, source
+         |FROM k_last
+         |ORDER BY target_table, doc_id, source""".stripMargin,
+
+    // v1 = fold over the even-LSN prefix ingest, current = fold over all
+    "q_lake_timetravel" ->
+      s"""WITH ev AS ($feedSql),
+         |l1 AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev WHERE lsn % 2 = 0 GROUP BY doc_id),
+         |lc AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT 'v1' AS snapshot, doc_id,
+         |  array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv, n_tok, source
+         |FROM l1 WHERE last_op <> 'DELETE'
+         |UNION ALL
+         |SELECT 'current' AS snapshot, doc_id,
+         |  array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv, n_tok, source
+         |FROM lc WHERE last_op <> 'DELETE'
+         |ORDER BY snapshot, doc_id""".stripMargin,
+
+    // compaction + vacuum are read-equivalent: same fold as the plain upsert
+    "q_lake_maintenance" ->
+      s"""WITH ev AS ($feedSql),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     // expected parse of the synthesized envelope bus: packed arrival-order LSN
     // ((created_at−base)≪32 | txnhash16≪16 | page≪10 | pos) recomputed from
