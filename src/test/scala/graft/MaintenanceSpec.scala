@@ -83,6 +83,18 @@ class MaintenanceSpec extends SparkSpec {
     val again = lake.vacuum(keepVersions = 1)
     assert(again.forall(!_.endsWith("part-pending.parquet")))
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+
+    // the orphan sweep is the tool that DOES reclaim it — but only past the
+    // age horizon (a recent unreferenced file may be an in-flight write)
+    assert(lake.removeOrphans(olderThanMs = 3600 * 1000L).isEmpty,
+      "young unreferenced file is protected by the age guard")
+    assert(pending.exists())
+    assert(pending.setLastModified(System.currentTimeMillis() - 7200 * 1000L))
+    val swept = lake.removeOrphans(olderThanMs = 3600 * 1000L)
+    assert(swept.exists(_.endsWith("part-pending.parquet")) && !pending.exists())
+    assert(!pendingDir.exists(), "emptied orphan epoch dir pruned")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state),
+      "live files untouched by the sweep")
   }
 
   test("numeric merge-key footer stats: bucket + range pruning, point lookup on bigint") {

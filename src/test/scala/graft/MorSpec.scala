@@ -158,4 +158,34 @@ class MorSpec extends SparkSpec {
     val revived = lake.read(spark).collect()
     assert(revived.length == 1 && revived(0).getAs[String]("source") == "books")
   }
+
+  test("changeLog: window deltas == per-key winners of that wave; survives in-window compaction") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-mor-cl")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 8),
+      maxFilesPerTrigger = 8)
+    val ev = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 1200, nDocs = 150))
+    ChangeFeed.writeFeed(ev.filter(col(ChangeEvent.LSN) < 600), cfg.feedDir, 4)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    assert(lake.changeLog(spark, v1, v1).count() == 0, "empty window → empty feed")
+    ChangeFeed.writeFeed(ev.filter(col(ChangeEvent.LSN) >= 600), cfg.feedDir, 4, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // fold the deltas away INSIDE the window: the feed must still see them
+    // (files are immutable until vacuum; maintenance base files are skipped)
+    lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+    val got = lake.changeLog(spark, v1, lake.currentVersion)
+      .select("doc_id", "_lsn", "_deleted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = ev.filter(col(ChangeEvent.LSN) >= 600)
+      .groupBy(ChangeEvent.DOC_ID)
+      .agg(max(col(ChangeEvent.LSN)).as("wl"),
+        max_by(col(ChangeEvent.OP), col(ChangeEvent.LSN)).as("wop"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == ChangeEvent.DELETE)).toSet
+    assert(got == expected)
+  }
 }

@@ -116,4 +116,88 @@ class WalParserSpec extends SparkSpec {
     assert(ev(0).isNullAt(ev(0).fieldIndex("n_tok")))
     assert(ev(1).getAs[scala.collection.Seq[Int]]("tokens").isEmpty)
   }
+
+  test("mixed-version lines parse in ONE batch: per-row version detect, rename fold, widen") {
+    import graft.lake.{AddColumn, RenameColumn, WidenColumn}
+    val basePayload = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType),
+      StructField("source", StringType)))
+    val registry = Map(2 -> Seq(
+      AddColumn("lang", StringType),
+      RenameColumn("source", "origin"),
+      WidenColumn("n_tok", LongType)))
+    val lines = raw(
+      (1L, 1L, "BEGIN 1"),
+      // v1 row: old column names
+      (2L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "n_tok[integer]:3 source[character varying]:'web'"),
+      // v2 row: renamed column + new column + widened value beyond int range
+      (3L, 1L, "table corpus.documents: UPDATE: doc_id[character varying]:'d-2' " +
+        "n_tok[bigint]:4000000000 origin[character varying]:'v2-web' " +
+        "lang[character varying]:'en'"),
+      // key-only DELETE: no markers → version 1, harmless
+      (4L, 1L, "table corpus.documents: DELETE: doc_id[character varying]:'d-1'"),
+      (5L, 1L, "COMMIT 1"))
+    val ev = WalParser.parseVersionedForTable(lines, basePayload, registry,
+      "corpus", "documents").collect().sortBy(_.getAs[Long]("lsn"))
+    assert(ev.length == 3)
+    assert(ev.head.schema.fieldNames.toSeq
+      .containsSlice(Seq("doc_id", "n_tok", "origin", "lang")),
+      s"latest shape, old name folded away: ${ev.head.schema.fieldNames.toSeq}")
+    val v1 = ev(0)
+    assert(v1.getAs[Int]("schema_ver") == 1)
+    assert(v1.getAs[Long]("n_tok") == 3L, "v1 int value arrives widened")
+    assert(v1.getAs[String]("origin") == "web", "v1 'source' folds into 'origin'")
+    assert(v1.isNullAt(v1.fieldIndex("lang")))
+    val v2 = ev(1)
+    assert(v2.getAs[Int]("schema_ver") == 2)
+    assert(v2.getAs[Long]("n_tok") == 4000000000L)
+    assert(v2.getAs[String]("origin") == "v2-web")
+    assert(v2.getAs[String]("lang") == "en")
+    val del = ev(2)
+    assert(del.getAs[Int]("schema_ver") == 1 && del.getAs[String]("op") == "DELETE")
+  }
+
+  test("e2e mixed-version WAL stream evolves the lake MID-BATCH (no restart)") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.lake.{AddColumn, RenameColumn, WidenColumn}
+    val root = tmpDir("graft-wal-evo")
+    val basePayload = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType),
+      StructField("source", StringType)))
+    val lines = raw(
+      (1L, 1L, "BEGIN 1"),
+      (2L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "n_tok[integer]:2 source[character varying]:'web'"),
+      (3L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-2' " +
+        "n_tok[integer]:1 source[character varying]:'code'"),
+      // v2 rows in the SAME stream — overwrite d-2, add d-3
+      (4L, 1L, "table corpus.documents: UPDATE: doc_id[character varying]:'d-2' " +
+        "n_tok[bigint]:5000000000 origin[character varying]:'v2-code' " +
+        "lang[character varying]:'de'"),
+      (5L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-3' " +
+        "n_tok[bigint]:7 origin[character varying]:'v2-books' lang[character varying]:'fr'"),
+      (6L, 1L, "COMMIT 1"))
+    lines.coalesce(1).write.parquet(s"$root/feed")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+      payloadSchema = basePayload,
+      schemaRegistry = Map(2 -> Seq(
+        AddColumn("lang", StringType),
+        RenameColumn("source", "origin"),
+        WidenColumn("n_tok", LongType))))
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    val state = new graft.lake.LakeTable(cfg.tableDir).read(spark)
+      .collect().sortBy(_.getAs[String]("doc_id"))
+    assert(state.length == 3)
+    assert(state.map(_.getAs[String]("origin")).toSeq == Seq("web", "v2-code", "v2-books"),
+      "v1 source readable under the evolved name; v2 values applied")
+    assert(state.map(_.getAs[Long]("n_tok")).toSeq == Seq(2L, 5000000000L, 7L))
+    assert(state(0).isNullAt(state(0).fieldIndex("lang")) &&
+      state(1).getAs[String]("lang") == "de")
+  }
 }
