@@ -79,7 +79,13 @@ object EnvelopeSource {
   def parse(
       raw: DataFrame,
       payload: StructType,
-      schemaVer: Int = 1): DataFrame = {
+      schemaVer: Int = 1): DataFrame =
+    parseCore(raw, payload, _ => lit(schemaVer))
+
+  private def parseCore(
+      raw: DataFrame,
+      payload: StructType,
+      verOf: Column => Column): DataFrame = {
     val msg = raw.select(from_json(col("value"), messageSchema).as("m"))
       .select(col("m.*"))
     val ops = msg.select(
@@ -98,10 +104,41 @@ object EnvelopeSource {
       xxhash64(col("transaction_id")).as(graft.model.ChangeEvent.TXN_ID),
       timestamp_seconds(col("created_at")).as(graft.model.ChangeEvent.TS),
       upper(col("op_row.operation")).as(graft.model.ChangeEvent.OP),
-      lit(schemaVer).as(graft.model.ChangeEvent.SCHEMA_VER),
+      verOf(kv).as(graft.model.ChangeEvent.SCHEMA_VER),
       col("op_row.schema_name").as("schema_name"),
       col("op_row.table_name").as("table_name")) ++ typedPayload: _*)
   }
+
+  /**
+   * Mixed-version message streams — the envelope format carries column names
+   * per operation (`columns: [{name,type,value}]`), so the same machinery as
+   * [[WalParser.parseVersioned]] applies: union-column parse, per-row
+   * `schema_ver` from marker-column presence, rename fold + widen cast to the
+   * LATEST payload shape. One stream, no restart, mid-batch lake evolution.
+   */
+  def parseVersioned(
+      raw: DataFrame,
+      basePayload: StructType,
+      registry: Map[Int, Seq[graft.lake.SchemaChange]]): DataFrame = {
+    val p = VersionedPayload.plan(basePayload, registry)
+    if (!p.versioned) return parse(raw, basePayload, 1)
+    val parsed = parseCore(raw, p.union, VersionedPayload.verOf(p))
+    val envelope = Seq(col(graft.model.ChangeEvent.LSN),
+      col(graft.model.ChangeEvent.TXN_ID), col(graft.model.ChangeEvent.TS),
+      col(graft.model.ChangeEvent.OP), col(graft.model.ChangeEvent.SCHEMA_VER),
+      col("schema_name"), col("table_name"))
+    parsed.select(envelope ++ VersionedPayload.foldCols(p): _*)
+  }
+
+  /** [[parseVersioned]] routed to one configured table. */
+  def parseVersionedForTable(
+      raw: DataFrame,
+      basePayload: StructType,
+      registry: Map[Int, Seq[graft.lake.SchemaChange]],
+      schemaName: String, tableName: String): DataFrame =
+    parseVersioned(raw, basePayload, registry)
+      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
+      .drop("schema_name", "table_name")
 
   /** Parse + route to one configured table (the reference keeps only task
     * tables, CDCManager.py:219-234). */

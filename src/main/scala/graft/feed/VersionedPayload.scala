@@ -1,0 +1,98 @@
+package graft.feed
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.lake.{AddColumn, RenameColumn, SchemaChange, WidenColumn}
+
+/**
+ * Shared mixed-version payload machinery for the wire parsers. Both the WAL
+ * text format and the envelope message format carry COLUMN NAMES inline
+ * (name[type]:value tokens / {name,type,value} triples), so one stream can
+ * parse every registered payload version at once:
+ *
+ *  - parse against the UNION of every version's columns (absent → NULL);
+ *  - detect each row's `schema_ver` from the presence of that version's
+ *    marker columns (names added or renamed-to in it) in the row's kv map;
+ *  - fold rename chains `coalesce(newest, …, oldest)` and cast widened
+ *    fields, emitting exactly the LATEST version's payload shape.
+ *
+ * The registry shape is the same `schema_ver → changes` map the lake
+ * evolution consumes, so wire parsing and lake evolution stay in lockstep.
+ */
+private[feed] object VersionedPayload {
+
+  final case class VersionShape(ver: Int, schema: StructType, markers: Seq[String])
+
+  final case class Plan(
+      shapes: Seq[VersionShape],
+      /** every column name of any version, typed as its latest occurrence */
+      union: StructType,
+      latest: StructType,
+      /** latest field name → its historical names, newest first */
+      history: Map[String, Seq[String]]) {
+    def versioned: Boolean = shapes.size > 1
+  }
+
+  /** Cumulative schemas per version: v1 = the base payload, each registered
+    * version applies its changes on top of the previous. */
+  def plan(base: StructType, registry: Map[Int, Seq[SchemaChange]]): Plan = {
+    var cur = base
+    val shapes = VersionShape(1, base, Nil) +:
+      registry.toSeq.sortBy(_._1).filter(_._1 > 1).map { case (ver, changes) =>
+        val markers = Seq.newBuilder[String]
+        changes.foreach {
+          case AddColumn(n, dt, nullable) =>
+            markers += n
+            cur = StructType(cur.fields :+ StructField(n, dt, nullable))
+          case RenameColumn(from, to) =>
+            markers += to
+            cur = StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+          case WidenColumn(n, to) =>
+            cur = StructType(cur.fields.map(f => if (f.name == n) f.copy(dataType = to) else f))
+        }
+        VersionShape(ver, cur, markers.result())
+      }
+    val latest = shapes.last.schema
+    val latestType = shapes.flatMap(_.schema.fields).map(f => f.name -> f.dataType).toMap
+    val unionNames = shapes.flatMap(_.schema.fieldNames).distinct
+    val union = StructType(unionNames.map(n => StructField(n, latestType(n))))
+    val history = {
+      val h = scala.collection.mutable.Map.empty[String, List[String]]
+      latest.fieldNames.foreach(n => h(n) = List(n))
+      shapes.reverse.dropRight(1).foreach { s =>
+        registry.getOrElse(s.ver, Nil).reverse.foreach {
+          case RenameColumn(from, to) =>
+            h.keys.toSeq.foreach { fin =>
+              val names = h(fin)
+              if (names.head == to) h(fin) = from :: names
+            }
+          case _ => ()
+        }
+      }
+      h.view.mapValues(_.reverse.distinct).toMap
+    }
+    Plan(shapes, union, latest, history)
+  }
+
+  /** Per-row version from marker-column presence in the row's name→value map;
+    * the fold applies versions ascending so the HIGHEST matching version
+    * wins; key-only/DELETE rows carry no markers and fall through to 1. */
+  def verOf(p: Plan)(kv: Column): Column =
+    p.shapes.drop(1).foldLeft(lit(1): Column) { (acc, s) =>
+      val present = s.markers.map(m => map_contains_key(kv, m))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      when(present, lit(s.ver)).otherwise(acc)
+    }
+
+  /** Latest-shape payload projection over the union-parsed columns: rename
+    * chains folded newest-name-first, everything cast to the final type. */
+  def foldCols(p: Plan): Seq[Column] = {
+    val unionNames = p.union.fieldNames.toSet
+    p.latest.fields.toSeq.map { f =>
+      val names = p.history.getOrElse(f.name, Seq(f.name)).filter(unionNames.contains)
+      coalesce(names.map(n => col(n).cast(f.dataType)): _*).as(f.name)
+    }
+  }
+}

@@ -122,35 +122,6 @@ object WalParser {
       regexp_extract(line, LINE_RE, 2).as("table_name")) ++ typedPayload: _*)
   }
 
-  /** One payload version's shape plus the column names that FIRST appear in
-    * it (added or rename-target) — the wire-level markers that identify a row
-    * of that version. */
-  private[feed] final case class VersionShape(ver: Int, schema: StructType, markers: Seq[String])
-
-  /** Cumulative schemas per version: v1 = the base payload, each registered
-    * version applies its changes on top of the previous. */
-  private[feed] def versionShapes(
-      base: StructType,
-      registry: Map[Int, Seq[graft.lake.SchemaChange]]): Seq[VersionShape] = {
-    import graft.lake.{AddColumn, RenameColumn, WidenColumn}
-    var cur = base
-    VersionShape(1, base, Nil) +: registry.toSeq.sortBy(_._1).filter(_._1 > 1).map {
-      case (ver, changes) =>
-        val markers = Seq.newBuilder[String]
-        changes.foreach {
-          case AddColumn(n, dt, nullable) =>
-            markers += n
-            cur = StructType(cur.fields :+ StructField(n, dt, nullable))
-          case RenameColumn(from, to) =>
-            markers += to
-            cur = StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
-          case WidenColumn(n, to) =>
-            cur = StructType(cur.fields.map(f => if (f.name == n) f.copy(dataType = to) else f))
-        }
-        VersionShape(ver, cur, markers.result())
-    }
-  }
-
   /**
    * Mixed-version streams (one stream, no restart): the wire format carries
    * column names inline, so a batch interleaving schema_ver 1 and 2 rows
@@ -169,53 +140,14 @@ object WalParser {
       basePayload: StructType,
       registry: Map[Int, Seq[graft.lake.SchemaChange]],
       tsOfLsn: Column => Column = l => timestamp_seconds(lit(1700000000L) + l)): DataFrame = {
-    val shapes = versionShapes(basePayload, registry)
-    if (shapes.size == 1) return parse(raw, basePayload, 1, tsOfLsn)
-    val latest = shapes.last.schema
-    // union parse schema: every column name that exists in ANY version, typed
-    // as its LATEST occurrence (widened columns parse straight to the wide type)
-    val latestType: Map[String, org.apache.spark.sql.types.DataType] =
-      shapes.flatMap(_.schema.fields).map(f => f.name -> f.dataType).toMap
-    val unionNames = shapes.flatMap(_.schema.fieldNames).distinct
-    val union = StructType(unionNames.map(n => StructField(n, latestType(n))))
-    // a row is version v if any of v's marker columns appear in its line; the
-    // fold applies versions ascending so the HIGHEST matching version wins;
-    // DELETE/key-only rows carry no markers and fall through to 1
-    val verOf: Column => Column = kv =>
-      shapes.drop(1).foldLeft(lit(1): Column) { (acc, s) =>
-        val present = s.markers.map(m => map_contains_key(kv, m))
-          .reduceOption(_ || _).getOrElse(lit(false))
-        when(present, lit(s.ver)).otherwise(acc)
-      }
-    val parsed = parseCore(raw, union, verOf, tsOfLsn)
-    // fold rename chains into the final name: coalesce over every historical
-    // name of the field, newest first, cast to the final type
-    val renamed: Map[String, Seq[String]] = {
-      // track each latest-name's historical names by walking versions backward
-      import graft.lake.RenameColumn
-      val history = scala.collection.mutable.Map.empty[String, List[String]]
-      latest.fieldNames.foreach(n => history(n) = List(n))
-      shapes.reverse.dropRight(1).foreach { s =>
-        registry.getOrElse(s.ver, Nil).reverse.foreach {
-          case RenameColumn(from, to) =>
-            history.keys.toSeq.foreach { fin =>
-              val names = history(fin)
-              if (names.head == to) history(fin) = from :: names
-            }
-          case _ => ()
-        }
-      }
-      history.view.mapValues(_.reverse.distinct).toMap
-    }
-    val payloadCols = latest.fields.toSeq.map { f =>
-      val names = renamed.getOrElse(f.name, Seq(f.name)).filter(unionNames.contains)
-      coalesce(names.map(n => col(n).cast(f.dataType)): _*).as(f.name)
-    }
+    val p = VersionedPayload.plan(basePayload, registry)
+    if (!p.versioned) return parse(raw, basePayload, 1, tsOfLsn)
+    val parsed = parseCore(raw, p.union, VersionedPayload.verOf(p), tsOfLsn)
     val envelope = Seq(col("lsn"), col(graft.model.ChangeEvent.TXN_ID),
       col(graft.model.ChangeEvent.TS), col(graft.model.ChangeEvent.OP),
       col(graft.model.ChangeEvent.SCHEMA_VER),
       col("schema_name"), col("table_name"))
-    parsed.select(envelope ++ payloadCols: _*)
+    parsed.select(envelope ++ VersionedPayload.foldCols(p): _*)
   }
 
   /** [[parseVersioned]] routed to one configured table. */

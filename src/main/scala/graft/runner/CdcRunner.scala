@@ -225,8 +225,13 @@ object CdcRunner {
       .queryName(s"graft-env-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
-        val events = EnvelopeSource
-          .parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+        // registry configured ⇒ every payload version parses in one stream
+        // (column names ride in each message), same as startFromWal
+        val events =
+          if (cfg.schemaRegistry.nonEmpty)
+            EnvelopeSource.parseVersionedForTable(raw, cfg.payloadSchema,
+              cfg.schemaRegistry, schemaName, tableName)
+          else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
         processBatch(spark, lake, cfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
@@ -270,8 +275,12 @@ object CdcRunner {
       .queryName(s"graft-kafka-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
-        val events = EnvelopeSource
-          .parseKafkaForTable(raw, cfg.payloadSchema, schemaName, tableName)
+        val value = raw.select(col("value").cast("string").as("value"))
+        val events =
+          if (cfg.schemaRegistry.nonEmpty)
+            EnvelopeSource.parseVersionedForTable(value, cfg.payloadSchema,
+              cfg.schemaRegistry, schemaName, tableName)
+          else EnvelopeSource.parseForTable(value, cfg.payloadSchema, schemaName, tableName)
         processBatch(spark, lake, cfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())

@@ -125,4 +125,61 @@ class EnvelopeSpec extends SparkSpec {
       }.values.toArray.sorted
     assert(state.sameElements(expected))
   }
+
+  test("mixed-version messages parse in ONE stream and evolve the lake mid-batch") {
+    import graft.lake.{AddColumn, RenameColumn, WidenColumn}
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    def msg(createdAt: Long, ops: String): String =
+      s"""{"source_database_type":"postgresql","transaction_id":"t$createdAt",""" +
+        s""""created_at":$createdAt,"batch_page":0,"batch_size":10,""" +
+        s""""operations":[$ops]}"""
+    def op(operation: String, cols: (String, String)*): String =
+      s"""{"schema_name":"corpus","table_name":"documents","operation":"$operation",""" +
+        s""""columns":[${cols.map { case (n, v) =>
+          s"""{"name":"$n","type":"varchar","value":"$v"}""" }.mkString(",")}]}"""
+    // v1 generation then a v2 generation one capture-second later, one feed
+    val lines = Seq(
+      msg(1700000000L,
+        op("insert", "doc_id" -> "d-1", "n_tok" -> "2", "source" -> "web") + "," +
+          op("insert", "doc_id" -> "d-2", "n_tok" -> "1", "source" -> "code")),
+      msg(1700000001L,
+        op("update", "doc_id" -> "d-2", "n_tok" -> "5000000000",
+          "origin" -> "v2-code", "lang" -> "de") + "," +
+          op("insert", "doc_id" -> "d-3", "n_tok" -> "7",
+            "origin" -> "v2-books", "lang" -> "fr")))
+    val basePayload = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType),
+      StructField("source", StringType)))
+    val registry = Map(2 -> Seq(
+      AddColumn("lang", StringType),
+      RenameColumn("source", "origin"),
+      WidenColumn("n_tok", LongType)))
+
+    // parse level: per-row version + latest shape
+    import spark.implicits._
+    val parsed = EnvelopeSource.parseVersionedForTable(
+        lines.toDF("value"), basePayload, registry, "corpus", "documents")
+      .collect().sortBy(_.getAs[Long]("lsn"))
+    assert(parsed.map(_.getAs[Int]("schema_ver")).toSeq == Seq(1, 1, 2, 2))
+    assert(parsed(0).getAs[String]("origin") == "web", "v1 source folds into origin")
+    assert(parsed(2).getAs[Long]("n_tok") == 5000000000L)
+
+    // e2e: one streaming run, registry-driven mid-batch evolution
+    val root = tmpDir("graft-env-evo")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "bus.jsonl"),
+      lines.mkString("\n").getBytes)
+    val cfg = RunnerConfig(
+      feedDir = root, tableDir = s"$root-table", checkpointDir = s"$root-cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+      payloadSchema = basePayload, schemaRegistry = registry)
+    CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+    val state = new graft.lake.LakeTable(cfg.tableDir).read(spark)
+      .collect().sortBy(_.getAs[String]("doc_id"))
+    assert(state.map(_.getAs[String]("origin")).toSeq == Seq("web", "v2-code", "v2-books"))
+    assert(state.map(_.getAs[Long]("n_tok")).toSeq == Seq(2L, 5000000000L, 7L))
+    assert(state(0).isNullAt(state(0).fieldIndex("lang")) &&
+      state(2).getAs[String]("lang") == "fr")
+  }
 }
