@@ -15,8 +15,11 @@ import graft.runner._
  * {{{
  * runMain graft.JobMain <settings.json> <feedDir> <lakeRoot> <checkpointDir>
  *   [--snapshot <parquetPath>]   // full-load source (replication_type includes full_load)
- *   [--payloads <payloads.json>] // per-table payload decl for multi-table feeds:
+ *   [--payloads <payloads.json>] // per-table payload decl (multi-table feeds, and
+ *                                // required for non-parquet --source wire formats):
  *                                // {"schema.table": {"keys": ["k"], "columns": {"c": "ddl"}}}
+ *   [--source parquet|wal|envelope|kafka] // feed wire format (default parquet)
+ *   [--brokers host:port --topic t]       // with --source kafka
  *   [--continuous]               // ProcessingTime trigger instead of AvailableNow
  * }}}
  *
@@ -71,8 +74,12 @@ object JobMain {
     println(s"[job] task=${settings.taskName} type=${settings.replicationType} " +
       s"mode=${settings.cdcMode} start=${settings.startMode} tables=${settings.tables.map(_.id)}")
 
+    // wire format first: --payloads means "multi-table parquet feed" ONLY for
+    // the parquet source — for wal/envelope/kafka it is the payload
+    // DECLARATION the single-table wire parse needs
+    val sourceKindTop = opt("--source").getOrElse("parquet")
     opt("--payloads") match {
-      case Some(p) =>
+      case Some(p) if sourceKindTop == "parquet" =>
         // multi-table: one feed routed per table in priority order
         val cfg = MultiTableRunner.Config(
           feedDir, lakeRoot, checkpointDir, settings, parsePayloads(p))
@@ -84,20 +91,35 @@ object JobMain {
         }
         val q = MultiTableRunner.start(spark, cfg, availableNow = !continuous)
         q.awaitTermination()
-      case None =>
+      case _ =>
         // single-table: payload inferred from the feed files themselves
         val table = settings.tables.headOption.getOrElse(
           throw new IllegalArgumentException("settings.json declares no tables"))
-        val envelope = ChangeEvent.envelopeFields.map(_.name).toSet
-        val feedSchema = spark.read.parquet(feedDir).schema
-        val payload = StructType(feedSchema.fields.filterNot(f => envelope.contains(f.name)))
+        val sourceKind = sourceKindTop
+        // parquet change-event feeds carry their payload schema; wire-format
+        // feeds (wal/envelope/kafka) parse from text, so the payload must be
+        // DECLARED via --payloads (the base/v1 schema when a registry evolves it)
+        val (payload, payloadDeclKeys) = sourceKind match {
+          case "parquet" =>
+            val envelope = ChangeEvent.envelopeFields.map(_.name).toSet
+            val feedSchema = spark.read.parquet(feedDir).schema
+            (StructType(feedSchema.fields.filterNot(f => envelope.contains(f.name))), Nil)
+          case _ =>
+            val decls = opt("--payloads").map(parsePayloads).getOrElse(
+              throw new IllegalArgumentException(
+                s"--source $sourceKind needs --payloads with an entry for ${table.id}"))
+            val tp = decls.getOrElse(table.id, throw new IllegalArgumentException(
+              s"--payloads has no entry for ${table.id}"))
+            (tp.schema, tp.keyCols)
+        }
         // the merge key must be DECLARED, never guessed from column position:
-        // --keys flag > add_primary_key transformation > the doc_id convention
-        // column if present; otherwise fail fast (a wrong key would silently
-        // produce a wrong final state)
+        // --keys flag > payload decl > add_primary_key transformation > the
+        // doc_id convention column if present; otherwise fail fast (a wrong
+        // key would silently produce a wrong final state)
         val declaredKeys = table.transforms
           .collect { case graft.rules.AddPrimaryKey(cols, _) => cols }.flatten
         val keyCols = opt("--keys").map(_.split(",").toSeq.map(_.trim))
+          .orElse(Option(payloadDeclKeys).filter(_.nonEmpty))
           .orElse(Option(declaredKeys).filter(_.nonEmpty))
           .getOrElse {
             if (payload.fieldNames.contains(ChangeEvent.DOC_ID)) Seq(ChangeEvent.DOC_ID)
@@ -127,8 +149,30 @@ object JobMain {
         // composite ordering (CompositeReplicationStrategy.py:8): the full load
         // above completes before CDC starts tailing
         if (settings.replicationType != "full_load") {
-          val q = CdcRunner.start(spark, cfg, availableNow = !continuous,
-            intervalSeconds = settings.intervalSeconds)
+          // --source selects the wire format of the feed: parquet change-event
+          // files (default), test_decoding WAL text lines, envelope-JSON bus
+          // files, or a Kafka topic of envelope messages
+          val q = sourceKind match {
+            case "parquet" =>
+              CdcRunner.start(spark, cfg, availableNow = !continuous,
+                intervalSeconds = settings.intervalSeconds)
+            case "wal" =>
+              CdcRunner.startFromWal(spark, cfg, table.schemaName, table.tableName,
+                availableNow = !continuous, intervalSeconds = settings.intervalSeconds)
+            case "envelope" =>
+              CdcRunner.startFromEnvelopes(spark, cfg, table.schemaName, table.tableName,
+                availableNow = !continuous, intervalSeconds = settings.intervalSeconds)
+            case "kafka" =>
+              CdcRunner.startFromKafka(spark, cfg,
+                brokers = opt("--brokers").getOrElse(throw new IllegalArgumentException(
+                  "--source kafka needs --brokers host:port")),
+                topic = opt("--topic").getOrElse(throw new IllegalArgumentException(
+                  "--source kafka needs --topic name")),
+                schemaName = table.schemaName, tableName = table.tableName,
+                availableNow = !continuous, intervalSeconds = settings.intervalSeconds)
+            case other => throw new IllegalArgumentException(
+              s"unknown --source '$other' (parquet | wal | envelope | kafka)")
+          }
           q.awaitTermination()
         }
         val m = lake.manifest

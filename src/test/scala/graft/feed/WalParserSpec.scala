@@ -159,6 +159,37 @@ class WalParserSpec extends SparkSpec {
     assert(del.getAs[Int]("schema_ver") == 1 && del.getAs[String]("op") == "DELETE")
   }
 
+  test("three-generation rename chain folds newest-first across versions") {
+    import graft.lake.{AddColumn, RenameColumn}
+    val base = StructType(Seq(
+      StructField("doc_id", StringType), StructField("src", StringType)))
+    // v2: src→origin; v3: origin→provenance + a marker column per generation
+    val registry = Map(
+      2 -> Seq(RenameColumn("src", "origin"), AddColumn("v2flag", StringType)),
+      3 -> Seq(RenameColumn("origin", "provenance"), AddColumn("v3flag", StringType)))
+    val p = VersionedPayload.plan(base, registry)
+    assert(p.latest.fieldNames.toSeq == Seq("doc_id", "provenance", "v2flag", "v3flag"))
+    assert(p.union.fieldNames.toSeq
+      .intersect(Seq("src", "origin", "provenance")) == Seq("src", "origin", "provenance"),
+      "every historical name parseable")
+    assert(p.history("provenance") == Seq("provenance", "origin", "src"),
+      "fold order newest-first")
+    val lines = raw(
+      (1L, 1L, "BEGIN 1"),
+      (2L, 1L, "table s.t: INSERT: doc_id[character varying]:'a' " +
+        "src[character varying]:'v1'"),
+      (3L, 1L, "table s.t: INSERT: doc_id[character varying]:'b' " +
+        "origin[character varying]:'v2' v2flag[character varying]:'x'"),
+      (4L, 1L, "table s.t: INSERT: doc_id[character varying]:'c' " +
+        "provenance[character varying]:'v3' v3flag[character varying]:'y'"),
+      (5L, 1L, "COMMIT 1"))
+    val ev = WalParser.parseVersioned(lines, base, registry)
+      .collect().sortBy(_.getAs[Long]("lsn"))
+    assert(ev.map(_.getAs[Int]("schema_ver")).toSeq == Seq(1, 2, 3))
+    assert(ev.map(_.getAs[String]("provenance")).toSeq == Seq("v1", "v2", "v3"),
+      "each generation's value lands under the final name")
+  }
+
   test("e2e mixed-version WAL stream evolves the lake MID-BATCH (no restart)") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
