@@ -80,6 +80,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!hasShuffle(cowQe.toRdd))
   }
 
+  test("changeLog is a pure pruned scan: no Exchange, no fold, no aggregation") {
+    import graft.feed.ChangeFeed
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-plan-cl")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 4))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // the change feed is the raw delta-file content — consumers fold it
+    // themselves, so the read itself must not pay any resolution cost
+    val qe = lake.changeLog(spark, 1, lake.currentVersion).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate") &&
+      !plan.contains("ExistingRDD"),
+      s"changeLog plan is scan+project only:\n$plan")
+  }
+
   test("LWW reduction uses partial aggregation (map-side combine)") {
     val feed = graft.queries.Queries.feedFromEvents(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions._
