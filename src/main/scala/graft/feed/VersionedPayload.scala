@@ -52,7 +52,12 @@ private[feed] object VersionedPayload {
           case WidenColumn(n, to) =>
             cur = StructType(cur.fields.map(f => if (f.name == n) f.copy(dataType = to) else f))
         }
-        VersionShape(ver, cur, markers.result())
+        // a name added/renamed-to and then renamed AWAY within the same
+        // version never appears on that version's wire — keep only markers
+        // that survive into the version's final shape (there is always at
+        // least one for any column-visible change; widen-only versions have
+        // none and are applied eagerly by the runner instead)
+        VersionShape(ver, cur, markers.result().filter(cur.fieldNames.contains))
       }
     val latest = shapes.last.schema
     val latestType = shapes.flatMap(_.schema.fields).map(f => f.name -> f.dataType).toMap

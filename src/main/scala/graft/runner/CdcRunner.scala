@@ -133,18 +133,31 @@ object CdcRunner {
     if (registry.isEmpty) return
     val vers = batch.select(ChangeEvent.SCHEMA_VER).distinct()
       .collect().map(_.getInt(0)).sorted
-    vers.foreach { v =>
-      registry.get(v).foreach { changes =>
-        val cur = lake.manifest.currentSchema
-        val pending = changes.filter {
-          case AddColumn(n, _, _)   => cur.byName(n).isEmpty
-          case RenameColumn(f, t)   => cur.byName(f).isDefined && cur.byName(t).isEmpty
-          case WidenColumn(n, to)   => cur.byName(n).exists(_.dataType != to)
-        }
-        if (pending.nonEmpty) lake.evolve(pending)
-      }
-    }
+    vers.foreach(v => registry.get(v).foreach(evolvePending(lake, _)))
   }
+
+  private def evolvePending(lake: LakeTable, changes: Seq[SchemaChange]): Unit = {
+    val cur = lake.manifest.currentSchema
+    val pending = changes.filter {
+      case AddColumn(n, _, _)   => cur.byName(n).isEmpty
+      case RenameColumn(f, t)   => cur.byName(f).isDefined && cur.byName(t).isEmpty
+      case WidenColumn(n, to)   => cur.byName(n).exists(_.dataType != to)
+    }
+    if (pending.nonEmpty) lake.evolve(pending): Unit
+  }
+
+  /** Registry versions that ONLY widen leave no wire marker (no new/renamed
+    * column name on any row), so per-row version detection cannot see them —
+    * and a lake column left narrow would truncate the wide values such a
+    * version carries. Widening is value-independent and backward-compatible,
+    * so the wire-format entries apply these versions eagerly at stream
+    * start. Idempotent (already-applied changes filter out). */
+  def applyWidenOnlyVersions(
+      lake: LakeTable, registry: Map[Int, Seq[SchemaChange]]): Unit =
+    registry.toSeq.sortBy(_._1).foreach { case (_, changes) =>
+      if (changes.nonEmpty && changes.forall(_.isInstanceOf[WidenColumn]))
+        evolvePending(lake, changes)
+    }
 
   /** The foreachBatch body: schema-registry evolution, then merge-apply. */
   def processBatch(spark: SparkSession, lake: LakeTable, cfg: RunnerConfig)(
@@ -218,6 +231,7 @@ object CdcRunner {
       availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
     import graft.feed.EnvelopeSource
     val lake = ensureTable(spark, cfg)
+    applyWidenOnlyVersions(lake, cfg.schemaRegistry)
     val stream = spark.readStream
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .text(cfg.feedDir)
@@ -265,6 +279,7 @@ object CdcRunner {
         "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)")
     import graft.feed.EnvelopeSource
     val lake = ensureTable(spark, cfg)
+    applyWidenOnlyVersions(lake, cfg.schemaRegistry)
     val stream = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
@@ -303,6 +318,7 @@ object CdcRunner {
       availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
     import graft.feed.WalParser
     val lake = ensureTable(spark, cfg)
+    applyWidenOnlyVersions(lake, cfg.schemaRegistry)
     val stream = spark.readStream
       .schema(WalParser.rawSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)

@@ -190,6 +190,31 @@ class WalParserSpec extends SparkSpec {
       "each generation's value lands under the final name")
   }
 
+  test("widen-only registry version applies eagerly (no wire marker to detect)") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.lake.WidenColumn
+    val root = tmpDir("graft-wal-widen")
+    val basePayload = StructType(Seq(
+      StructField("doc_id", StringType), StructField("n_tok", IntegerType)))
+    // one line carrying a value past int range; nothing marks it as v2
+    val lines = raw(
+      (1L, 1L, "BEGIN 1"),
+      (2L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "n_tok[bigint]:4000000000"),
+      (3L, 1L, "COMMIT 1"))
+    lines.coalesce(1).write.parquet(s"$root/feed")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      payloadSchema = basePayload,
+      schemaRegistry = Map(2 -> Seq(WidenColumn("n_tok", LongType))))
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    val state = new graft.lake.LakeTable(cfg.tableDir).read(spark).collect()
+    assert(state.length == 1 && state.head.getAs[Long]("n_tok") == 4000000000L,
+      s"lake widened before the first batch — no truncation: ${state.toSeq}")
+  }
+
   test("e2e mixed-version WAL stream evolves the lake MID-BATCH (no restart)") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
