@@ -112,8 +112,13 @@ object JdbcEndpoint {
       keyCols: Seq[String], varcharLen: Int = 255): Boolean = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.props)
     try {
-      val exists = scala.util.Using.resource(
-        c.getMetaData.getTables(null, null, table, null))(_.next())
+      // the DDL emits the table identifier unquoted, so the dialect folds it
+      // (Derby/H2/Oracle: upper; Postgres: lower) — probe all three casings or
+      // a second call would see "not exists" and throw 'table already exists'
+      def found(name: String): Boolean = scala.util.Using.resource(
+        c.getMetaData.getTables(null, null, name, null))(_.next())
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase)
+        .distinct.exists(found)
       if (!exists)
         scala.util.Using.resource(c.createStatement())(
           _.execute(createTableDdl(table, schema, keyCols, varcharLen)))

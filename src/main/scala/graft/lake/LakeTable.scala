@@ -81,8 +81,22 @@ final case class DataFile(
     /** parquet-footer min/max of an integral-typed leading merge key
       * (bigint/int doc ids) — same pruning, numeric order */
     minKeyNum: Option[Long] = None,
-    maxKeyNum: Option[Long] = None) {
+    maxKeyNum: Option[Long] = None,
+    /** BUCKET SPEC: the table bucket count this file's `bucket` id is relative
+      * to — per-file, like `schemaId`, so [[LakeTable.rescale]] can grow the
+      * table's bucket count without rewriting data. 0 = written before spec
+      * tracking (patched to the manifest's bucket count on resolve). */
+    spec: Int = 0) {
   def isDelta: Boolean = kind == DataFile.DELTA
+  /** Current-spec buckets this file's rows can belong to: `pmod(h, k·s) ≡
+    * pmod(h, s) (mod s)`, so a file at spec `s` holding bucket `b` covers
+    * exactly the current buckets `{b, b+s, b+2s, …}`. */
+  def coveredBuckets(currentBuckets: Int): Range =
+    bucket until currentBuckets by spec
+  /** Whether a replace set (current-spec ids) touches this file. */
+  def replacedBy(replaced: Set[Int]): Boolean =
+    if (spec <= 0) replaced.contains(bucket)
+    else replaced.exists(r => r % spec == bucket)
   /** Range check in UNSIGNED UTF-8 byte order — the order parquet binary
     * statistics use. Java String (UTF-16) ordering diverges for
     * supplementary-plane characters and would wrongly prune files. */
@@ -619,10 +633,13 @@ class LakeTable(val dir: String) {
             vals(i) = if (r.isNullAt(i)) null else r.get(i, fieldTypes(i))
             i += 1
           }
-          // next version's start is a primitive (timestamp micros) — safe to
-          // read from the peeked (reused) row without copying it
+          // next version's start comes from the PEEKED row, whose buffer the
+          // scan iterator reuses — a timestamp (primitive long) is safe to
+          // read directly, anything buffer-backed (e.g. a string-typed start
+          // column) must be copied or it would silently corrupt end values
           vals(ei) =
-            if (nextSameKey && !it.head.isNullAt(si)) it.head.get(si, fieldTypes(si))
+            if (nextSameKey && !it.head.isNullAt(si))
+              InternalRow.copyValue(it.head.get(si, fieldTypes(si)))
             else null
           val deleted = !r.isNullAt(di) && r.getBoolean(di)
           vals(ci) = if (!nextSameKey && !deleted) 1 else 0
@@ -860,9 +877,13 @@ class LakeTable(val dir: String) {
    * `keepVersions` most recent, plus their manifests. Readers of kept snapshots
    * are unaffected (time travel window shrinks to `keepVersions`).
    *
-   * `olderThanMs`: wall-clock retention floor — a snapshot committed at or
-   * after this cutoff is kept even when it falls outside `keepVersions`
-   * ("keep the last 2 versions AND everything from the past 7 days").
+   * `keepCommittedSinceMs`: wall-clock retention floor as an ABSOLUTE
+   * epoch-ms timestamp — a snapshot committed at or after it is kept even
+   * when it falls outside `keepVersions` ("keep the last 2 versions AND
+   * everything committed since now − 7 days"). Deliberately timestamp-shaped
+   * and named so, unlike [[removeOrphans]]'s relative `olderThanMs` AGE —
+   * passing an age here would make every snapshot look younger than the
+   * cutoff and silently disable the floor.
    *
    * Deletion candidates come from the PRUNED manifests' file lists (minus files
    * still referenced by kept manifests) — never from a directory walk. Files of
@@ -871,11 +892,11 @@ class LakeTable(val dir: String) {
    * vacuum running beside an active stream/maintenance job cannot eat data the
    * next commit will reference.
    */
-  def vacuum(keepVersions: Int = 2, olderThanMs: Option[Long] = None): Seq[String] =
+  def vacuum(keepVersions: Int = 2, keepCommittedSinceMs: Option[Long] = None): Seq[String] =
       this.synchronized {
     val cur = currentVersion
     var keepFrom = math.max(1, cur - keepVersions + 1)
-    olderThanMs.foreach { cutoff =>
+    keepCommittedSinceMs.foreach { cutoff =>
       // commit stamps are monotone per table (one writer, serialized commits):
       // walk the kept window back until the next-older snapshot predates the cutoff
       while (keepFrom > 1 && Files.exists(manifestPath(keepFrom - 1)) &&

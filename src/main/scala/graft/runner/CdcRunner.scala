@@ -146,17 +146,21 @@ object CdcRunner {
     if (pending.nonEmpty) lake.evolve(pending): Unit
   }
 
-  /** Registry versions that ONLY widen leave no wire marker (no new/renamed
-    * column name on any row), so per-row version detection cannot see them —
-    * and a lake column left narrow would truncate the wide values such a
-    * version carries. Widening is value-independent and backward-compatible,
-    * so the wire-format entries apply these versions eagerly at stream
-    * start. Idempotent (already-applied changes filter out). */
-  def applyWidenOnlyVersions(
+  /** Wire-format streams with a registry parse EVERY row to the LATEST payload
+    * shape (parseVersioned folds rename chains and casts widened fields), so
+    * the lake must hold the latest schema from the FIRST batch: merging a
+    * v1-only batch (every batch before the first v2 row arrives) against a
+    * lake still carrying a renamed column's old name would make alignToSchema
+    * null-fill the new name and silently drop all pre-evolution values of that
+    * column. Apply ALL registry versions eagerly at stream start — the parse
+    * side already committed to the latest shape, so the lake side must too.
+    * (Widen-only versions additionally NEED this: they leave no wire marker
+    * for per-row detection, and a narrow lake column would truncate them.)
+    * Idempotent (already-applied changes filter out). */
+  def applyRegistryEagerly(
       lake: LakeTable, registry: Map[Int, Seq[SchemaChange]]): Unit =
     registry.toSeq.sortBy(_._1).foreach { case (_, changes) =>
-      if (changes.nonEmpty && changes.forall(_.isInstanceOf[WidenColumn]))
-        evolvePending(lake, changes)
+      evolvePending(lake, changes)
     }
 
   /** The foreachBatch body: schema-registry evolution, then merge-apply. */
@@ -231,7 +235,7 @@ object CdcRunner {
       availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
     import graft.feed.EnvelopeSource
     val lake = ensureTable(spark, cfg)
-    applyWidenOnlyVersions(lake, cfg.schemaRegistry)
+    applyRegistryEagerly(lake, cfg.schemaRegistry)
     val stream = spark.readStream
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .text(cfg.feedDir)
@@ -279,7 +283,7 @@ object CdcRunner {
         "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)")
     import graft.feed.EnvelopeSource
     val lake = ensureTable(spark, cfg)
-    applyWidenOnlyVersions(lake, cfg.schemaRegistry)
+    applyRegistryEagerly(lake, cfg.schemaRegistry)
     val stream = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
@@ -318,7 +322,7 @@ object CdcRunner {
       availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
     import graft.feed.WalParser
     val lake = ensureTable(spark, cfg)
-    applyWidenOnlyVersions(lake, cfg.schemaRegistry)
+    applyRegistryEagerly(lake, cfg.schemaRegistry)
     val stream = spark.readStream
       .schema(WalParser.rawSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)

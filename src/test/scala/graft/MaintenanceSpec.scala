@@ -130,10 +130,10 @@ class MaintenanceSpec extends SparkSpec {
     (0L to 3L).foreach(e => lake.commit(e, Nil, Set.empty))
     assert(lake.manifest.committedAtMs > 0, "commits carry a wall-clock stamp")
     // every snapshot is younger than an epoch-0 cutoff → retention floor keeps all
-    assert(lake.vacuum(keepVersions = 1, olderThanMs = Some(0L)).isEmpty)
+    assert(lake.vacuum(keepVersions = 1, keepCommittedSinceMs = Some(0L)).isEmpty)
     // future cutoff: nothing is protected by age, version policy prunes history
     val deleted = lake.vacuum(keepVersions = 1,
-      olderThanMs = Some(System.currentTimeMillis() + 3600000L))
+      keepCommittedSinceMs = Some(System.currentTimeMillis() + 3600000L))
     assert(deleted.nonEmpty, "old manifests pruned once past the age floor")
   }
 

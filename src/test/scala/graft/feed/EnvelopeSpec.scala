@@ -126,6 +126,50 @@ class EnvelopeSpec extends SparkSpec {
     assert(state.sameElements(expected))
   }
 
+  test("rename registry + v1-only first batch: pre-evolution values survive") {
+    // Every batch before the first v2 row arrives contains only v1 rows. The
+    // versioned parse folds them to the LATEST column names (source→origin),
+    // so the lake must evolve eagerly at stream start — otherwise alignToSchema
+    // null-fills `origin` and all pre-evolution source values commit as NULL.
+    import graft.lake.{AddColumn, RenameColumn}
+    def msg(createdAt: Long, ops: String): String =
+      s"""{"source_database_type":"postgresql","transaction_id":"t$createdAt",""" +
+        s""""created_at":$createdAt,"batch_page":0,"batch_size":10,""" +
+        s""""operations":[$ops]}"""
+    def op(operation: String, cols: (String, String)*): String =
+      s"""{"schema_name":"corpus","table_name":"documents","operation":"$operation",""" +
+        s""""columns":[${cols.map { case (n, v) =>
+          s"""{"name":"$n","type":"varchar","value":"$v"}""" }.mkString(",")}]}"""
+    val v1Only = msg(1700000000L,
+      op("insert", "doc_id" -> "d-1", "n_tok" -> "2", "source" -> "web") + "," +
+        op("insert", "doc_id" -> "d-2", "n_tok" -> "1", "source" -> "code"))
+    val registry = Map(2 -> Seq(
+      AddColumn("lang", StringType),
+      RenameColumn("source", "origin")))
+    val root = tmpDir("graft-env-v1only")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "bus-0.jsonl"),
+      v1Only.getBytes)
+    val cfg = RunnerConfig(
+      feedDir = root, tableDir = s"$root-table", checkpointDir = s"$root-cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+      payloadSchema = payload, schemaRegistry = registry)
+    CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    val afterV1 = lake.read(spark).collect().sortBy(_.getAs[String]("doc_id"))
+    assert(afterV1.map(_.getAs[String]("origin")).toSeq == Seq("web", "code"),
+      "v1 source values land in the renamed column, not NULL")
+    // a later v2 batch continues cleanly on the already-evolved lake
+    val v2 = msg(1700000001L,
+      op("update", "doc_id" -> "d-1", "n_tok" -> "3",
+        "origin" -> "v2-web", "lang" -> "en"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "bus-1.jsonl"), v2.getBytes)
+    CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+    val state = lake.read(spark).collect().sortBy(_.getAs[String]("doc_id"))
+    assert(state.map(_.getAs[String]("origin")).toSeq == Seq("v2-web", "code"))
+    assert(state(0).getAs[String]("lang") == "en" &&
+      state(1).isNullAt(state(1).fieldIndex("lang")))
+  }
+
   test("mixed-version messages parse in ONE stream and evolve the lake mid-batch") {
     import graft.lake.{AddColumn, RenameColumn, WidenColumn}
     import graft.model._
