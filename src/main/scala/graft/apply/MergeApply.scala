@@ -226,8 +226,11 @@ object MergeApply {
         return BatchResult(epoch, skipped = false, baseMetrics)
       }
 
-      // ── copy-on-write: manifest-pruned base read — only affected buckets ──
-      val base = lake.readBuckets(spark, affected)
+      // ── copy-on-write: manifest-pruned base read — only affected buckets
+      // (closure-expanded: after a rescale a coarser pre-split file covers
+      // sibling buckets too, which must be read and rewritten together) ──
+      val affectedC = lake.bucketClosure(m, affected)
+      val base = lake.readBuckets(spark, affectedC)
 
       // ── full-outer merge on the key; AQE broadcasts the reduced side when small ──
       // True last-writer-wins: the change side wins only if its LSN is newer than
@@ -257,7 +260,7 @@ object MergeApply {
         .withColumn("_bucket", lake.bucketExpr(keys, buckets))
 
       val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, m))
-      timed("commit")(lake.commit(epoch, files, affected, baseMetrics))
+      timed("commit")(lake.commit(epoch, files, affectedC, baseMetrics))
       BatchResult(epoch, skipped = false, baseMetrics)
     } finally reduced.unpersist()
   }
@@ -339,7 +342,8 @@ object MergeApply {
         return BatchResult(epoch, skipped = false, metrics)
       }
 
-      val base = lake.readBuckets(spark, affected)
+      val affectedC = lake.bucketClosure(m, affected)
+      val base = lake.readBuckets(spark, affectedC)
         .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
 
       // rebuild every affected key's chain from ALL its versions, LSN-ordered;
@@ -354,7 +358,7 @@ object MergeApply {
           when(nextStart.isNull && !col("_deleted"), lit(1)).otherwise(lit(0)))
 
       val files = writeEpoch(spark, lake, rebuilt, epoch, m)
-      lake.commit(epoch, files, affected, metrics)
+      lake.commit(epoch, files, affectedC, metrics)
       BatchResult(epoch, skipped = false, metrics)
     } finally withBucket.unpersist()
   }

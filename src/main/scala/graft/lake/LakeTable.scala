@@ -172,7 +172,7 @@ object ManifestJson {
   private def fileToJson(f: DataFile): JObject = JObject(List(
     "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
     "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
-    "kind" -> JString(f.kind)) ++
+    "kind" -> JString(f.kind), "spec" -> JInt(f.spec)) ++
     f.minKey.map(v => "min_key" -> (JString(v): JValue)).toList ++
     f.maxKey.map(v => "max_key" -> (JString(v): JValue)).toList ++
     f.minKeyNum.map(v => "min_key_num" -> (JLong(v): JValue)).toList ++
@@ -185,7 +185,8 @@ object ManifestJson {
       (jf \ "min_key").extractOpt[String],
       (jf \ "max_key").extractOpt[String],
       (jf \ "min_key_num").extractOpt[Long],
-      (jf \ "max_key_num").extractOpt[Long])
+      (jf \ "max_key_num").extractOpt[Long],
+      (jf \ "spec").extractOrElse[Int](0))
 
   def writeFragment(fr: ManifestFragment): String =
     JsonMethods.pretty(JsonMethods.render(JObject(
@@ -279,6 +280,25 @@ object LakeTable {
     * would dominate the metadata pass (XML resource loading). */
   lazy val sharedHadoopConf = new org.apache.hadoop.conf.Configuration()
 
+  /** Cap on per-group scan branches in a merge-on-read read plan. Below it,
+    * each delta-bearing group is its own coalesced branch (zero shuffle);
+    * above it, the read falls back to one scan + one Exchange on the group id
+    * so driver-side plan analysis stays bounded (a thousands-branch union of
+    * separate parquet relations costs minutes of Catalyst work before the
+    * first task launches). Override: -Dgraft.lake.maxFoldBranches=N. */
+  def maxFoldBranches: Int =
+    sys.props.get("graft.lake.maxFoldBranches").map(_.toInt).getOrElse(512)
+
+  /** Balanced (tree-shaped) unionAll: Catalyst analysis over a left-deep
+    * N-branch union chain is quadratic in N; the balanced tree keeps plan
+    * depth O(log N) for the many-bucket fold paths. */
+  private[lake] def unionBalanced(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionBalanced of zero frames")
+    if (dfs.size == 1) dfs.head
+    else unionBalanced(dfs.grouped(2)
+      .map(g => if (g.size == 2) g(0).unionAll(g(1)) else g(0)).toSeq)
+  }
+
   /** Per-row key equality over InternalRows for the sorted bucket-local
     * folds (UTF8String/primitive internal values — no external conversion).
     * Lives on the companion so the executor-side fold closures stay static —
@@ -340,13 +360,17 @@ class LakeTable(val dir: String) {
     }
     fragNames.drop(startIdx).foldLeft(startFiles) { (fs, name) =>
       val fr = readFragmentFile(name)
-      fs.filterNot(f => fr.replacedBuckets.contains(f.bucket)) ++ fr.added
+      fs.filterNot(_.replacedBy(fr.replacedBuckets)) ++ fr.added
     }
   }
 
   private def resolve(v: Int): Manifest = {
     val meta = ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+    // pre-spec-tracking files could only have been written at the manifest's
+    // bucket count (rescale records specs from day one) — patch them so every
+    // downstream coverage check can rely on spec > 0
     val files = foldFragments(meta.fragments)
+      .map(f => if (f.spec <= 0) f.copy(spec = meta.buckets) else f)
     foldCache = Some((v, meta.fragments, files))
     meta.copy(files = files)
   }
@@ -441,7 +465,16 @@ class LakeTable(val dir: String) {
     val old = manifest
     if (old.isCommittedEpoch(epoch)) return old
     val evolved = if (changes.isEmpty) old else applySchemaChanges(old, changes)
-    val carried = evolved.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val (dropped, carried) = evolved.files.partition(_.replacedBy(replacedBuckets))
+    // PARTIAL coverage of a coarser-spec (pre-rescale) file would silently drop
+    // the rows of its other children — a caller replacing any current bucket of
+    // such a file must replace the whole group (LakeTable.bucketClosure)
+    dropped.foreach { f =>
+      require(f.coveredBuckets(evolved.buckets).forall(replacedBuckets.contains),
+        s"commit(epoch=$epoch) replaces only part of ${f.path} " +
+          s"(spec=${f.spec}, bucket=${f.bucket}, current buckets=${evolved.buckets}): " +
+          "expand the replace set with bucketClosure")
+    }
     val mergedMetrics = (evolved.metrics.keySet ++ metricsDelta.keySet).map { k =>
       k -> (evolved.metrics.getOrElse(k, 0L) + metricsDelta.getOrElse(k, 0L))
     }.toMap
@@ -468,6 +501,57 @@ class LakeTable(val dir: String) {
     val m = applySchemaChanges(old, changes).copy(version = old.version + 1)
     writeManifest(m, None)
     m
+  }
+
+  /**
+   * Bucket-spec evolution (metadata-only commit): future writes use
+   * `newBuckets`; existing files keep their recorded per-file spec and stay
+   * readable because xxhash-pmod is congruence-stable under multiplication —
+   * `pmod(h, k·B) ≡ pmod(h, B) (mod B)` — so a pre-rescale bucket `b`'s rows
+   * can only land in current buckets `{b, b+B, …}`. This is the one thing the
+   * round-3 format could not do: a table created at 64 buckets and grown to
+   * 100 TB was stuck with ~1.5 TB one-task buckets forever. Now the operator
+   * runbook is `rescale(2×)` (instant) + [[splitBuckets]] batches (gradual
+   * physical migration); reads, merges and compaction stay correct throughout
+   * the mixed-spec window by grouping at the coarsest live spec
+   * ([[bucketClosure]]). Power-of-two doubling is the intended cadence, but
+   * any integer multiple preserves the congruence.
+   *
+   * The commit consolidates the fragment list so every live file's spec is
+   * recorded explicitly before the manifest's bucket count changes.
+   */
+  def rescale(newBuckets: Int): Manifest = this.synchronized {
+    val old = manifest
+    require(newBuckets > old.buckets && newBuckets % old.buckets == 0,
+      s"rescale($newBuckets): must be a proper integer multiple of the " +
+        s"current bucket count ${old.buckets}")
+    require(old.keyCols.nonEmpty,
+      "rescale needs merge keys (splitBuckets re-derives buckets from key values)")
+    val newVersion = old.version + 1
+    val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
+    val m = old.copy(version = newVersion, buckets = newBuckets,
+      fragments = Seq(f"mf-$newVersion%06d.json"))
+    writeManifest(m, Some(fragment))
+    m
+  }
+
+  /**
+   * The read/replace closure of a set of current-spec bucket ids: with mixed
+   * per-file specs a coarser (pre-rescale) file covers several current
+   * buckets, so touching any of them must read — and, on copy-on-write,
+   * rewrite — every current bucket of that group. Group identity is
+   * `bucket % gran` at the coarsest live spec (specs form a divisor chain:
+   * rescale only ever multiplies), which makes one expansion a fixpoint.
+   * Uniform-spec tables (the steady state) return the input unchanged.
+   */
+  def bucketClosure(m: Manifest, buckets: Set[Int]): Set[Int] = {
+    val specs = m.files.map(_.spec).toSet
+    if (specs.isEmpty || specs == Set(m.buckets)) buckets
+    else {
+      val gran = specs.min
+      val groups = buckets.map(_ % gran)
+      (0 until m.buckets).filter(b => groups.contains(b % gran)).toSet
+    }
   }
 
   /** Fold the fragment list into one fragment without touching data files —
@@ -663,15 +747,37 @@ class LakeTable(val dir: String) {
    * sized to one task).
    */
   private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
-    val deltaBuckets = files.filter(_.isDelta).map(_.bucket).toSet
-    if (deltaBuckets.isEmpty) return readFiles(spark, m, files)
-    val (hot, cold) = files.partition(f => deltaBuckets.contains(f.bucket))
-    val unioned = hot.groupBy(_.bucket).values
-      .map(fs => readFiles(spark, m, fs).coalesce(1))
-      .reduce(_ unionAll _)
+    if (!files.exists(_.isDelta)) return readFiles(spark, m, files)
+    // group identity under (possibly mixed) bucket specs: bucket % coarsest
+    // live spec — pre-rescale files are coarser, so grouping at the coarsest
+    // granularity keeps every key's base+delta rows inside one group
+    val gran = files.map(_.spec).min
+    require(gran > 0, "delta resolution needs spec-tracked files")
+    def g(f: DataFile): Int = f.bucket % gran
+    val hotGroups = files.filter(_.isDelta).map(g).toSet
+    val (hot, cold) = files.partition(f => hotGroups.contains(g(f)))
+    def fold(df: DataFrame): DataFrame =
+      if (m.tableMode == Manifest.SCD2) rebuildScd2Local(df, m)
+      else resolveLwwLocal(df, m.keyCols)
     val resolved =
-      if (m.tableMode == Manifest.SCD2) rebuildScd2Local(unioned, m)
-      else resolveLwwLocal(unioned, m.keyCols)
+      if (hotGroups.size <= LakeTable.maxFoldBranches) {
+        // one coalesced scan branch per group (bucket-complete partition, zero
+        // Exchange); balanced union keeps Catalyst analysis O(N log N) instead
+        // of the quadratic left-deep chain
+        LakeTable.unionBalanced(
+          hot.groupBy(g).values.map(fs => readFiles(spark, m, fs).coalesce(1)).toSeq)
+          .transform(fold)
+      } else {
+        // thousands of delta-bearing groups: per-branch planning would cost
+        // the driver minutes before the first task. Bounded-plan fallback:
+        // ONE scan of all hot files + one Exchange hash-partitioned on the
+        // group id (recomputed from the keys — bucket % gran ≡ pmod(h, gran)),
+        // which re-establishes key-complete partitions for the same local fold.
+        // Trades one shuffle of hot-bucket bytes for O(1) plan size.
+        require(m.keyCols.nonEmpty, "delta resolution needs key_cols")
+        fold(readFiles(spark, m, hot)
+          .repartition(pmod(xxhash64(m.keyCols.map(col): _*), lit(gran)).cast(IntegerType)))
+      }
     if (cold.isEmpty) resolved else resolved.unionByName(readFiles(spark, m, cold))
   }
 
@@ -721,12 +827,15 @@ class LakeTable(val dir: String) {
     readFiles(spark, mTo, added.result())
   }
 
-  /** Read only the given buckets — file pruning via the manifest (no dir
-    * listing); deltas in those buckets resolved. Tombstones kept (engine-facing
-    * read used by the merge). */
+  /** Read only the given CURRENT-spec buckets — file pruning via the manifest
+    * (no dir listing); deltas in those buckets resolved; pre-rescale files
+    * covering any requested bucket included. Tombstones kept (engine-facing
+    * read used by the merge — which must pass a [[bucketClosure]]-expanded set
+    * so the rows a coarser file carries for sibling buckets are not lost). */
   def readBuckets(spark: SparkSession, buckets: Set[Int]): DataFrame = {
     val m = manifest
-    readResolved(spark, m, m.files.filter(f => buckets.contains(f.bucket)))
+    readResolved(spark, m,
+      m.files.filter(f => buckets.exists(b => b % f.spec == f.bucket)))
   }
 
   private def readFiles(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
@@ -836,24 +945,34 @@ class LakeTable(val dir: String) {
       maxDeltaFiles: Int = 4,
       dropTombstonesBelow: Option[Long] = None): Manifest = {
     val m = manifest
-    val oversized = m.files.groupBy(_.bucket)
+    if (m.files.isEmpty) return m
+    // group at the coarsest live spec (mixed specs after a rescale): a group
+    // is the unit that can be read bucket-complete and rewritten independently
+    val gran = m.files.map(_.spec).min
+    def g(f: DataFile): Int = f.bucket % gran
+    val oversized = m.files.groupBy(g)
       .filter { case (_, fs) =>
         fs.size > maxFilesPerBucket || fs.count(_.isDelta) >= maxDeltaFiles
       }
       .keySet
     if (oversized.isEmpty) return m
     val epoch = maintenanceEpoch(m)
-    // bucket comes from the manifest (keys may be composite): read per bucket,
-    // tag with its literal id, union. Each branch is narrowed to ONE partition
-    // — delta-bearing branches already are (bucket-local fold), small-file
-    // branches coalesce — so the partitionBy write emits exactly one task and
-    // one base file set per bucket with ZERO shuffle: compaction of a 100 TB
-    // table moves no rows between executors (the previous global
-    // repartition(_bucket) re-shuffled everything being compacted).
-    val byBucket = m.files.filter(f => oversized.contains(f.bucket)).groupBy(_.bucket)
-    val df = byBucket.map { case (b, fs) =>
-      readResolved(spark, m, fs).coalesce(1).withColumn("_bucket", lit(b))
-    }.reduce(_ unionAll _)
+    // read per group, tag each row's CURRENT-spec bucket, union. Each branch
+    // is narrowed to ONE partition — delta-bearing branches already are
+    // (bucket-local fold), small-file branches coalesce — so the partitionBy
+    // write emits one task per group and one base file set per bucket with
+    // ZERO shuffle: compaction of a 100 TB table moves no rows between
+    // executors (a global repartition(_bucket) would re-shuffle everything
+    // being compacted). On a uniform-spec table the tag is the group's literal
+    // id; after a rescale it is re-derived from the keys, which also migrates
+    // the group's files to the current spec as a side effect.
+    val byGroup = m.files.filter(f => oversized.contains(g(f))).groupBy(g)
+    val df = LakeTable.unionBalanced(byGroup.map { case (grp, fs) =>
+      val tag =
+        if (gran == m.buckets) lit(grp)
+        else bucketExpr(m.keyCols, m.buckets)
+      readResolved(spark, m, fs).coalesce(1).withColumn("_bucket", tag)
+    }.toSeq)
     // tombstone GC applies to LWW tables only: an scd2 delete marker anchors
     // the previous version's end_date — dropping it would make a later chain
     // rebuild resurrect the closed entity as current
@@ -868,8 +987,43 @@ class LakeTable(val dir: String) {
       .partitionBy("_bucket")
       .parquet(dataDir(epoch))
     val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    // replace the full current-spec closure of every rewritten group
+    val replaced = (0 until m.buckets).filter(b => oversized.contains(b % gran)).toSet
     // compaction also folds the fragment list down to one (manifest rewrite)
-    commit(epoch, files, oversized, Map("compactions" -> 1L), consolidate = true)
+    commit(epoch, files, replaced, Map("compactions" -> 1L), consolidate = true)
+  }
+
+  /**
+   * Physical half of bucket-spec evolution: rewrite files recorded at a
+   * pre-[[rescale]] spec into current-spec children. Bucket-local and
+   * zero-shuffle like [[compact]] — each stale group reads as one partition
+   * (deltas folded) and the partitionBy write re-derives `_bucket` from the
+   * key values under the current spec, so an old bucket's rows fan out to its
+   * `{b, b+B, …}` children without moving between executors. `maxGroups`
+   * bounds one call's rewrite: a 100 TB migration proceeds group-by-group
+   * across maintenance windows while reads stay correct on the mixed-spec
+   * table throughout. Returns the unchanged manifest when nothing is stale.
+   */
+  def splitBuckets(spark: SparkSession, maxGroups: Int = Int.MaxValue): Manifest = {
+    val m = manifest
+    val stale = m.files.filter(_.spec != m.buckets)
+    if (stale.isEmpty) return m
+    require(m.keyCols.nonEmpty, "splitBuckets re-derives buckets from key values")
+    val gran = m.files.map(_.spec).min
+    def g(f: DataFile): Int = f.bucket % gran
+    val staleGroups = stale.map(g).distinct.sorted.take(maxGroups).toSet
+    val groupFiles = m.files.filter(f => staleGroups.contains(g(f)))
+    val epoch = maintenanceEpoch(m)
+    val df = LakeTable.unionBalanced(groupFiles.groupBy(g).values
+      .map(fs => readResolved(spark, m, fs).coalesce(1)).toSeq)
+      .withColumn("_bucket", bucketExpr(m.keyCols, m.buckets))
+    df.write.mode("overwrite")
+      .options(bloomOptions(m.keyCols))
+      .partitionBy("_bucket")
+      .parquet(dataDir(epoch))
+    val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    val replaced = (0 until m.buckets).filter(b => staleGroups.contains(b % gran)).toSet
+    commit(epoch, files, replaced, Map("bucket_splits" -> 1L))
   }
 
   /**
@@ -1006,16 +1160,16 @@ class LakeTable(val dir: String) {
     // per-file stats come from the parquet FOOTER (driver-side metadata read,
     // no data scan): exact row count + leading-merge-key min/max when the key
     // is string- or integral-typed — consumed by lookup*'s intra-bucket pruning
-    val statsKey: Option[(String, DataType)] =
-      if (!exists) None
+    val (statsKey, writeSpec) =
+      if (!exists) (None, 0)
       else {
         val m = manifest
-        m.keyCols.headOption
+        (m.keyCols.headOption
           .flatMap(k => m.currentSchema.byName(k))
           .collect {
             case f if f.dataType == StringType || f.dataType == LongType ||
               f.dataType == IntegerType => (f.name, f.dataType)
-          }
+          }, m.buckets)
       }
     val listed = scala.util.Using.resource(Files.walk(root)) { walk =>
       walk.iterator().asScala
@@ -1025,7 +1179,8 @@ class LakeTable(val dir: String) {
             case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
             case _ => -1
           }
-          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L), kind)
+          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L),
+            kind, spec = writeSpec)
         }.toSeq
     }
     // footer reads in parallel — serial per-file metadata I/O on the driver
@@ -1103,7 +1258,9 @@ class LakeTable(val dir: String) {
     val m = manifest
     require(m.keyCols.size == 1, "point lookup requires a single merge key")
     val b = bucketOfKey(key, m.buckets)
-    m.files.filter(f => f.bucket == b && f.mayContainKey(key))
+    // per-file spec: a pre-rescale file holds the key iff its (coarser) bucket
+    // is the current bucket's congruence class — b % spec ≡ pmod(h, spec)
+    m.files.filter(f => f.bucket == b % f.spec && f.mayContainKey(key))
   }
 
   /** [[lookupFiles]] for an integral-typed merge key (numeric-order stats). */
@@ -1112,7 +1269,7 @@ class LakeTable(val dir: String) {
     require(m.keyCols.size == 1, "point lookup requires a single merge key")
     val dt = m.currentSchema.byName(m.keyCols.head).get.dataType
     val b = bucketOfNumKey(key, dt, m.buckets)
-    m.files.filter(f => f.bucket == b && f.mayContainKeyNum(key))
+    m.files.filter(f => f.bucket == b % f.spec && f.mayContainKeyNum(key))
   }
 
   private def lookupIn(spark: SparkSession, m: Manifest, files: Seq[DataFile],

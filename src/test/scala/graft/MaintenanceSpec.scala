@@ -137,6 +137,126 @@ class MaintenanceSpec extends SparkSpec {
     assert(deleted.nonEmpty, "old manifests pruned once past the age floor")
   }
 
+  test("bucket-spec evolution: rescale mid-stream, reads/merges stay green, " +
+    "splitBuckets migrates incrementally (CoW)") {
+    val root = tmpDir("graft-maint-rescale")
+    def mkCfg(sub: String) = RunnerConfig(
+      feedDir = s"$root/$sub/feed", tableDir = s"$root/$sub/table",
+      checkpointDir = s"$root/$sub/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4))
+    val cfg = mkCfg("a")
+    val twin = mkCfg("twin") // identical pipeline, never rescaled — the oracle
+    val feed1 = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 800, nDocs = 150))
+    val feed2 = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 600, nDocs = 150, startLsn = 801))
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed1, c.feedDir, nFiles = 2)
+      val l = CdcRunner.ensureTable(spark, c)
+      CdcRunner.fullLoad(spark, l, ChangeFeed.seedSnapshot(spark, 40), c)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    val preRescale = lake.read(spark).collect().map(_.toString).sorted
+
+    // rescale is metadata-only: instant, read-equivalent, specs recorded per file
+    lake.rescale(8)
+    val m1 = lake.manifest
+    assert(m1.buckets == 8 && m1.files.forall(_.spec == 4))
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(preRescale))
+    intercept[IllegalArgumentException](lake.rescale(12)) // not a multiple of 8
+    intercept[IllegalArgumentException](lake.rescale(8))  // not a growth
+
+    // merges continue mid-stream on the mixed-spec table: CoW rewrites whole
+    // pre-split groups (closure) and lands new files at the current spec
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed2, c.feedDir, nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val twinState = new graft.lake.LakeTable(twin.tableDir)
+      .read(spark).collect().map(_.toString).sorted
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
+      "post-rescale merge == never-rescaled twin")
+    assert(lake.manifest.files.exists(_.spec == 8), "new epochs write at the new spec")
+
+    // point lookup works across mixed specs (pre-split files located by congruence)
+    val someKey = lake.read(spark).select("doc_id").head().getString(0)
+    val row = lake.lookup(spark, someKey).collect()
+    assert(row.length == 1 && row(0).getAs[String]("doc_id") == someKey)
+
+    // incremental physical migration: one group per call, read-equivalent at
+    // every step, until every file is at the current spec
+    if (lake.manifest.files.exists(_.spec == 4)) {
+      lake.splitBuckets(spark, maxGroups = 1)
+      assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
+        "partial migration is read-equivalent")
+    }
+    lake.splitBuckets(spark)
+    val mDone = lake.manifest
+    assert(mDone.files.forall(_.spec == 8), s"fully migrated: ${mDone.files.map(_.spec).distinct}")
+    assert(mDone.files.forall(f => f.bucket >= 0 && f.bucket < 8))
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
+      "full migration is read-equivalent")
+    assert(lake.splitBuckets(spark).version == mDone.version, "nothing stale: no-op")
+    // uniform-spec pruning is back to one bucket in 8
+    val pruned = lake.lookupFiles(someKey)
+    assert(pruned.nonEmpty && pruned.forall(_.bucket == lake.bucketOfKey(someKey, 8)))
+  }
+
+  test("bucket-spec evolution under merge-on-read: new-spec deltas over " +
+    "old-spec base resolve and compact correctly") {
+    val root = tmpDir("graft-maint-rescale-mor")
+    def mkCfg(sub: String) = RunnerConfig(
+      feedDir = s"$root/$sub/feed", tableDir = s"$root/$sub/table",
+      checkpointDir = s"$root/$sub/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+        buckets = 4))
+    val cfg = mkCfg("a")
+    val twin = mkCfg("twin")
+    val feed1 = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 700, nDocs = 120))
+    val feed2 = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 500, nDocs = 120, startLsn = 701))
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed1, c.feedDir, nFiles = 2)
+      val l = CdcRunner.ensureTable(spark, c)
+      CdcRunner.fullLoad(spark, l, ChangeFeed.seedSnapshot(spark, 30), c)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    lake.rescale(8)
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed2, c.feedDir, nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val m = lake.manifest
+    assert(m.files.exists(f => f.isDelta && f.spec == 8) &&
+      m.files.exists(f => !f.isDelta && f.spec == 4),
+      "fixture holds new-spec deltas over old-spec base")
+    val twinState = new graft.lake.LakeTable(twin.tableDir)
+      .read(spark).collect().map(_.toString).sorted
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
+      "mixed-spec MoR resolution == never-rescaled twin")
+    // compaction groups at the coarse spec and migrates as a side effect
+    lake.compact(spark, maxFilesPerBucket = 1, maxDeltaFiles = 1)
+    val mc = lake.manifest
+    assert(!mc.hasDeltas, "deltas folded")
+    assert(mc.files.forall(_.spec == 8), "compaction re-derives current-spec buckets")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
+      "post-compaction state intact")
+  }
+
+  test("commit refuses partial replacement of a pre-split file (coverage guard)") {
+    import org.apache.spark.sql.types._
+    val lake = new graft.lake.LakeTable(tmpDir("graft-maint-cover") + "/t")
+    lake.create(StructType(Seq(StructField("doc_id", StringType))), buckets = 2,
+      keyCols = Seq("doc_id"))
+    lake.commit(0L, Seq(graft.lake.DataFile("x.parquet", 0, 1, 0, spec = 2)), Set.empty)
+    lake.rescale(4)
+    // the spec-2 file at bucket 0 covers current buckets {0, 2}: replacing only
+    // bucket 0 would drop bucket 2's rows with it — must fail loudly
+    intercept[IllegalArgumentException](lake.commit(1L, Nil, Set(0)))
+    assert(lake.commit(2L, Nil, Set(0, 2)).files.isEmpty, "full-coverage replace ok")
+  }
+
   test("reconcile: lineage re-sums to the manifest metrics; gaps and tampering flagged") {
     val root = tmpDir("graft-maint-rec")
     val cfg = RunnerConfig(

@@ -80,6 +80,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(!hasShuffle(cowQe.toRdd))
   }
 
+  test("many-bucket MoR read: bounded plan-build wall at 256+ delta-bearing " +
+    "buckets (balanced tree), shuffle fallback beyond the branch cap") {
+    import graft.feed.ChangeFeed
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-plan-fanout")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+        buckets = 320))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 4000, nDocs = 3000)),
+      cfg.feedDir, nFiles = 1)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 3000), cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val deltaBuckets = lake.manifest.files.filter(_.isDelta).map(_.bucket).toSet
+    assert(deltaBuckets.size >= 256, s"fixture: ${deltaBuckets.size} delta-bearing buckets")
+    def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => hasShuffle(d.rdd)
+      }
+    // balanced-tree union path (within the branch cap): plan build — analysis,
+    // optimization, physical planning, toRdd — must stay bounded; a left-deep
+    // union chain over hundreds of separate parquet relations is where the
+    // driver would otherwise pay quadratic Catalyst work
+    val t0 = System.nanoTime()
+    val reading = lake.read(spark)
+    val rdd = reading.queryExecution.toRdd
+    val planWallS = (System.nanoTime() - t0) / 1e9
+    assert(planWallS < 60.0, s"plan build took $planWallS s for ${deltaBuckets.size} buckets")
+    assert(!hasShuffle(rdd), "tree-union path is still zero-shuffle")
+    val treeState = reading.collect().map(_.toString).sorted
+    // beyond the cap: ONE scan + ONE Exchange on the group id — bounded plan
+    // size, identical results (the trade a 5000-hot-bucket table wants)
+    System.setProperty("graft.lake.maxFoldBranches", "8")
+    try {
+      val t1 = System.nanoTime()
+      val fb = lake.read(spark)
+      val fbRdd = fb.queryExecution.toRdd
+      val fbWallS = (System.nanoTime() - t1) / 1e9
+      assert(fbWallS < 30.0, s"fallback plan build took $fbWallS s")
+      assert(hasShuffle(fbRdd), "fallback trades exactly one bounded Exchange")
+      assert(fb.collect().map(_.toString).sorted.sameElements(treeState),
+        "fallback resolution == bucket-local resolution")
+    } finally System.clearProperty("graft.lake.maxFoldBranches")
+  }
+
   test("changeLog is a pure pruned scan: no Exchange, no fold, no aggregation") {
     import graft.feed.ChangeFeed
     import graft.model._
