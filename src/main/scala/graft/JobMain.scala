@@ -25,8 +25,78 @@ import graft.runner._
  *
  * start_mode=reload drops table+checkpoint and starts fresh; continue resumes
  * from the checkpoint (ReplicationStrategy.py:248-270).
+ *
+ * Training-data ops mode — the dedup/ANN/text/multimodal family without
+ * writing Scala (the CDC rules have had this since round 2 via settings.json):
+ * {{{
+ * runMain graft.JobMain --op <name> --in <parquet> --out <parquet>
+ *   [--queries <parquet>]       // ANN query side (default: --in, self-query)
+ *   [--config <json>]           // op parameters, e.g. {"threshold": 0.8}
+ * // ops: dedup_exact | dedup_minhash | dedup_simhash | dedup_embedding |
+ * //      ann_bruteforce | ann_lsh | ann_ivf | text_stats | multimodal_features
+ * }}}
  */
 object JobMain {
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  private implicit val fmt: Formats = DefaultFormats
+
+  /** Op-parameter JSON → typed lookups with defaults. */
+  private final class OpConf(j: JValue) {
+    def str(k: String, d: String): String = (j \ k).extractOpt[String].getOrElse(d)
+    def int(k: String, d: Int): Int = (j \ k).extractOpt[Int].getOrElse(d)
+    def dbl(k: String, d: Double): Double = (j \ k).extractOpt[Double].getOrElse(d)
+  }
+
+  /**
+   * Run one training-data op from CLI-shaped arguments; returns the result
+   * frame (written to `--out` by [[main]], left unwritten here so tests can
+   * drive the exact CLI surface without a filesystem round-trip).
+   */
+  def runOp(spark: SparkSession, args: Seq[String]): org.apache.spark.sql.DataFrame = {
+    def opt(flag: String): Option[String] =
+      args.indexOf(flag) match { case -1 => None; case i => Some(args(i + 1)) }
+    val op = opt("--op").getOrElse(throw new IllegalArgumentException("--op missing"))
+    val in = opt("--in").getOrElse(throw new IllegalArgumentException(
+      s"--op $op needs --in <parquet>"))
+    val df = spark.read.parquet(in)
+    val queries = opt("--queries").map(spark.read.parquet).getOrElse(df)
+    val c = new OpConf(opt("--config") match {
+      case Some(p) => JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      case None => JObject()
+    })
+    import graft.ops._
+    val textCol = c.str("text_col", "text")
+    val idCol = c.str("id_col", "doc_id")
+    val vecCol = c.str("vec_col", "embedding")
+    val vecId = c.str("id_col", "vec_id")
+    val k = c.int("k", 10)
+    op match {
+      case "dedup_exact" => Dedup.exact(df, textCol, idCol)
+      case "dedup_minhash" =>
+        Dedup.minhashNearDups(df, c.dbl("threshold", 0.8), textCol, idCol)
+      case "dedup_simhash" =>
+        Dedup.simhashExactDups(df, c.int("max_hamming", 3), c.int("bits", 32),
+          c.int("bands", 4), textCol, idCol)
+      case "dedup_embedding" =>
+        Dedup.embeddingNearDups(df, c.dbl("threshold", 0.95), vecCol, vecId)
+      case "ann_bruteforce" => Similarity.bruteForceTopK(queries, df, k, vecCol, vecId)
+      case "ann_lsh" =>
+        Similarity.lshTopK(queries, df, k, c.int("planes", 6), vecCol, vecId)
+      case "ann_ivf" =>
+        Similarity.ivfTopK(queries, df, k, c.int("cells", 16), c.int("probes", 2),
+          c.int("iters", 2), vecCol, vecId)
+      case "text_stats" => TextAnalysis.stats(df, textCol, idCol)
+      case "multimodal_features" =>
+        Multimodal.decodeFeatures(df, c.int("frame_count", 8), c.int("partitions", 0))
+      case other => throw new IllegalArgumentException(
+        s"unknown --op '$other' (dedup_exact | dedup_minhash | dedup_simhash | " +
+          "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
+          "multimodal_features)")
+    }
+  }
 
   private def parsePayloads(path: String): Map[String, MultiTableRunner.TablePayload] = {
     import org.json4s._
@@ -49,9 +119,29 @@ object JobMain {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--op")) {
+      def opt(flag: String): Option[String] =
+        args.indexOf(flag) match { case -1 => None; case i => Some(args(i + 1)) }
+      val out = opt("--out").getOrElse(throw new IllegalArgumentException(
+        "--op needs --out <parquet>"))
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+        .appName(s"graft-op-${opt("--op").getOrElse("?")}")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val result = runOp(spark, args.toSeq)
+      result.write.mode("overwrite").parquet(out)
+      println(s"[op] ${opt("--op").get} rows=${spark.read.parquet(out).count()} out=$out")
+      spark.stop()
+      return
+    }
     require(args.length >= 4,
       "usage: JobMain <settings.json> <feedDir> <lakeRoot> <checkpointDir> " +
-        "[--snapshot p] [--payloads p] [--continuous]")
+        "[--snapshot p] [--payloads p] [--continuous] | " +
+        "JobMain --op <name> --in <parquet> --out <parquet> [--config <json>]")
     val Array(settingsPath, feedDir, lakeRoot, checkpointDir) = args.take(4)
     def opt(flag: String): Option[String] =
       args.indexOf(flag) match { case -1 => None; case i => Some(args(i + 1)) }

@@ -38,6 +38,41 @@ object MergeApply {
 
   case class BatchResult(epoch: Long, skipped: Boolean, metrics: Map[String, Long])
 
+  /** Reason column appended to quarantined rows (engine column, `_` prefix). */
+  val QUARANTINE_REASON = "_error_reason"
+
+  /** Replay epochs live far above any realistic streaming epoch count so they
+    * can be recorded in the committed set (idempotence) without colliding. */
+  private val REPLAY_EPOCH_BASE = 1L << 40
+
+  /**
+   * Re-drive the quarantined rows of `sourceEpoch` through the merge under a
+   * fresh replay epoch — the reference's dead-letter drain (dlx.py:1-13,
+   * trempy/Messages/MessageDlx.py:27-87 reads the `dlx_message` table back
+   * into the stream). `fix` corrects the rows first (e.g. repair `n_tok`,
+   * map a bad op); rows STILL invalid after the fix re-quarantine under the
+   * replay epoch with fresh reasons, so a partial fix is visible, not lost.
+   * Replayed rows keep their original LSNs, so the LSN-gated merge stays
+   * order-safe: a replayed change older than what already applied loses.
+   * Idempotent per (sourceEpoch, attempt) — re-running the same drain is a
+   * no-op; pass a new `attempt` to re-drive with a better fix.
+   */
+  def replayQuarantine(
+      spark: SparkSession,
+      lake: LakeTable,
+      sourceEpoch: Long,
+      cfg: JobConfig,
+      fix: DataFrame => DataFrame = identity,
+      attempt: Int = 0): BatchResult = {
+    require(attempt >= 0 && attempt < 64, s"attempt $attempt out of range (0..63)")
+    val dir = lake.quarantineDir(sourceEpoch)
+    require(new java.io.File(dir).isDirectory,
+      s"no quarantined rows for epoch $sourceEpoch at $dir")
+    val rows = fix(spark.read.parquet(dir).drop(QUARANTINE_REASON))
+    val replayEpoch = REPLAY_EPOCH_BASE + (sourceEpoch + 2) * 64 + attempt
+    applyBatch(spark, lake, rows, replayEpoch, cfg)
+  }
+
   /** set GRAFT_PHASE_TIMING=1 to print per-phase timings to stderr */
   private val phaseTiming = sys.props.get("graft.phase.timing").contains("1") ||
     sys.env.get("GRAFT_PHASE_TIMING").contains("1")
@@ -89,18 +124,27 @@ object MergeApply {
       if (!hasTokens) lit(true)
       else opCol === ChangeEvent.DELETE ||
         (col("tokens").isNotNull && col("n_tok") === size(col("tokens")))
-    val invariantOk = opCol.isin(ChangeEvent.OPS.toSeq: _*) && payloadOk
+    val opOk = opCol.isin(ChangeEvent.OPS.toSeq: _*)
+    val invariantOk = opOk && payloadOk
     // Bad-row detection piggybacks on the first scan via observe(): no extra
     // pass over the batch when the feed is clean (the common case). Only when
     // the observed count is non-zero does the quarantine path re-scan.
     val obs = new org.apache.spark.sql.Observation(s"graft-bad-$epoch-${System.nanoTime()}")
     val good = batch
-      .observe(obs, sum(when(!invariantOk, 1L).otherwise(0L)).as("n_bad"))
+      .observe(obs,
+        sum(when(!invariantOk, 1L).otherwise(0L)).as("n_bad"),
+        // received = every event entering the merge, BEFORE rule filters and
+        // reduction — the consumer half of the reference's published/received/
+        // processed counters (stats_message, MessageProducer.py:18-62); the
+        // producer half (EnvelopeSource.writeFeed page manifests) diffs
+        // against the cumulative metric to detect in-transit loss
+        count(lit(1)).as("n_received"))
       .filter(invariantOk)
     lazy val bad = batch.filter(!invariantOk)
     // invoked after the mode's first action (observation complete, pre-commit);
-    // returns the quarantined count for metrics. Rare path re-scans the batch.
-    val onStats: () => Long = () => {
+    // returns (quarantined, received) for metrics. Rare path re-scans the batch.
+    val onStats: () => (Long, Long) = () => {
+      val nReceived = obs.get.get("n_received").collect { case v: Long => v }.getOrElse(0L)
       // n_bad is null for an empty batch (sum over zero rows)
       val nBad = obs.get.get("n_bad").collect { case v: Long => v }.getOrElse(0L)
       if (nBad > 0) {
@@ -111,7 +155,15 @@ object MergeApply {
             s"$nBad invalid event(s) in epoch $epoch and quarantine is disabled")
         val badByOp = timed("quarantine-scan")(bad.groupBy(ChangeEvent.OP).count().collect())
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        bad.write.mode("overwrite").parquet(lake.quarantineDir(epoch))
+        // per-row failure reason rides with the quarantined row (the
+        // reference's apply_exceptions stores the row + exception message,
+        // Metadata/Query.py:66-81) — when 3 ops fail for 3 different reasons,
+        // the operator can tell which was which and fix selectively
+        val reason = when(!opOk,
+            concat(lit("unknown_op: "), coalesce(opCol, lit("null"))))
+          .otherwise(lit("payload_invariant: tokens null or n_tok != size(tokens)"))
+        bad.withColumn(QUARANTINE_REASON, reason)
+          .write.mode("overwrite").parquet(lake.quarantineDir(epoch))
         // per-op stop-or-continue flags — reference: stop_if_*_error
         // (trempy/Tasks/Task.py:43-99, CDCOperationsHandler.py:783-801)
         val p = cfg.errorPolicy
@@ -130,7 +182,7 @@ object MergeApply {
           throw new IllegalStateException(
             s"stop_if_error: unknown op(s) $unknownOps in epoch $epoch")
       }
-      nBad
+      (nBad, nReceived)
     }
 
     // ── 2. rule pipeline: filters (DELETE passthrough) then transforms ──
@@ -160,7 +212,7 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       keys: Seq[String],
-      onStats: () => Long): BatchResult = {
+      onStats: () => (Long, Long)): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -190,10 +242,11 @@ object MergeApply {
       val affected = opByBucket.map(_.getInt(0)).toSet
       val opCounts = opByBucket.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
-      val nQuarantined = onStats()
+      val (nQuarantined, nReceived) = onStats()
 
       if (affected.isEmpty) {
-        val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined)
+        val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
+          "events_received" -> nReceived)
         lake.commit(epoch, Nil, Set.empty, metrics)
         return BatchResult(epoch, skipped = false, metrics)
       }
@@ -201,6 +254,7 @@ object MergeApply {
       val baseMetrics = Map(
         "batches" -> 1L,
         "events_quarantined" -> nQuarantined,
+        "events_received" -> nReceived,
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
@@ -286,7 +340,7 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       naturalKeys: Seq[String],
-      onStats: () => Long): BatchResult = {
+      onStats: () => (Long, Long)): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -306,18 +360,20 @@ object MergeApply {
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
-      val nQuarantined = onStats()
+      val (nQuarantined, nReceived) = onStats()
 
       val metrics = Map(
         "batches" -> 1L,
         "events_quarantined" -> nQuarantined,
+        "events_received" -> nReceived,
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
 
       if (affected.isEmpty) {
         lake.commit(epoch, Nil, Set.empty,
-          Map("batches" -> 1L, "events_quarantined" -> nQuarantined))
+          Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
+            "events_received" -> nReceived))
         return BatchResult(epoch, skipped = false, metrics)
       }
 

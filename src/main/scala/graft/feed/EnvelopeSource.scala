@@ -163,6 +163,67 @@ object EnvelopeSource {
     parseForTable(raw.select(col("value").cast(StringType).as("value")),
       payload, schemaName, tableName, schemaVer)
 
+  /** Producer-side delivery counters for one [[writeFeed]] call. */
+  final case class ProducerStats(pages: Long, ops: Long)
+
+  /**
+   * Producer half of the reference's published/received/processed counters
+   * (`stats_message`, trempy/Messages/Producer/MessageProducer.py:18-62):
+   * serialize the events as envelope messages into `feedDir` AND record a
+   * page manifest (`_stats-*.json` — the leading underscore hides it from
+   * Spark's file listing, so the streaming text source never reads it as a
+   * message). The consumer's cumulative `events_received` metric diffs
+   * against the summed manifests ([[deliveryGap]]): a page dropped in
+   * transit — previously invisible to the lineage-only reconcile — shows up
+   * as a positive gap.
+   */
+  def writeFeed(
+      events: DataFrame, feedDir: String,
+      schemaName: String, tableName: String,
+      batchSize: Int = 1000): ProducerStats = {
+    toMessages(events, schemaName, tableName, batchSize)
+      .coalesce(1).write.mode("append").text(feedDir)
+    val ops = events.count()
+    val pages = (ops + batchSize - 1) / batchSize
+    val stats = ProducerStats(pages, ops)
+    val p = java.nio.file.Paths.get(feedDir,
+      s"_stats-$schemaName.$tableName-${System.nanoTime()}.json")
+    java.nio.file.Files.writeString(p,
+      s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops}""")
+    stats
+  }
+
+  /** Sum of all producer page manifests in `feedDir` for one table;
+    * None when the feed carries no manifests (producer predates them). */
+  def producerStats(feedDir: String, schemaName: String, tableName: String): Option[ProducerStats] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val dir = java.nio.file.Paths.get(feedDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val all = scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"_stats-$schemaName.$tableName-"))
+        .map { p =>
+          val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p)))
+          ProducerStats((j \ "pages").extract[Long], (j \ "ops").extract[Long])
+        }.toSeq
+    }
+    if (all.isEmpty) None
+    else Some(ProducerStats(all.map(_.pages).sum, all.map(_.ops).sum))
+  }
+
+  /** Published-minus-received delivery audit: > 0 means envelopes published
+    * by the producer never reached the merge (dropped in transit) — the gap
+    * the consumer-side lineage reconcile alone cannot see. None when the
+    * feed has no producer manifests. Run after the stream drains. */
+  def deliveryGap(
+      lake: graft.lake.LakeTable, feedDir: String,
+      schemaName: String, tableName: String): Option[Long] =
+    producerStats(feedDir, schemaName, tableName).map(_.ops -
+      lake.manifest.metrics.getOrElse("events_received", 0L))
+
   /** PG-ish wire type name for a payload column (cosmetic — the consumer
     * types from its declared payload schema, like the reference). */
   private def wireType(dt: DataType): String = dt match {

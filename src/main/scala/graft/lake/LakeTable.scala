@@ -71,17 +71,31 @@ object DataFile {
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 }
+/** Parquet-footer min/max of one merge-key column — string keys in UNSIGNED
+  * UTF-8 byte order (the order parquet binary statistics use; Java's UTF-16
+  * `String` ordering diverges for supplementary-plane characters and would
+  * wrongly prune), integral keys in numeric order. */
+final case class ColRange(
+    minS: Option[String] = None, maxS: Option[String] = None,
+    minN: Option[Long] = None, maxN: Option[Long] = None) {
+  def mayContain(k: String): Boolean = (minS, maxS) match {
+    case (Some(lo), Some(hi)) =>
+      DataFile.utf8Cmp(lo, k) <= 0 && DataFile.utf8Cmp(k, hi) <= 0
+    case _ => true
+  }
+  def mayContainNum(k: Long): Boolean = (minN, maxN) match {
+    case (Some(lo), Some(hi)) => lo <= k && k <= hi
+    case _ => true
+  }
+}
+
 final case class DataFile(
     path: String, bucket: Int, schemaId: Int, rows: Long,
     kind: String = DataFile.BASE,
-    /** parquet-footer min/max of a string-typed leading merge key —
-      * intra-bucket file pruning for point lookups */
-    minKey: Option[String] = None,
-    maxKey: Option[String] = None,
-    /** parquet-footer min/max of an integral-typed leading merge key
-      * (bigint/int doc ids) — same pruning, numeric order */
-    minKeyNum: Option[Long] = None,
-    maxKeyNum: Option[Long] = None,
+    /** parquet-footer min/max per MERGE-KEY column — intra-bucket file
+      * pruning for point lookups; composite-key tables prune on every key
+      * column, not just the leading one. */
+    keyStats: Map[String, ColRange] = Map.empty,
     /** BUCKET SPEC: the table bucket count this file's `bucket` id is relative
       * to — per-file, like `schemaId`, so [[LakeTable.rescale]] can grow the
       * table's bucket count without rewriting data. 0 = written before spec
@@ -97,18 +111,11 @@ final case class DataFile(
   def replacedBy(replaced: Set[Int]): Boolean =
     if (spec <= 0) replaced.contains(bucket)
     else replaced.exists(r => r % spec == bucket)
-  /** Range check in UNSIGNED UTF-8 byte order — the order parquet binary
-    * statistics use. Java String (UTF-16) ordering diverges for
-    * supplementary-plane characters and would wrongly prune files. */
-  def mayContainKey(k: String): Boolean = (minKey, maxKey) match {
-    case (Some(lo), Some(hi)) =>
-      DataFile.utf8Cmp(lo, k) <= 0 && DataFile.utf8Cmp(k, hi) <= 0
-    case _ => true
-  }
-  def mayContainKeyNum(k: Long): Boolean = (minKeyNum, maxKeyNum) match {
-    case (Some(lo), Some(hi)) => lo <= k && k <= hi
-    case _ => true
-  }
+  /** Per-column range check; an un-tracked column never prunes. */
+  def mayContainKey(colName: String, k: String): Boolean =
+    keyStats.get(colName).forall(_.mayContain(k))
+  def mayContainKeyNum(colName: String, k: Long): Boolean =
+    keyStats.get(colName).forall(_.mayContainNum(k))
 }
 
 object Manifest {
@@ -169,23 +176,32 @@ object ManifestJson {
   private def typeToJson(dt: DataType): JValue = JString(dt.json)
   private def typeFromJson(j: JValue): DataType = DataType.fromJson(j.asInstanceOf[JString].s)
 
+  private def rangeToJson(r: ColRange): JObject = JObject(
+    r.minS.map(v => "min_s" -> (JString(v): JValue)).toList ++
+    r.maxS.map(v => "max_s" -> (JString(v): JValue)).toList ++
+    r.minN.map(v => "min_n" -> (JLong(v): JValue)).toList ++
+    r.maxN.map(v => "max_n" -> (JLong(v): JValue)).toList)
+
+  private def rangeFromJson(j: JValue): ColRange = ColRange(
+    (j \ "min_s").extractOpt[String], (j \ "max_s").extractOpt[String],
+    (j \ "min_n").extractOpt[Long], (j \ "max_n").extractOpt[Long])
+
   private def fileToJson(f: DataFile): JObject = JObject(List(
     "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
     "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
     "kind" -> JString(f.kind), "spec" -> JInt(f.spec)) ++
-    f.minKey.map(v => "min_key" -> (JString(v): JValue)).toList ++
-    f.maxKey.map(v => "max_key" -> (JString(v): JValue)).toList ++
-    f.minKeyNum.map(v => "min_key_num" -> (JLong(v): JValue)).toList ++
-    f.maxKeyNum.map(v => "max_key_num" -> (JLong(v): JValue)).toList)
+    (if (f.keyStats.isEmpty) Nil
+     else List("key_stats" -> (JObject(f.keyStats.toList.sortBy(_._1)
+       .map { case (c, r) => c -> (rangeToJson(r): JValue) }): JValue))))
 
   private def fileFromJson(jf: JValue): DataFile =
     DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
       (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long],
       (jf \ "kind").extractOrElse[String](DataFile.BASE),
-      (jf \ "min_key").extractOpt[String],
-      (jf \ "max_key").extractOpt[String],
-      (jf \ "min_key_num").extractOpt[Long],
-      (jf \ "max_key_num").extractOpt[Long],
+      (jf \ "key_stats") match {
+        case JObject(kvs) => kvs.map { case (c, r) => c -> rangeFromJson(r) }.toMap
+        case _ => Map.empty[String, ColRange]
+      },
       (jf \ "spec").extractOrElse[Int](0))
 
   def writeFragment(fr: ManifestFragment): String =
@@ -337,6 +353,25 @@ class LakeTable(val dir: String) {
   def dataDir(epoch: Long): String = s"$dir/data/epoch=$epoch"
   def quarantineDir(epoch: Long): String = s"$dir/quarantine/epoch=$epoch"
 
+  /** Epochs with quarantined rows on disk — the dead-letter inventory an
+    * operator lists before draining (reference: the `dlx_message` table,
+    * trempy/Metadata/Query.py:47-64). Drive each through
+    * [[graft.apply.MergeApply.replayQuarantine]] after correcting. */
+  def quarantinedEpochs: Seq[Long] = {
+    val q = Paths.get(dir, "quarantine")
+    if (!Files.isDirectory(q)) Nil
+    else scala.util.Using.resource(Files.list(q)) { ls =>
+      ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("epoch=") => s.substring(6).toLong }
+        .toSeq.sorted
+    }
+  }
+
+  /** Read one epoch's quarantined rows (payload + `_error_reason`). */
+  def readQuarantine(spark: SparkSession, epoch: Long): DataFrame =
+    spark.read.parquet(quarantineDir(epoch))
+
   // ── snapshot isolation: readers resolve _current once, then read that manifest ──
   def currentVersion: Int = {
     if (!Files.exists(currentPtr)) 0
@@ -364,8 +399,12 @@ class LakeTable(val dir: String) {
     }
   }
 
+  /** Snapshot metadata only — no fragment fold (files stays empty). */
+  private def readMeta(v: Int): Manifest =
+    ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+
   private def resolve(v: Int): Manifest = {
-    val meta = ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+    val meta = readMeta(v)
     // pre-spec-tracking files could only have been written at the manifest's
     // bucket count (rescale records specs from day one) — patch them so every
     // downstream coverage check can rely on spec > 0
@@ -818,10 +857,23 @@ class LakeTable(val dir: String) {
     val mTo = resolve(toVersion)
     val seen = scala.collection.mutable.Set.empty[String]
     resolve(fromVersion).files.foreach(seen += _.path)
+    // fragment-diff, not per-version resolution: fragment lists only ever grow
+    // by appending (or reset to ONE new fragment on consolidation), so a
+    // fragment unseen at version v-1 is NEW and is read exactly once — driver
+    // cost is O(fragments in window) + one resolve at each end, instead of
+    // O(window × files) re-folds across a 10k-version sync window. A file
+    // carried into a consolidation fragment was either live at `fromVersion`
+    // or added by an earlier window fragment — `seen` drops both.
+    val fragsSeen = scala.collection.mutable.Set.empty[String]
+    fragsSeen ++= readMeta(fromVersion).fragments
     val added = Seq.newBuilder[DataFile]
     ((fromVersion + 1) to toVersion).foreach { v =>
-      resolve(v).files.foreach { f =>
-        if (seen.add(f.path) && f.isDelta) added += f
+      readMeta(v).fragments.foreach { name =>
+        if (fragsSeen.add(name)) {
+          readFragmentFile(name).added.foreach { f =>
+            if (seen.add(f.path) && f.isDelta) added += f
+          }
+        }
       }
     }
     readFiles(spark, mTo, added.result())
@@ -1160,11 +1212,11 @@ class LakeTable(val dir: String) {
     // per-file stats come from the parquet FOOTER (driver-side metadata read,
     // no data scan): exact row count + leading-merge-key min/max when the key
     // is string- or integral-typed — consumed by lookup*'s intra-bucket pruning
-    val (statsKey, writeSpec) =
-      if (!exists) (None, 0)
+    val (statsKeys, writeSpec) =
+      if (!exists) (Seq.empty[(String, DataType)], 0)
       else {
         val m = manifest
-        (m.keyCols.headOption
+        (m.keyCols
           .flatMap(k => m.currentSchema.byName(k))
           .collect {
             case f if f.dataType == StringType || f.dataType == LongType ||
@@ -1185,10 +1237,10 @@ class LakeTable(val dir: String) {
     }
     // footer reads in parallel — serial per-file metadata I/O on the driver
     // would tax every commit by O(files-in-epoch) round-trips
-    listed.par.map(footerStats(_, statsKey)).seq
+    listed.par.map(footerStats(_, statsKeys)).seq
   }
 
-  private def footerStats(f: DataFile, keyCol: Option[(String, DataType)]): DataFile = {
+  private def footerStats(f: DataFile, keyCols: Seq[(String, DataType)]): DataFile = {
     import org.apache.parquet.column.statistics.{BinaryStatistics, IntStatistics, LongStatistics}
     import org.apache.parquet.format.converter.ParquetMetadataConverter
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -1199,84 +1251,107 @@ class LakeTable(val dir: String) {
         ParquetMetadataConverter.NO_FILTER)
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = keyCol.toSeq.flatMap { case (k, _) =>
-        blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == k))
+      // one footer read yields every key column's range — composite-key
+      // tables prune on ALL keys, not just the leading one
+      val ranges = keyCols.flatMap { case (k, dt) =>
+        val stats = blocks
+          .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == k))
           .map(_.getStatistics)
+        if (stats.isEmpty || !stats.forall(_.hasNonNullValue)) None
+        else dt match {
+          case StringType if stats.forall(_.isInstanceOf[BinaryStatistics]) =>
+            val bs = stats.map(_.asInstanceOf[BinaryStatistics])
+            // aggregate across row groups in the SAME unsigned-UTF-8 order the
+            // per-block stats are computed in (String.min would use UTF-16)
+            Some(k -> ColRange(
+              minS = Some(bs.map(_.genericGetMin.toStringUsingUTF8)
+                .reduce((a, b) => if (DataFile.utf8Cmp(a, b) <= 0) a else b)),
+              maxS = Some(bs.map(_.genericGetMax.toStringUsingUTF8)
+                .reduce((a, b) => if (DataFile.utf8Cmp(a, b) >= 0) a else b))))
+          case LongType if stats.forall(_.isInstanceOf[LongStatistics]) =>
+            val ls = stats.map(_.asInstanceOf[LongStatistics])
+            Some(k -> ColRange(minN = Some(ls.map(_.getMin).min),
+              maxN = Some(ls.map(_.getMax).max)))
+          case IntegerType if stats.forall(_.isInstanceOf[IntStatistics]) =>
+            val is = stats.map(_.asInstanceOf[IntStatistics])
+            Some(k -> ColRange(minN = Some(is.map(_.getMin).min.toLong),
+              maxN = Some(is.map(_.getMax).max.toLong)))
+          case _ => None
+        }
       }
-      val withRows = f.copy(rows = rows)
-      if (stats.isEmpty || !stats.forall(_.hasNonNullValue)) withRows
-      else keyCol.map(_._2) match {
-        case Some(StringType) if stats.forall(_.isInstanceOf[BinaryStatistics]) =>
-          val bs = stats.map(_.asInstanceOf[BinaryStatistics])
-          // aggregate across row groups in the SAME unsigned-UTF-8 order the
-          // per-block stats are computed in (String.min would use UTF-16)
-          withRows.copy(
-            minKey = Some(bs.map(_.genericGetMin.toStringUsingUTF8)
-              .reduce((a, b) => if (DataFile.utf8Cmp(a, b) <= 0) a else b)),
-            maxKey = Some(bs.map(_.genericGetMax.toStringUsingUTF8)
-              .reduce((a, b) => if (DataFile.utf8Cmp(a, b) >= 0) a else b)))
-        case Some(LongType) if stats.forall(_.isInstanceOf[LongStatistics]) =>
-          val ls = stats.map(_.asInstanceOf[LongStatistics])
-          withRows.copy(minKeyNum = Some(ls.map(_.getMin).min),
-            maxKeyNum = Some(ls.map(_.getMax).max))
-        case Some(IntegerType) if stats.forall(_.isInstanceOf[IntStatistics]) =>
-          val is = stats.map(_.asInstanceOf[IntStatistics])
-          withRows.copy(minKeyNum = Some(is.map(_.getMin).min.toLong),
-            maxKeyNum = Some(is.map(_.getMax).max.toLong))
-        case _ => withRows
-      }
+      f.copy(rows = rows, keyStats = ranges.toMap)
     } catch { case _: Throwable => f } // stats are an optimization, never fatal
   }
 
   /** Driver-side bucket of a single string key — must match [[bucketExpr]]
     * (xxhash64 with Spark's default seed 42, pmod). */
-  def bucketOfKey(key: String, buckets: Int): Int = {
-    val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-    (((h % buckets) + buckets) % buckets).toInt
-  }
+  def bucketOfKey(key: String, buckets: Int): Int =
+    bucketOfRow(Seq((key, StringType)), buckets)
 
-  /** Driver-side bucket of a single integral key — must match [[bucketExpr]]:
-    * Spark's xxhash64 hashes int and long inputs differently, so the width of
-    * the key COLUMN (not the lookup value) picks the kernel. */
-  def bucketOfNumKey(key: Long, dt: DataType, buckets: Int): Int = {
+  /** Driver-side bucket of a single integral key — the key COLUMN type picks
+    * the hash kernel (see [[bucketOfRow]]). */
+  def bucketOfNumKey(key: Long, dt: DataType, buckets: Int): Int =
+    bucketOfRow(Seq((key, dt)), buckets)
+
+  /** Driver-side hash of one key value with a given seed — must track Spark's
+    * xxhash64 kernels exactly (int and long hash differently, so the key
+    * COLUMN type, not the lookup value, picks the kernel). */
+  private def hashKeyValue(v: Any, dt: DataType, seed: Long): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val h = dt match {
-      case LongType                => XXH64.hashLong(key, 42L)
-      case IntegerType | ShortType => XXH64.hashInt(key.toInt, 42L)
+    dt match {
+      case StringType =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+      case LongType                => XXH64.hashLong(v.asInstanceOf[Number].longValue(), seed)
+      case IntegerType | ShortType => XXH64.hashInt(v.asInstanceOf[Number].intValue(), seed)
       case other => throw new IllegalArgumentException(
-        s"numeric lookup on non-integral key column type $other")
+        s"point lookup on unsupported key column type $other")
     }
+  }
+
+  /** Driver-side bucket of a (possibly composite) key — must match
+    * [[bucketExpr]]: Spark's multi-argument xxhash64 chains each argument's
+    * hash with the previous one as seed, starting from seed 42. `values`
+    * must be in `keyCols` order. */
+  def bucketOfRow(values: Seq[(Any, DataType)], buckets: Int): Int = {
+    val h = values.foldLeft(42L) { case (seed, (v, dt)) => hashKeyValue(v, dt, seed) }
     (((h % buckets) + buckets) % buckets).toInt
   }
 
-  /** Files that can possibly hold `key`: the key's hash bucket, further pruned
-    * by per-file min/max key stats (delta files of epochs that never touched
-    * the key are skipped without opening them). */
-  def lookupFiles(key: String): Seq[DataFile] = {
+  /** Files that can possibly hold the given merge-key values (all key columns,
+    * `keyCols` order): the hash bucket, further pruned by EVERY key column's
+    * per-file footer range (delta files of epochs that never touched the key
+    * are skipped without opening them). */
+  def lookupFilesFor(values: Seq[Any]): Seq[DataFile] = {
     val m = manifest
-    require(m.keyCols.size == 1, "point lookup requires a single merge key")
-    val b = bucketOfKey(key, m.buckets)
+    require(m.keyCols.nonEmpty && values.size == m.keyCols.size,
+      s"lookup needs one value per merge key ${m.keyCols}")
+    val typed = m.keyCols.zip(values).map { case (k, v) =>
+      (k, v, m.currentSchema.byName(k).get.dataType)
+    }
+    val b = bucketOfRow(typed.map(t => (t._2, t._3)), m.buckets)
     // per-file spec: a pre-rescale file holds the key iff its (coarser) bucket
     // is the current bucket's congruence class — b % spec ≡ pmod(h, spec)
-    m.files.filter(f => f.bucket == b % f.spec && f.mayContainKey(key))
+    m.files.filter { f =>
+      f.bucket == b % f.spec && typed.forall {
+        case (k, v, StringType) => f.mayContainKey(k, v.toString)
+        case (k, v, _)          => f.mayContainKeyNum(k, v.asInstanceOf[Number].longValue())
+      }
+    }
   }
+
+  def lookupFiles(key: String): Seq[DataFile] = lookupFilesFor(Seq(key))
 
   /** [[lookupFiles]] for an integral-typed merge key (numeric-order stats). */
-  def lookupFilesNum(key: Long): Seq[DataFile] = {
-    val m = manifest
-    require(m.keyCols.size == 1, "point lookup requires a single merge key")
-    val dt = m.currentSchema.byName(m.keyCols.head).get.dataType
-    val b = bucketOfNumKey(key, dt, m.buckets)
-    m.files.filter(f => f.bucket == b % f.spec && f.mayContainKeyNum(key))
-  }
+  def lookupFilesNum(key: Long): Seq[DataFile] = lookupFilesFor(Seq(key))
 
   private def lookupIn(spark: SparkSession, m: Manifest, files: Seq[DataFile],
-      key: Any): DataFrame = {
+      values: Seq[Any]): DataFrame = {
     if (files.isEmpty)
       return withoutTombstones(readFiles(spark, m, Nil))
-    val df = readFiles(spark, m, files).filter(col(m.keyCols.head) === lit(key))
+    val pred = m.keyCols.zip(values)
+      .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    val df = readFiles(spark, m, files).filter(pred)
     val resolved =
       if (!files.exists(_.isDelta)) df
       else if (m.tableMode == Manifest.SCD2) rebuildScd2(df, m)
@@ -1284,11 +1359,16 @@ class LakeTable(val dir: String) {
     withoutTombstones(resolved)
   }
 
+  /** Point lookup of one (possibly composite) key's current row (empty if
+    * absent/deleted); values in `keyCols` order. */
+  def lookupRow(spark: SparkSession, values: Seq[Any]): DataFrame =
+    lookupIn(spark, manifest, lookupFilesFor(values), values)
+
   /** Point lookup of one key's current row (empty if absent/deleted). */
   def lookup(spark: SparkSession, key: String): DataFrame =
-    lookupIn(spark, manifest, lookupFiles(key), key)
+    lookupRow(spark, Seq(key))
 
   /** [[lookup]] for an integral-typed merge key. */
   def lookupNum(spark: SparkSession, key: Long): DataFrame =
-    lookupIn(spark, manifest, lookupFilesNum(key), key)
+    lookupRow(spark, Seq(key))
 }

@@ -307,6 +307,38 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // quarantine + DLX drain (reference: dlx.py / MessageDlx.py:27-87): a feed
+    // with corrupted rows (n_tok off by one for lsn%11==3) quarantines them
+    // with reasons, then replayQuarantine re-drives each epoch's rows with the
+    // n_tok repaired. Replayed rows keep their original LSNs, so the final
+    // state equals the LWW fold over the UNCORRUPTED feed — which is exactly
+    // what the oracle computes. Without the drain, every lsn%11==3 winner
+    // would be missing and the hash would differ.
+    "q_quarantine_replay" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-dlx").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
+        maxFilesPerTrigger = 2)
+      val feed = feedFromEvents(s, dir)
+      val corrupted = feed.withColumn("n_tok",
+        when(col(ChangeEvent.LSN) % 11 === 3 && col(ChangeEvent.OP) =!= ChangeEvent.DELETE,
+          col("n_tok") + 1).otherwise(col("n_tok")))
+      ChangeFeed.writeFeed(corrupted, cfg.feedDir, nFiles = 4)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      val poisoned = lake.quarantinedEpochs
+      require(poisoned.nonEmpty, "fixture must actually quarantine rows")
+      poisoned.foreach { e =>
+        graft.apply.MergeApply.replayQuarantine(s, lake, e, cfg.job,
+          fix = d => d.withColumn("n_tok", size(col("tokens"))))
+      }
+      lake.read(s)
+        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // schema evolution mid-stream (north-star requirement): v2 events rename
     // source→origin, add lang, widen n_tok to long via the schema registry;
     // v1-era rows read null-filled/projected by field id — the final state is
@@ -583,7 +615,8 @@ object Queries {
           sum(col("metrics.applied_inserts")).as("applied_inserts"),
           sum(col("metrics.applied_updates")).as("applied_updates"),
           sum(col("metrics.applied_deletes")).as("applied_deletes"),
-          sum(col("metrics.events_quarantined")).as("events_quarantined"))
+          sum(col("metrics.events_quarantined")).as("events_quarantined"),
+          sum(col("metrics.events_received")).as("events_received"))
         .withColumn("final_rows", lit(finalRows))
     }),
 
@@ -883,6 +916,18 @@ object Queries {
          |  n_tok, source
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
+    // the drain restores every corrupted winner, so the oracle is the plain
+    // replay fold over the uncorrupted feed
+    "q_quarantine_replay" ->
+      s"""WITH ev AS ($feedSql),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+
     // both event generations folded in one pass; arg_max-over-NULL handled
     // with a sentinel (DuckDB's arg_max skips NULLs, the engine must not)
     "q_cdc_evolution" ->
@@ -949,6 +994,7 @@ object Queries {
          |  count(*) FILTER (WHERE op = 'UPDATE') AS applied_updates,
          |  count(*) FILTER (WHERE op = 'DELETE') AS applied_deletes,
          |  CAST(0 AS BIGINT) AS events_quarantined,
+         |  (SELECT count(*) FROM ev) AS events_received,
          |  count(*) FILTER (WHERE op <> 'DELETE') AS final_rows
          |FROM w""".stripMargin,
 

@@ -66,4 +66,50 @@ class ErrorPolicySpec extends SparkSpec {
     val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
     assert(!res.skipped && lake.isCommitted(0L))
   }
+
+  test("quarantine carries per-row reasons; replayQuarantine re-drives corrected rows") {
+    import org.apache.spark.sql.functions._
+    val job = JobConfig()
+    val lake = mkLake(job)
+    // three distinct failures in one batch: n_tok mismatch, unknown op, plus a
+    // good row — the DLX must say which row failed WHY (reference stores the
+    // failing row + exception, apply_exceptions, Metadata/Query.py:66-81)
+    val poison = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1, 2), Int.box(2), "web"),
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1, 2, 3), Int.box(99), "web"), // bad n_tok
+      Row(3L, 1L, ts(3), "FROB", 1, "k3", Seq(7), Int.box(1), "web"))          // bad op
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(poison, 2), schema)
+    val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+    assert(res.metrics("events_quarantined") == 2L)
+    assert(lake.quarantinedEpochs == Seq(0L), "DLX inventory lists the epoch")
+    val q = lake.readQuarantine(spark, 0L)
+      .select("doc_id", MergeApply.QUARANTINE_REASON).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q("k2").startsWith("payload_invariant"), s"reasons: $q")
+    assert(q("k3") == "unknown_op: FROB", s"reasons: $q")
+
+    // drain: fix both failure classes, re-drive under a replay epoch
+    val replay = MergeApply.replayQuarantine(spark, lake, 0L, job,
+      fix = d => d
+        .withColumn("n_tok", size(col("tokens")))
+        .withColumn("op", when(col("op") === "FROB", lit("INSERT")).otherwise(col("op"))))
+    assert(!replay.skipped && replay.metrics("events_quarantined") == 0L)
+    val state = lake.read(spark).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Int]("n_tok")).toMap
+    assert(state == Map("k1" -> 2, "k2" -> 3, "k3" -> 1),
+      s"corrected rows merged: $state")
+    // same drain again: idempotent no-op (committed replay epoch)
+    assert(MergeApply.replayQuarantine(spark, lake, 0L, job).skipped)
+    // a half-fixed drain re-quarantines the still-bad rows WITH reasons
+    val lake2 = mkLake(job)
+    MergeApply.applyBatch(spark, lake2, df, 0L, job)
+    val partial = MergeApply.replayQuarantine(spark, lake2, 0L, job,
+      fix = d => d.withColumn("n_tok", size(col("tokens")))) // op left broken
+    assert(partial.metrics("events_quarantined") == 1L)
+    val requarantined = lake2.quarantinedEpochs.filter(_ != 0L)
+    assert(requarantined.size == 1, s"replay epoch re-quarantined: $requarantined")
+    val q2 = lake2.readQuarantine(spark, requarantined.head)
+      .select(MergeApply.QUARANTINE_REASON).head().getString(0)
+    assert(q2 == "unknown_op: FROB")
+  }
 }

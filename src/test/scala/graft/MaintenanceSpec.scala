@@ -112,14 +112,61 @@ class MaintenanceSpec extends SparkSpec {
       spark.range(200).select(col("id").as("doc_id"),
         (col("id") % 7).cast(IntegerType).as("n")), cfg)
     val m = lake.manifest
-    assert(m.files.forall(f => f.minKeyNum.isDefined && f.maxKeyNum.isDefined),
-      "integral leading key gets numeric footer stats")
-    assert(m.files.forall(f => f.minKey.isEmpty), "no string stats for a bigint key")
+    assert(m.files.forall(f =>
+      f.keyStats.get("doc_id").exists(r => r.minN.isDefined && r.maxN.isDefined)),
+      "integral key gets numeric footer stats")
+    assert(m.files.forall(_.keyStats("doc_id").minS.isEmpty),
+      "no string stats for a bigint key")
     val pruned = lake.lookupFilesNum(42L)
     assert(pruned.nonEmpty && pruned.size < m.files.size, "pruned to one bucket at most")
     val row = lake.lookupNum(spark, 42L).collect()
     assert(row.length == 1 && row(0).getAs[Long]("doc_id") == 42L)
     assert(lake.lookupNum(spark, 5000000L).isEmpty)
+  }
+
+  test("composite-key footer stats: two-key table records ranges for BOTH " +
+    "key columns; lookupRow prunes and returns the exact row") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft-maint-2key")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4,
+        keyCols = Seq("doc_id", "src")),
+      payloadSchema = StructType(Seq(
+        StructField("doc_id", StringType, nullable = false),
+        StructField("src", StringType, nullable = false),
+        StructField("n", IntegerType))))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake,
+      spark.range(200).select(
+        concat(lit("d"), (col("id") / 4).cast(LongType)).as("doc_id"),
+        concat(lit("s"), col("id") % 4).as("src"),
+        (col("id") % 9).cast(IntegerType).as("n")), cfg)
+    val m = lake.manifest
+    assert(m.files.forall(f => f.keyStats.contains("doc_id") && f.keyStats.contains("src")),
+      "footer ranges recorded for every key column, not just the leading one")
+    // driver-side composite bucket matches the engine's multi-arg xxhash64
+    val engineBuckets = lake.read(spark)
+      .select(col("doc_id"), col("src"),
+        lake.bucketExpr(Seq("doc_id", "src"), 4).as("b")).collect()
+    engineBuckets.foreach { r =>
+      assert(lake.bucketOfRow(
+        Seq((r.getString(0), StringType), (r.getString(1), StringType)), 4) == r.getInt(2),
+        s"composite hash parity for ${r.getString(0)}/${r.getString(1)}")
+    }
+    // lookup prunes to one bucket's files and returns exactly the keyed row
+    val pruned = lake.lookupFilesFor(Seq("d7", "s2"))
+    assert(pruned.nonEmpty && pruned.size < m.files.size)
+    val row = lake.lookupRow(spark, Seq("d7", "s2")).collect()
+    assert(row.length == 1 && row(0).getAs[Int]("n") == 30 % 9)
+    assert(lake.lookupRow(spark, Seq("d7", "zzz")).isEmpty,
+      "absent second-key value finds nothing")
+    // the second column's range genuinely prunes: a file whose src range
+    // excludes the probe is skipped without opening it
+    val f = graft.lake.DataFile("p", 0, 1, 1,
+      keyStats = Map("src" -> graft.lake.ColRange(minS = Some("s0"), maxS = Some("s1"))))
+    assert(f.mayContainKey("src", "s1") && !f.mayContainKey("src", "s2"))
   }
 
   test("vacuum age-based retention keeps snapshots younger than the cutoff") {
@@ -283,6 +330,41 @@ class MaintenanceSpec extends SparkSpec {
     assert(!r.ok)
   }
 
+  test("changeLog wide window: fragment-diff cost is O(fragments in window), " +
+    "bounded driver wall at 1200 versions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft-maint-clwide")
+    val lake = new graft.lake.LakeTable(s"$root/t")
+    lake.create(StructType(Seq(
+      StructField("doc_id", StringType), StructField("_lsn", LongType),
+      StructField("_deleted", BooleanType))), buckets = 1, keyCols = Seq("doc_id"))
+    // one tiny real delta file per epoch (hard copies of a seed parquet) — a
+    // 1200-commit history, each manifest one fragment
+    val seedDir = java.nio.file.Paths.get(s"$root/seed")
+    spark.range(1).select(concat(lit("d"), col("id")).as("doc_id"),
+        col("id").as("_lsn"), lit(false).as("_deleted"))
+      .coalesce(1).write.parquet(seedDir.toString)
+    import scala.jdk.CollectionConverters._
+    val seed = scala.util.Using.resource(java.nio.file.Files.list(seedDir))(
+      _.iterator().asScala.filter(_.toString.endsWith(".parquet")).next())
+    val n = 1200
+    (0 until n).foreach { e =>
+      val p = java.nio.file.Paths.get(s"$root/delta-$e.parquet")
+      java.nio.file.Files.copy(seed, p)
+      lake.commit(e.toLong, Seq(graft.lake.DataFile(
+        p.toString, 0, 1, 1, graft.lake.DataFile.DELTA, spec = 1)), Set.empty)
+    }
+    val t0 = System.nanoTime()
+    val cl = lake.changeLog(spark, 1, lake.currentVersion)
+    val wallS = (System.nanoTime() - t0) / 1e9
+    assert(cl.count() == n.toLong,
+      "every delta committed inside the window, exactly once")
+    assert(wallS < 30.0, // measured ~5 s alone; headroom for suite-load GC
+      s"fragment-diff changeLog planned a 1200-version window in $wallS s")
+    info(f"changeLog(1, ${lake.currentVersion}) driver wall: $wallS%.2f s for $n fragments")
+  }
+
   test("CDC-only table (no fullLoad) advances the epoch watermark too") {
     import org.apache.spark.sql.types._
     val lake = new graft.lake.LakeTable(tmpDir("graft-maint-cdconly") + "/t")
@@ -338,7 +420,8 @@ class MaintenanceSpec extends SparkSpec {
 
     // per-file footer stats: exact rows and key ranges for the string key
     assert(m.files.forall(_.rows > 0), "exact row counts from footers")
-    assert(m.files.forall(f => f.minKey.isDefined && f.maxKey.isDefined))
+    assert(m.files.forall(f =>
+      f.keyStats.get("doc_id").exists(r => r.minS.isDefined && r.maxS.isDefined)))
 
     // point lookup prunes by bucket + key range and returns the current row
     val someKey = lake.read(spark).select("doc_id").head().getString(0)

@@ -126,6 +126,44 @@ class EnvelopeSpec extends SparkSpec {
     assert(state.sameElements(expected))
   }
 
+  test("producer page manifests: deliveryGap 0 on a clean run, positive after " +
+    "a dropped page file") {
+    def events(n: Int, startLsn: Long) = ChangeFeed.events(spark,
+        ChangeFeed.FeedSpec(nEvents = n, nDocs = 60, startLsn = startLsn))
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+    def run(bus: String, tableDir: String, cp: String): graft.lake.LakeTable = {
+      val cfg = RunnerConfig(feedDir = bus, tableDir = tableDir, checkpointDir = cp,
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4), payloadSchema = payload)
+      CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+      new graft.lake.LakeTable(tableDir)
+    }
+    // clean delivery: producer manifests sum == consumer events_received
+    val rootA = tmpDir("graft-env-delivery")
+    val busA = s"$rootA/bus"
+    val sA = EnvelopeSource.writeFeed(events(300, 1), busA, "corpus", "documents", 100)
+    EnvelopeSource.writeFeed(events(100, 301), busA, "corpus", "documents", 100)
+    assert(sA == EnvelopeSource.ProducerStats(3, 300))
+    val lakeA = run(busA, s"$rootA/table", s"$rootA/cp")
+    assert(lakeA.manifest.metrics("events_received") == 400L)
+    assert(EnvelopeSource.deliveryGap(lakeA, busA, "corpus", "documents").contains(0L))
+
+    // in-transit loss: one published page file never reaches the consumer —
+    // lineage-only reconcile cannot see it, the producer diff can
+    val rootB = tmpDir("graft-env-dropped")
+    val busB = s"$rootB/bus"
+    EnvelopeSource.writeFeed(events(300, 1), busB, "corpus", "documents", 100)
+    def msgFiles = new java.io.File(busB).listFiles()
+      .filter(f => f.getName.endsWith(".txt") && !f.getName.startsWith("_")).toSet
+    val before = msgFiles
+    EnvelopeSource.writeFeed(events(100, 301), busB, "corpus", "documents", 100)
+    val added = msgFiles -- before
+    assert(added.nonEmpty && added.forall(_.delete()), "drop the second publish")
+    val lakeB = run(busB, s"$rootB/table", s"$rootB/cp")
+    assert(lakeB.reconcile().ok, "consumer-side lineage audit sees nothing wrong")
+    assert(EnvelopeSource.deliveryGap(lakeB, busB, "corpus", "documents").contains(100L),
+      "the producer diff flags exactly the dropped page's ops")
+  }
+
   test("rename registry + v1-only first batch: pre-evolution values survive") {
     // Every batch before the first v2 row arrives contains only v1 rows. The
     // versioned parse folds them to the LATEST column names (source→origin),
