@@ -807,15 +807,21 @@ class LakeTable(val dir: String) {
           hot.groupBy(g).values.map(fs => readFiles(spark, m, fs).coalesce(1)).toSeq)
           .transform(fold)
       } else {
-        // thousands of delta-bearing groups: per-branch planning would cost
-        // the driver minutes before the first task. Bounded-plan fallback:
-        // ONE scan of all hot files + one Exchange hash-partitioned on the
-        // group id (recomputed from the keys — bucket % gran ≡ pmod(h, gran)),
-        // which re-establishes key-complete partitions for the same local fold.
-        // Trades one shuffle of hot-bucket bytes for O(1) plan size.
-        require(m.keyCols.nonEmpty, "delta resolution needs key_cols")
-        fold(readFiles(spark, m, hot)
-          .repartition(pmod(xxhash64(m.keyCols.map(col): _*), lit(gran)).cast(IntegerType)))
+        // thousands of delta-bearing groups: a single Catalyst plan over that
+        // many union branches costs the driver quadratic analysis. Drop the
+        // union BELOW Catalyst instead: each group's small scan plan is
+        // analyzed independently (linear driver work, constant per group),
+        // materialized to its RDD, and sc.union preserves every input's
+        // partitions — one bucket-complete partition per group, O(1) final
+        // plan size, and STILL zero shuffle at any group count. (The fold
+        // drops to the RDD layer immediately anyway, so nothing is lost by
+        // leaving Catalyst early.)
+        val branches = hot.groupBy(g).values
+          .map(fs => readFiles(spark, m, fs).coalesce(1)).toSeq
+        val schema = branches.head.schema
+        val union = spark.sparkContext.union(branches.map(_.queryExecution.toRdd))
+        fold(org.apache.spark.sql.graftbridge.Bridge
+          .internalCreateDataFrame(spark, union, schema))
       }
     if (cold.isEmpty) resolved else resolved.unionByName(readFiles(spark, m, cold))
   }

@@ -739,6 +739,39 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // bucket-spec evolution end-to-end: ingest at 4 buckets, rescale to 8
+    // mid-feed (metadata-only; merges continue on the mixed-spec table —
+    // copy-on-write rewrites whole pre-split groups), then migrate physically
+    // with splitBuckets (partial batch first, then complete). The final state
+    // must equal the plain replay fold, and every file must land at the new
+    // spec — the 100-TB "table outgrew its bucket count" runbook, oracled.
+    "q_lake_rescale" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-rescale").toString
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+        maxFilesPerTrigger = 2)
+      val feed = feedFromEvents(s, dir)
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 === 0),
+        cfg.feedDir, nFiles = 2)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      lake.rescale(8)
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 =!= 0),
+        cfg.feedDir, nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(s, cfg)
+      lake.splitBuckets(s, maxGroups = 2) // incremental migration step…
+      lake.splitBuckets(s)                // …then complete
+      val m = lake.manifest
+      require(m.buckets == 8 && m.files.forall(_.spec == 8),
+        s"migration incomplete: ${m.files.map(_.spec).distinct}")
+      lake.read(s)
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // mixed-version WAL stream, ONE run, NO restart: v1 lines (doc_id, n_tok
     // int, source) interleave with v2 lines (renamed origin, added lang,
     // n_tok widened past int range) in the same feed; parseVersioned detects
@@ -1089,6 +1122,17 @@ object Queries {
          |  lsn AS change_lsn,
          |  CAST(CASE WHEN op='DELETE' THEN 1 ELSE 0 END AS INT) AS is_deleted
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // rescale + split are read-equivalent: same fold as the plain upsert
+    "q_lake_rescale" ->
+      s"""WITH ev AS ($feedSql),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id)
+         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |  n_tok, source
+         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert
     "q_lake_maintenance" ->
