@@ -225,12 +225,15 @@ object JobMain {
             mode = settings.cdcMode,
             merge = settings.mergeStrategy,
             keyCols = keyCols,
+            buckets = settings.buckets,
             filters = table.filters,
             transforms = table.transforms,
             errorPolicy = settings.errorPolicy,
             scdCols = settings.scdCols),
           payloadSchema = payload,
-          schemaRegistry = settings.schemaRegistry)
+          schemaRegistry = settings.schemaRegistry,
+          autoCompactEveryEpochs = settings.autoCompactEveryEpochs,
+          autoCompactMaxDeltaFiles = settings.autoCompactMaxDeltaFiles)
         val lake = CdcRunner.ensureTable(spark, cfg, reload = reload)
         if (settings.replicationType.startsWith("full_load"))
           opt("--snapshot").foreach { snap =>

@@ -33,6 +33,14 @@ object TaskSettings {
       cdcMode: CdcMode,
       /** engine extension: copy_on_write (default) | merge_on_read */
       mergeStrategy: MergeStrategy,
+      /** engine extension (cdc_settings.buckets): lake bucket count at table
+        * creation — later growable via LakeTable.rescale/splitBuckets. */
+      buckets: Int,
+      /** engine extension (cdc_settings.auto_compact_every_epochs): >0 folds
+        * merge-on-read deltas every N committed epochs, in-line with the
+        * stream; 0 leaves compaction to explicit maintenance. */
+      autoCompactEveryEpochs: Int,
+      autoCompactMaxDeltaFiles: Int,
       scdCols: ScdCols,
       errorPolicy: ErrorPolicy,
       tables: Seq[TableRules],
@@ -164,6 +172,11 @@ object TaskSettings {
       cdcMode = CdcMode.parse((cdc \ "mode").extractOrElse[String]("default")),
       mergeStrategy = MergeStrategy.parse(
         (cdc \ "merge_strategy").extractOrElse[String]("copy_on_write")),
+      buckets = (cdc \ "buckets").extractOrElse[Int](JobConfig().buckets),
+      autoCompactEveryEpochs =
+        (cdc \ "auto_compact_every_epochs").extractOrElse[Int](0),
+      autoCompactMaxDeltaFiles =
+        (cdc \ "auto_compact_max_delta_files").extractOrElse[Int](8),
       scdCols = ScdCols(
         (scd2 \ "start_date_column_name").extractOrElse[String]("scd_start_date"),
         (scd2 \ "end_date_column_name").extractOrElse[String]("scd_end_date"),

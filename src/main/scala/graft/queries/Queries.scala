@@ -319,7 +319,9 @@ object Queries {
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
-        maxFilesPerTrigger = 2)
+        // single batch: one quarantined epoch, one re-drive (the drain cost
+        // scales with quarantined EPOCHS, not rows — no need to pay it 2x here)
+        maxFilesPerTrigger = 64)
       val feed = feedFromEvents(s, dir)
       val corrupted = feed.withColumn("n_tok",
         when(col(ChangeEvent.LSN) % 11 === 3 && col(ChangeEvent.OP) =!= ChangeEvent.DELETE,

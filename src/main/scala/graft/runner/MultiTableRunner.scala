@@ -38,7 +38,8 @@ object MultiTableRunner {
       checkpointDir: String,
       settings: TaskSettings.Parsed,
       payloads: Map[String, TablePayload], // "schema.table" -> payload decl
-      buckets: Int = 64,
+      /** explicit override; 0 (default) = settings.json cdc_settings.buckets */
+      buckets: Int = 0,
       maxFilesPerTrigger: Int = 4)
 
   case class TableJob(
@@ -75,7 +76,7 @@ object MultiTableRunner {
         mode = cfg.settings.cdcMode,
         merge = cfg.settings.mergeStrategy,
         keyCols = payload.keyCols,
-        buckets = cfg.buckets,
+        buckets = if (cfg.buckets > 0) cfg.buckets else cfg.settings.buckets,
         filters = rules.filters,
         transforms = rules.transforms,
         errorPolicy = cfg.settings.errorPolicy,
@@ -90,7 +91,9 @@ object MultiTableRunner {
         tableDir = s"${cfg.lakeRoot}/$targetId",
         checkpointDir = cfg.checkpointDir,
         job = job,
-        payloadSchema = payload.schema)
+        payloadSchema = payload.schema,
+        autoCompactEveryEpochs = cfg.settings.autoCompactEveryEpochs,
+        autoCompactMaxDeltaFiles = cfg.settings.autoCompactMaxDeltaFiles)
       val lake = CdcRunner.ensureTable(spark, runnerCfg)
       TableJob(rules, payload, lake, job, targetId)
     }
@@ -103,7 +106,8 @@ object MultiTableRunner {
    * files N times.
    */
   def processBatch(spark: SparkSession, jobs: Seq[TableJob],
-      schemaRegistry: Map[Int, Seq[graft.lake.SchemaChange]] = Map.empty)(
+      schemaRegistry: Map[Int, Seq[graft.lake.SchemaChange]] = Map.empty,
+      autoCompactEveryEpochs: Int = 0, autoCompactMaxDeltaFiles: Int = 8)(
       batch: DataFrame, epoch: Long): Unit = {
     import scala.collection.parallel.CollectionConverters._
     def applyOne(tj: TableJob): Unit = {
@@ -113,7 +117,13 @@ object MultiTableRunner {
           col(TABLE_COL) === tj.rules.tableName)
         .select(cols.map(col): _*)
       CdcRunner.applySchemaRegistry(tj.lake, schemaRegistry, sub)
-      MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job): Unit
+      MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job)
+      // settings-driven maintenance cadence, per table (same contract as the
+      // single-table runner's autoCompactEveryEpochs)
+      if (autoCompactEveryEpochs > 0 && epoch >= 0 &&
+          (epoch + 1) % autoCompactEveryEpochs == 0) {
+        tj.lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit
+      }
     }
     val cache = jobs.size > 1
     if (cache) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -140,7 +150,8 @@ object MultiTableRunner {
     val writer = stream.writeStream
       .queryName(s"graft-multi-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch(processBatch(spark, jobs, cfg.settings.schemaRegistry) _)
+      .foreachBatch(processBatch(spark, jobs, cfg.settings.schemaRegistry,
+        cfg.settings.autoCompactEveryEpochs, cfg.settings.autoCompactMaxDeltaFiles) _)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(
        Trigger.ProcessingTime(s"${cfg.settings.intervalSeconds} seconds"))).start()

@@ -64,6 +64,48 @@ class MultiTableSpec extends SparkSpec {
     assert(!p.errorPolicy.stopOnInsertError)
   }
 
+  test("cdc_settings engine knobs: buckets + auto-compaction cadence parse " +
+    "from settings.json and drive the runner") {
+    val json =
+      """{
+        |  "task": { "task_name": "knobs", "replication_type": "cdc",
+        |    "cdc_settings": { "mode": "upsert", "merge_strategy": "merge_on_read",
+        |      "buckets": 2, "auto_compact_every_epochs": 2,
+        |      "auto_compact_max_delta_files": 1 } },
+        |  "tables": [ { "schema_name": "hr", "table_name": "employee" } ]
+        |}""".stripMargin
+    val settings = TaskSettings.parse(json)
+    assert(settings.buckets == 2 && settings.autoCompactEveryEpochs == 2 &&
+      settings.autoCompactMaxDeltaFiles == 1)
+    val root = tmpDir("graft-multi-knobs")
+    val payloads = Map("hr.employee" -> TablePayload(StructType(Seq(
+      StructField("emp_id", StringType), StructField("name", StringType))), Seq("emp_id")))
+    val cfg = Config(feedDir = s"$root/feed", lakeRoot = s"$root/lake",
+      checkpointDir = s"$root/cp", settings = settings, payloads = payloads,
+      maxFilesPerTrigger = 1)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def emp(lsn: Long, id: String, name: String) =
+      Row(lsn, lsn, ts(lsn), "INSERT", 1, "hr", "employee", id, name)
+    val schema = StructType(ChangeEvent.envelopeFields ++ Seq(
+      StructField("schema_name", StringType), StructField("table_name", StringType),
+      StructField("emp_id", StringType), StructField("name", StringType)))
+    // 4 single-row feed files → 4 epochs at maxFilesPerTrigger=1; cadence 2
+    // fires compaction after epochs 1 and 3
+    (0 until 4).foreach { i =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(emp(i + 1, s"e$i", s"n$i")), 1), schema)
+        .write.mode("append").parquet(s"$root/feed")
+    }
+    val jobs = MultiTableRunner.runAvailableNow(spark, cfg)
+    val lake = jobs.head.lake
+    val m = lake.manifest
+    assert(m.buckets == 2, "settings.json buckets reached the lake table")
+    assert(m.metrics.getOrElse("compactions", 0L) >= 1L,
+      s"auto-compaction cadence fired: ${m.metrics}")
+    assert(!m.hasDeltas, "merge-on-read deltas folded by the cadence")
+    assert(lake.read(spark).count() == 4)
+  }
+
   test("one feed routes into two lake tables with per-table rules") {
     val root = tmpDir("graft-multi")
     val settings = TaskSettings.parse(settingsJson)
