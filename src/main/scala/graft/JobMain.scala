@@ -42,6 +42,17 @@ object JobMain {
   import org.json4s.jackson.JsonMethods
   private implicit val fmt: Formats = DefaultFormats
 
+  /** `--flag value` lookup with a loud error when the value is missing
+    * (a flag as the last argument would otherwise throw a bare
+    * IndexOutOfBoundsException). */
+  private def optArg(args: Seq[String], flag: String): Option[String] =
+    args.indexOf(flag) match {
+      case -1 => None
+      case i =>
+        require(i + 1 < args.length, s"$flag needs a value")
+        Some(args(i + 1))
+    }
+
   /** Op-parameter JSON → typed lookups with defaults. */
   private final class OpConf(j: JValue) {
     def str(k: String, d: String): String = (j \ k).extractOpt[String].getOrElse(d)
@@ -55,8 +66,7 @@ object JobMain {
    * drive the exact CLI surface without a filesystem round-trip).
    */
   def runOp(spark: SparkSession, args: Seq[String]): org.apache.spark.sql.DataFrame = {
-    def opt(flag: String): Option[String] =
-      args.indexOf(flag) match { case -1 => None; case i => Some(args(i + 1)) }
+    def opt(flag: String): Option[String] = optArg(args, flag)
     val op = opt("--op").getOrElse(throw new IllegalArgumentException("--op missing"))
     val in = opt("--in").getOrElse(throw new IllegalArgumentException(
       s"--op $op needs --in <parquet>"))
@@ -120,8 +130,7 @@ object JobMain {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("--op")) {
-      def opt(flag: String): Option[String] =
-        args.indexOf(flag) match { case -1 => None; case i => Some(args(i + 1)) }
+      def opt(flag: String): Option[String] = optArg(args.toSeq, flag)
       val out = opt("--out").getOrElse(throw new IllegalArgumentException(
         "--op needs --out <parquet>"))
       val spark = SparkSession.builder()
@@ -143,8 +152,7 @@ object JobMain {
         "[--snapshot p] [--payloads p] [--continuous] | " +
         "JobMain --op <name> --in <parquet> --out <parquet> [--config <json>]")
     val Array(settingsPath, feedDir, lakeRoot, checkpointDir) = args.take(4)
-    def opt(flag: String): Option[String] =
-      args.indexOf(flag) match { case -1 => None; case i => Some(args(i + 1)) }
+    def opt(flag: String): Option[String] = optArg(args.toSeq, flag)
     val continuous = args.contains("--continuous")
 
     val settings = TaskSettings.parse(new String(

@@ -45,6 +45,13 @@ object MergeApply {
     * can be recorded in the committed set (idempotence) without colliding. */
   private val REPLAY_EPOCH_BASE = 1L << 40
 
+  /** `events_received` counts each event's ORIGINAL delivery only: a replay
+    * epoch re-drives rows the original epoch already counted (quarantined ⊂
+    * received), and double-counting them would mask an in-transit loss in
+    * the producer-vs-consumer deliveryGap audit (published − received). */
+  private def receivedDelta(epoch: Long, nReceived: Long): Long =
+    if (epoch >= REPLAY_EPOCH_BASE) 0L else nReceived
+
   /**
    * Re-drive the quarantined rows of `sourceEpoch` through the merge under a
    * fresh replay epoch — the reference's dead-letter drain (dlx.py:1-13,
@@ -246,7 +253,7 @@ object MergeApply {
 
       if (affected.isEmpty) {
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-          "events_received" -> nReceived)
+          "events_received" -> receivedDelta(epoch, nReceived))
         lake.commit(epoch, Nil, Set.empty, metrics)
         return BatchResult(epoch, skipped = false, metrics)
       }
@@ -254,7 +261,7 @@ object MergeApply {
       val baseMetrics = Map(
         "batches" -> 1L,
         "events_quarantined" -> nQuarantined,
-        "events_received" -> nReceived,
+        "events_received" -> receivedDelta(epoch, nReceived),
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
@@ -365,7 +372,7 @@ object MergeApply {
       val metrics = Map(
         "batches" -> 1L,
         "events_quarantined" -> nQuarantined,
-        "events_received" -> nReceived,
+        "events_received" -> receivedDelta(epoch, nReceived),
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
@@ -373,7 +380,7 @@ object MergeApply {
       if (affected.isEmpty) {
         lake.commit(epoch, Nil, Set.empty,
           Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-            "events_received" -> nReceived))
+            "events_received" -> receivedDelta(epoch, nReceived)))
         return BatchResult(epoch, skipped = false, metrics)
       }
 

@@ -181,16 +181,49 @@ object EnvelopeSource {
       events: DataFrame, feedDir: String,
       schemaName: String, tableName: String,
       batchSize: Int = 1000): ProducerStats = {
-    toMessages(events, schemaName, tableName, batchSize)
-      .coalesce(1).write.mode("append").text(feedDir)
-    val ops = events.count()
-    val pages = (ops + batchSize - 1) / batchSize
-    val stats = ProducerStats(pages, ops)
-    val p = java.nio.file.Paths.get(feedDir,
-      s"_stats-$schemaName.$tableName-${System.nanoTime()}.json")
-    java.nio.file.Files.writeString(p,
-      s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops}""")
-    stats
+    // one publish = one capture second: page numbering restarts per call, so
+    // successive publishes into the same bus MUST advance created_at or their
+    // packed LSNs collide and the LWW merge silently drops the later changes.
+    // The publish index comes from the stats manifests already on disk —
+    // deterministic, no wall clock.
+    val priorPublishes = producerStatsFiles(feedDir, schemaName, tableName).size
+    val createdAt = 1700000000L + priorPublishes
+    // single evaluation: the count below and the serialization read the same
+    // materialized rows (a non-deterministic source would otherwise publish
+    // one row set and manifest another)
+    events.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ops = events.count()
+      val pages = (ops + batchSize - 1) / batchSize
+      // fail FAST on the packed-LSN wire budget — the consumer's parse
+      // raise_errors on page ≥ 64 / position ≥ 1024, which would otherwise
+      // crash the stream long after this publish reported success
+      require(batchSize >= 1 && batchSize <= 1024,
+        s"writeFeed batchSize $batchSize exceeds the 1024 ops/page LSN budget")
+      require(pages <= 64,
+        s"writeFeed: $ops ops at $batchSize/page needs $pages pages — " +
+          "the LSN budget allows 64 per publish; split into multiple publishes")
+      toMessages(events, schemaName, tableName, batchSize, createdAt)
+        .coalesce(1).write.mode("append").text(feedDir)
+      val stats = ProducerStats(pages, ops)
+      val p = java.nio.file.Paths.get(feedDir,
+        s"_stats-$schemaName.$tableName-${System.nanoTime()}.json")
+      java.nio.file.Files.writeString(p,
+        s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops}""")
+      stats
+    } finally { events.unpersist(); () }
+  }
+
+  private def producerStatsFiles(
+      feedDir: String, schemaName: String, tableName: String): Seq[java.nio.file.Path] = {
+    val dir = java.nio.file.Paths.get(feedDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Nil
+    else scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"_stats-$schemaName.$tableName-"))
+        .toSeq
+    }
   }
 
   /** Sum of all producer page manifests in `feedDir` for one table;
@@ -199,16 +232,9 @@ object EnvelopeSource {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    val dir = java.nio.file.Paths.get(feedDir)
-    if (!java.nio.file.Files.isDirectory(dir)) return None
-    val all = scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"_stats-$schemaName.$tableName-"))
-        .map { p =>
-          val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p)))
-          ProducerStats((j \ "pages").extract[Long], (j \ "ops").extract[Long])
-        }.toSeq
+    val all = producerStatsFiles(feedDir, schemaName, tableName).map { p =>
+      val j = JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(p)))
+      ProducerStats((j \ "pages").extract[Long], (j \ "ops").extract[Long])
     }
     if (all.isEmpty) None
     else Some(ProducerStats(all.map(_.pages).sum, all.map(_.ops).sum))
@@ -251,7 +277,10 @@ object EnvelopeSource {
     * at scale). */
   def toMessages(
       events: DataFrame, schemaName: String, tableName: String,
-      batchSize: Int = 1000): DataFrame = {
+      batchSize: Int = 1000,
+      /** capture-cycle second — distinct per publish into the same bus, or the
+        * packed LSNs of two publishes collide (see [[writeFeed]]) */
+      createdAt: Long = 1700000000L): DataFrame = {
     val spark = events.sparkSession
     val lsnCol = graft.model.ChangeEvent.LSN
     val payloadCols = events.columns
@@ -289,7 +318,7 @@ object EnvelopeSource {
       .select(to_json(struct(
         lit("postgresql").as("source_database_type"),
         lit("abc123").as("transaction_id"),
-        lit(1700000000L).as("created_at"),
+        lit(createdAt).as("created_at"),
         col("batch_page"), col("batch_size"),
         transform(col("rows"), r => r.getField("r")).as("operations"))).as("value"),
         col("batch_page"))

@@ -194,6 +194,11 @@ object ManifestJson {
      else List("key_stats" -> (JObject(f.keyStats.toList.sortBy(_._1)
        .map { case (c, r) => c -> (rangeToJson(r): JValue) }): JValue))))
 
+  // NOTE on format history: fragments written before the per-column key_stats
+  // map carried flat min_key/max_key(_num) fields for the LEADING key only;
+  // those are not mapped forward (the column name was implicit, not stored),
+  // so such files resolve with empty keyStats — a pruning-only degradation
+  // (every lookup still returns correct rows) healed by the next compaction.
   private def fileFromJson(jf: JValue): DataFile =
     DataFile((jf \ "path").extract[String], (jf \ "bucket").extract[Int],
       (jf \ "schema_id").extract[Int], (jf \ "rows").extract[Long],
@@ -578,19 +583,22 @@ class LakeTable(val dir: String) {
    * The read/replace closure of a set of current-spec bucket ids: with mixed
    * per-file specs a coarser (pre-rescale) file covers several current
    * buckets, so touching any of them must read — and, on copy-on-write,
-   * rewrite — every current bucket of that group. Group identity is
-   * `bucket % gran` at the coarsest live spec (specs form a divisor chain:
-   * rescale only ever multiplies), which makes one expansion a fixpoint.
-   * Uniform-spec tables (the steady state) return the input unchanged.
+   * rewrite — every current bucket that file covers. Only buckets an ACTUAL
+   * coarser file covers are expanded — a group already migrated to the
+   * current spec stays un-expanded, so the mixed-spec window's CoW write
+   * amplification shrinks as splitBuckets progresses instead of staying at
+   * the worst case until the last group migrates. One pass is a fixpoint:
+   * specs form a divisor chain (rescale only multiplies), so any file
+   * covering a bucket of an added class also covers a bucket of the
+   * original set and is selected in the same pass. Uniform-spec tables (the
+   * steady state) return the input unchanged.
    */
   def bucketClosure(m: Manifest, buckets: Set[Int]): Set[Int] = {
-    val specs = m.files.map(_.spec).toSet
-    if (specs.isEmpty || specs == Set(m.buckets)) buckets
-    else {
-      val gran = specs.min
-      val groups = buckets.map(_ % gran)
-      (0 until m.buckets).filter(b => groups.contains(b % gran)).toSet
-    }
+    val coarse = m.files.filter(f => f.spec > 0 && f.spec != m.buckets)
+    if (coarse.isEmpty) buckets
+    else buckets ++ coarse.iterator
+      .filter(f => buckets.exists(b => b % f.spec == f.bucket))
+      .flatMap(_.coveredBuckets(m.buckets))
   }
 
   /** Fold the fragment list into one fragment without touching data files —

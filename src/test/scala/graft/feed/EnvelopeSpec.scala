@@ -146,6 +146,23 @@ class EnvelopeSpec extends SparkSpec {
     val lakeA = run(busA, s"$rootA/table", s"$rootA/cp")
     assert(lakeA.manifest.metrics("events_received") == 400L)
     assert(EnvelopeSource.deliveryGap(lakeA, busA, "corpus", "documents").contains(0L))
+    // cross-publish LSN ordering: each writeFeed advances the capture second,
+    // so the second publish's packed LSNs rank AFTER the first's — a collision
+    // (same created_at, page numbering restarting at 0) would make later
+    // updates of the same doc silently lose the LWW gate
+    val stateA = lakeA.read(spark)
+      .select("doc_id", "n_tok", "source").collect().map(_.toString).sorted
+    val oracleA = events(300, 1).unionAll(events(100, 301)).orderBy("lsn").collect()
+      .foldLeft(Map.empty[String, String]) { (m, r) =>
+        val id = r.getAs[String]("doc_id")
+        if (r.getAs[String]("op") == "DELETE") m - id
+        else m + (id -> s"[$id,${r.getAs[Int]("n_tok")},${r.getAs[String]("source")}]")
+      }.values.toArray.sorted
+    assert(stateA.sameElements(oracleA), "two-publish feed folds in publish order")
+    // and the wire budget is enforced at publish time, not at consumer crash time
+    intercept[IllegalArgumentException](
+      EnvelopeSource.writeFeed(events(10, 900), busA, "corpus", "documents",
+        batchSize = 2000))
 
     // in-transit loss: one published page file never reaches the consumer —
     // lineage-only reconcile cannot see it, the producer diff can
