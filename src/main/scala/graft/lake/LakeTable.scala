@@ -1080,8 +1080,17 @@ class LakeTable(val dir: String) {
     val staleGroups = stale.map(g).distinct.sorted.take(maxGroups).toSet
     val groupFiles = m.files.filter(f => staleGroups.contains(g(f)))
     val epoch = maintenanceEpoch(m)
+    // delta-bearing groups need the bucket-complete one-partition fold; a
+    // pure-base group has no per-key resolution to do, so it reads at FULL
+    // parallelism (a 1.5 TB pre-split bucket migrates across many tasks, not
+    // one) — the dynamic partitionBy write routes every task's rows to the
+    // right child dirs, so both paths stay zero-shuffle. The extra files per
+    // child from the parallel path are ordinary small-file load for compact.
     val df = LakeTable.unionBalanced(groupFiles.groupBy(g).values
-      .map(fs => readResolved(spark, m, fs).coalesce(1)).toSeq)
+      .map { fs =>
+        if (fs.exists(_.isDelta)) readResolved(spark, m, fs).coalesce(1)
+        else readFiles(spark, m, fs)
+      }.toSeq)
       .withColumn("_bucket", bucketExpr(m.keyCols, m.buckets))
     df.write.mode("overwrite")
       .options(bloomOptions(m.keyCols))
