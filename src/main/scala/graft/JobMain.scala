@@ -182,15 +182,19 @@ object JobMain {
         val cfg = MultiTableRunner.Config(
           feedDir, lakeRoot, checkpointDir, settings, parsePayloads(p))
         if (reload) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
-          }
-          rm(new java.io.File(lakeRoot)); rm(new java.io.File(checkpointDir))
+          CdcRunner.deleteRecursively(new java.io.File(lakeRoot))
+          CdcRunner.deleteRecursively(new java.io.File(checkpointDir))
         }
         val q = MultiTableRunner.start(spark, cfg, availableNow = !continuous)
         q.awaitTermination()
       case _ =>
-        // single-table: payload inferred from the feed files themselves
+        // single-table: payload inferred from the feed files themselves.
+        // Refuse a multi-table settings.json here — silently merging only
+        // tables.head would DROP the other tables' events with no hint
+        require(settings.tables.size <= 1,
+          s"settings.json declares ${settings.tables.size} tables " +
+            s"(${settings.tables.map(_.id).mkString(", ")}): multi-table routing " +
+            "needs --payloads (parquet feeds); wire-format sources run one job per table")
         val table = settings.tables.headOption.getOrElse(
           throw new IllegalArgumentException("settings.json declares no tables"))
         val sourceKind = sourceKindTop

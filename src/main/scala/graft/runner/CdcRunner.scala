@@ -99,12 +99,25 @@ object CdcRunner {
   }
 
   /** Full load (reference: FullLoadHandler.get_full_load_from_table,
-    * FullLoadHandler.py:87-125): seed the table with a snapshot as epoch -1. */
-  def fullLoad(spark: SparkSession, lake: LakeTable, snapshot: DataFrame, cfg: RunnerConfig): Unit = {
+    * FullLoadHandler.py:87-125): seed the table with a snapshot as epoch -1.
+    * The table's filter and transform rules apply to the snapshot exactly as
+    * they do to change events (the reference runs both on full load too) —
+    * without them, a renaming/creating transform would leave the written
+    * columns named differently from the table schema and every such value
+    * (including a renamed merge key) would read back NULL. */
+  def fullLoad(spark: SparkSession, lake: LakeTable, snapshot0: DataFrame, cfg: RunnerConfig): Unit = {
     val epoch = -1L
     if (lake.isCommitted(epoch)) return
     val m = lake.manifest
-    val keys = cfg.job.keyCols
+    import graft.rules.{FilterCompiler, TableSpec, TransformCompiler}
+    val filtered =
+      if (cfg.job.filters.isEmpty) snapshot0
+      else snapshot0.filter(FilterCompiler.compileAll(cfg.job.filters, snapshot0.schema))
+    val compiled = TransformCompiler.compile(cfg.job.transforms,
+      TableSpec("lake", "t", cfg.job.keyCols), filtered.schema,
+      MergeApply.batchTimestamp(epoch))
+    val snapshot = compiled.apply(filtered)
+    val keys = compiled.outSpec.keyCols
     val withBucket = (cfg.job.mode match {
       case CdcMode.Scd2 =>
         val scd = cfg.job.scdCols
@@ -121,19 +134,29 @@ object CdcRunner {
       .options(lake.bloomOptions(m.keyCols))
       .partitionBy("_bucket").parquet(lake.dataDir(epoch))
     val files = lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    // exact loaded-row count comes free from the parquet footers
     lake.commit(epoch, files, (0 until m.buckets).toSet,
-      Map("full_load_rows" -> -1L))
+      Map("full_load_rows" -> files.map(_.rows).sum))
   }
 
-  /** Schema registry: evolve the lake schema for any schema_ver present in
-    * this batch (idempotent — already-applied changes are filtered). Shared
-    * by the single-table foreachBatch and the multi-table router. */
+  /** Schema registry: evolve the lake schema for EVERY registry version up to
+    * the highest schema_ver present in this batch (idempotent —
+    * already-applied changes are filtered). Applying all ≤ max, not just the
+    * versions literally present, matters when a stream starts after upstream
+    * already advanced: a batch of only-v3 events must still apply v2 first,
+    * or a v3 change chained on v2 (e.g. a rename of a v2-renamed column)
+    * silently filters out in evolvePending and the column's values are lost
+    * to null-fill. Shared by the single-table foreachBatch and the
+    * multi-table router. */
   def applySchemaRegistry(
       lake: LakeTable, registry: Map[Int, Seq[SchemaChange]], batch: DataFrame): Unit = {
     if (registry.isEmpty) return
     val vers = batch.select(ChangeEvent.SCHEMA_VER).distinct()
-      .collect().map(_.getInt(0)).sorted
-    vers.foreach(v => registry.get(v).foreach(evolvePending(lake, _)))
+      .collect().map(_.getInt(0))
+    if (vers.isEmpty) return
+    val maxVer = vers.max
+    registry.toSeq.sortBy(_._1).filter(_._1 <= maxVer)
+      .foreach { case (_, changes) => evolvePending(lake, changes) }
   }
 
   private def evolvePending(lake: LakeTable, changes: Seq[SchemaChange]): Unit = {
@@ -163,6 +186,30 @@ object CdcRunner {
       evolvePending(lake, changes)
     }
 
+  /** Merge-key names after the registry's renames: the versioned wire parse
+    * folds every row to the LATEST column names, so a registry that renames a
+    * key column must rename the key CONFIG too — the stale name would make
+    * the DELETE-key filter and the merge's groupBy reference a column the
+    * parse no longer emits (AnalysisException on every batch). */
+  private def registryRenamedKeys(
+      keys: Seq[String], registry: Map[Int, Seq[SchemaChange]]): Seq[String] =
+    registry.toSeq.sortBy(_._1).flatMap(_._2).foldLeft(keys) {
+      case (ks, RenameColumn(from, to)) => ks.map(k => if (k == from) to else k)
+      case (ks, _)                      => ks
+    }
+
+  /** Runtime config for a wire-format stream AFTER [[applyRegistryEagerly]]:
+    * key names follow the registry's renames, and the per-batch registry scan
+    * is dropped (every version is already applied, so the extra
+    * distinct(schema_ver) pass — a full re-parse of the batch — would buy
+    * nothing). The PARSE keeps reading the original registry separately. */
+  private def wireRuntimeCfg(cfg: RunnerConfig): RunnerConfig =
+    if (cfg.schemaRegistry.isEmpty) cfg
+    else cfg.copy(
+      job = cfg.job.copy(
+        keyCols = registryRenamedKeys(cfg.job.keyCols, cfg.schemaRegistry)),
+      schemaRegistry = Map.empty)
+
   /** The foreachBatch body: schema-registry evolution, then merge-apply. */
   def processBatch(spark: SparkSession, lake: LakeTable, cfg: RunnerConfig)(
       batch: DataFrame, epoch: Long): Unit = {
@@ -182,11 +229,19 @@ object CdcRunner {
    * (stats_cdc/stats_message, trempy/Metadata/MetadataConnectionManager.py:99-228)
    * as JSON files next to the lake's lineage.
    */
-  private class MetricsListener(tableDir: String, queryName: String)
+  private class MetricsListener(
+      streams: org.apache.spark.sql.streaming.StreamingQueryManager,
+      tableDir: String, queryName: String)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
-    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    @volatile private var myId: java.util.UUID = null
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      if (e.name == queryName) myId = e.id
+    // self-deregister when the watched query ends: a long-lived session that
+    // starts many queries would otherwise accumulate one forever-scanning
+    // listener per start
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (myId != null && e.id == myId) streams.removeListener(this)
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       if (e.progress.name == queryName) {
         val dir = java.nio.file.Paths.get(tableDir, "metrics")
@@ -196,6 +251,12 @@ object CdcRunner {
       }
     }
   }
+
+  /** Per-batch progress-metrics sink for one named query — registered by
+    * EVERY source variant (parquet, wal, envelope, kafka), removed when the
+    * query terminates. */
+  private def registerMetrics(spark: SparkSession, tableDir: String, qName: String): Unit =
+    spark.streams.addListener(new MetricsListener(spark.streams, tableDir, qName))
 
   /** Start the streaming query (continuous tail). `intervalSeconds` is the
     * reference's producer cadence (task/settings.json interval_seconds,
@@ -208,7 +269,7 @@ object CdcRunner {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.feedDir)
     val qName = s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.streams.addListener(new MetricsListener(cfg.tableDir, qName))
+    registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
@@ -236,11 +297,14 @@ object CdcRunner {
     import graft.feed.EnvelopeSource
     val lake = ensureTable(spark, cfg)
     applyRegistryEagerly(lake, cfg.schemaRegistry)
+    val runCfg = wireRuntimeCfg(cfg)
     val stream = spark.readStream
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .text(cfg.feedDir)
+    val qName = s"graft-env-${java.util.UUID.randomUUID().toString.take(8)}"
+    registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream
-      .queryName(s"graft-env-${java.util.UUID.randomUUID().toString.take(8)}")
+      .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
         // registry configured ⇒ every payload version parses in one stream
@@ -250,7 +314,7 @@ object CdcRunner {
             EnvelopeSource.parseVersionedForTable(raw, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, cfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
@@ -284,14 +348,17 @@ object CdcRunner {
     import graft.feed.EnvelopeSource
     val lake = ensureTable(spark, cfg)
     applyRegistryEagerly(lake, cfg.schemaRegistry)
+    val runCfg = wireRuntimeCfg(cfg)
     val stream = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
+    val qName = s"graft-kafka-${java.util.UUID.randomUUID().toString.take(8)}"
+    registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream
-      .queryName(s"graft-kafka-${java.util.UUID.randomUUID().toString.take(8)}")
+      .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
         val value = raw.select(col("value").cast("string").as("value"))
@@ -300,7 +367,7 @@ object CdcRunner {
             EnvelopeSource.parseVersionedForTable(value, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else EnvelopeSource.parseForTable(value, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, cfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
@@ -323,12 +390,15 @@ object CdcRunner {
     import graft.feed.WalParser
     val lake = ensureTable(spark, cfg)
     applyRegistryEagerly(lake, cfg.schemaRegistry)
+    val runCfg = wireRuntimeCfg(cfg)
     val stream = spark.readStream
       .schema(WalParser.rawSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.feedDir)
+    val qName = s"graft-wal-${java.util.UUID.randomUUID().toString.take(8)}"
+    registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream
-      .queryName(s"graft-wal-${java.util.UUID.randomUUID().toString.take(8)}")
+      .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
         // with a schema registry, one stream parses EVERY registered payload
@@ -343,17 +413,19 @@ object CdcRunner {
           else WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
         val events = parsed
           // the reference drops DELETEs that carry no key at all
-          // ((no-tuple-data), CDCManager.py:305-307) — nothing to merge on
-          .filter(cfg.job.keyCols.map(col(_).isNotNull).reduce(_ && _) ||
+          // ((no-tuple-data), CDCManager.py:305-307) — nothing to merge on;
+          // key names are post-registry-rename (the parse emits latest names)
+          .filter(runCfg.job.keyCols.map(col(_).isNotNull).reduce(_ && _) ||
             col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
-        processBatch(spark, lake, cfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    // listFiles is null for a dir deleted concurrently (or an I/O error)
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 }

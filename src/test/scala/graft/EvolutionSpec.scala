@@ -18,6 +18,61 @@ import graft.runner.{CdcRunner, RunnerConfig}
  */
 class EvolutionSpec extends SparkSpec {
 
+  test("registry versions are applied cumulatively: a batch that starts at v3 " +
+    "still applies v2's changes first") {
+    val root = tmpDir("graft-evo-skip")
+    // v2 renames source->origin; v3 renames origin->origin2 (chained on v2)
+    // and adds lang. A stream starting after upstream reached v3 sees ONLY
+    // schema_ver=3 batches — v2 must still apply or v3's rename filters out
+    // silently and the column's values are lost to null-fill.
+    val registry = Map(
+      2 -> Seq(RenameColumn("source", "origin")),
+      3 -> Seq(RenameColumn("origin", "origin2"), AddColumn("lang", StringType)))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+      payloadSchema = StructType(ChangeEvent.defaultPayloadFields),
+      schemaRegistry = registry)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val v3Batch = ChangeFeed.events(spark, ChangeFeed.FeedSpec(
+        nEvents = 20, nDocs = 10, schemaVer = 3))
+      .withColumnRenamed("source", "origin2")
+      .withColumn("lang", lit("en"))
+    CdcRunner.applySchemaRegistry(lake, registry, v3Batch)
+    val names = lake.manifest.currentSchema.fields.map(_.name).toSet
+    assert(names.contains("origin2") && !names.contains("source") &&
+      !names.contains("origin") && names.contains("lang"),
+      s"v2 then v3 applied in order: $names")
+    // and the batch merges under the final names
+    graft.apply.MergeApply.applyBatch(spark, lake, v3Batch, 0L, cfg.job)
+    assert(lake.read(spark).filter(col("origin2").isNotNull).count() > 0)
+  }
+
+  test("fullLoad runs the table's filter+transform rules (renamed/created " +
+    "columns land under the table schema's names)") {
+    val root = tmpDir("graft-evo-flrules")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4,
+        filters = Seq(graft.rules.FilterCfg("n_tok", "greater_than", value = Some(0))),
+        transforms = Seq(
+          graft.rules.ModifyColumnName("source", "origin", priority = 0),
+          graft.rules.CreateColumn("tag", "literal", value = Some("SEED"),
+            valueType = Some("varchar")))))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val snapNames = lake.manifest.currentSchema.fields.map(_.name).toSet
+    assert(snapNames.contains("origin") && snapNames.contains("tag"))
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 25), cfg)
+    val loaded = lake.read(spark)
+    assert(loaded.count() == 25)
+    assert(loaded.filter(col("origin").isNull).count() == 0,
+      "renamed column carries the snapshot's values, not null-fill")
+    assert(loaded.filter(col("tag") === "SEED").count() == 25,
+      "created column materialized on the full load")
+    assert(lake.manifest.metrics("full_load_rows") == 25L,
+      "exact loaded-row count recorded")
+  }
+
   test("add / rename / widen mid-stream; old rows preserved via field-id reads") {
     val root = tmpDir("graft-evo")
     val nDocs = 50L

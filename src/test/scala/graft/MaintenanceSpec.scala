@@ -291,6 +291,46 @@ class MaintenanceSpec extends SparkSpec {
       "post-compaction state intact")
   }
 
+  test("bucket-spec evolution under SCD2 merge-on-read: history chains survive " +
+    "rescale + split") {
+    val root = tmpDir("graft-maint-rescale-scd2")
+    def mkCfg(sub: String) = RunnerConfig(
+      feedDir = s"$root/$sub/feed", tableDir = s"$root/$sub/table",
+      checkpointDir = s"$root/$sub/cp",
+      job = JobConfig(mode = CdcMode.Scd2, merge = MergeStrategy.MergeOnRead,
+        buckets = 4))
+    val cfg = mkCfg("a")
+    val twin = mkCfg("twin")
+    val feed1 = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 400, nDocs = 80))
+    val feed2 = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 300, nDocs = 80, startLsn = 401))
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed1, c.feedDir, nFiles = 2)
+      CdcRunner.ensureTable(spark, c)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    lake.rescale(8)
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed2, c.feedDir, nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    def hist(dir: String) = new graft.lake.LakeTable(dir).read(spark)
+      .collect().map(_.toString).sorted
+    val twinHist = hist(twin.tableDir)
+    assert(hist(cfg.tableDir).sameElements(twinHist),
+      "mixed-spec SCD2 chain rebuild == never-rescaled twin")
+    lake.splitBuckets(spark)
+    assert(lake.manifest.files.forall(_.spec == 8))
+    assert(hist(cfg.tableDir).sameElements(twinHist),
+      "split (chain-resolving rewrite) preserves the full version history")
+    // one current row per live key after migration
+    val scd = cfg.job.scdCols
+    val perKey = lake.read(spark).filter(org.apache.spark.sql.functions.col(scd.current) === 1)
+      .groupBy("doc_id").count().collect()
+    assert(perKey.forall(_.getLong(1) == 1L), "exactly one current version per key")
+  }
+
   test("commit refuses partial replacement of a pre-split file (coverage guard)") {
     import org.apache.spark.sql.types._
     val lake = new graft.lake.LakeTable(tmpDir("graft-maint-cover") + "/t")

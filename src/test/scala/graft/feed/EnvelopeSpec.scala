@@ -225,6 +225,41 @@ class EnvelopeSpec extends SparkSpec {
       state(1).isNullAt(state(1).fieldIndex("lang")))
   }
 
+  test("registry renaming the MERGE KEY: wire stream follows the rename " +
+    "(config keys track the latest parse shape)") {
+    import graft.lake.RenameColumn
+    def msg(createdAt: Long, ops: String): String =
+      s"""{"source_database_type":"postgresql","transaction_id":"t$createdAt",""" +
+        s""""created_at":$createdAt,"batch_page":0,"batch_size":10,""" +
+        s""""operations":[$ops]}"""
+    def op(operation: String, cols: (String, String)*): String =
+      s"""{"schema_name":"corpus","table_name":"documents","operation":"$operation",""" +
+        s""""columns":[${cols.map { case (n, v) =>
+          s"""{"name":"$n","type":"varchar","value":"$v"}""" }.mkString(",")}]}"""
+    val lines = Seq(
+      // v1 rows name the key doc_id…
+      msg(1700000000L,
+        op("insert", "doc_id" -> "d-1", "n_tok" -> "2", "source" -> "web")),
+      // …v2 rows name it document_id; the parse folds both to document_id
+      msg(1700000001L,
+        op("update", "document_id" -> "d-1", "n_tok" -> "5", "source" -> "v2") + "," +
+          op("delete", "document_id" -> "d-1")))
+    val registry = Map(2 -> Seq(RenameColumn("doc_id", "document_id")))
+    val root = tmpDir("graft-env-keyrename")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "bus.jsonl"),
+      lines.mkString("\n").getBytes)
+    val cfg = RunnerConfig(
+      feedDir = root, tableDir = s"$root-table", checkpointDir = s"$root-cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4, keyCols = Seq("doc_id")),
+      payloadSchema = payload, schemaRegistry = registry)
+    // pre-fix this crashed with AnalysisException: groupBy on stale 'doc_id'
+    CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    assert(lake.manifest.keyCols == Seq("document_id"), "lake key renamed")
+    assert(lake.read(spark).isEmpty, "insert then update then delete folds to empty")
+    assert(lake.manifest.metrics("applied_deletes") == 1L)
+  }
+
   test("mixed-version messages parse in ONE stream and evolve the lake mid-batch") {
     import graft.lake.{AddColumn, RenameColumn, WidenColumn}
     import graft.model._
