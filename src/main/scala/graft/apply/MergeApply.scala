@@ -415,10 +415,13 @@ object MergeApply {
         .dropDuplicates(naturalKeys :+ "_lsn")
       val w = Window.partitionBy(naturalKeys.map(col): _*).orderBy(col("_lsn"))
       val nextStart = lead(col(scd.startDate), 1).over(w)
+      // current = no next ROW (marker lead), matching the bucket-local fold:
+      // a null next-start must not leave two current versions of one key
+      val hasNext = lead(lit(1), 1).over(w).isNotNull
       val rebuilt = all
         .withColumn(scd.endDate, nextStart)
         .withColumn(scd.current,
-          when(nextStart.isNull && !col("_deleted"), lit(1)).otherwise(lit(0)))
+          when(!hasNext && !col("_deleted"), lit(1)).otherwise(lit(0)))
 
       val files = writeEpoch(spark, lake, rebuilt, epoch, m)
       lake.commit(epoch, files, affectedC, metrics)

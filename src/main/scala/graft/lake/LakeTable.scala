@@ -629,6 +629,13 @@ class LakeTable(val dir: String) {
       case WidenColumn(n, to) =>
         val f = s.byName(n).getOrElse(throw new IllegalArgumentException(s"widen: '$n' not found"))
         require(widens(f.dataType, to), s"widen: ${f.dataType} -> $to is not a widening")
+        // a MERGE-KEY column can never widen: Spark's xxhash64 hashes int and
+        // long inputs differently, so widening a key would silently re-route
+        // every existing key to a different bucket — merges would stop finding
+        // base rows and the table would accumulate duplicates per key
+        require(!keys.contains(n),
+          s"widen: '$n' is a merge-key column — int and long hash to different " +
+            "buckets; widening a key requires a full-table rewrite, not evolution")
         s = s.copy(fields = s.fields.map(x => if (x.name == n) x.copy(dataType = to) else x))
     }
     val newSchema = s.copy(schemaId = m.currentSchemaId + 1)
@@ -679,9 +686,14 @@ class LakeTable(val dir: String) {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(m.keyCols.map(col): _*).orderBy(col("_lsn"))
     val nextStart = lead(col(start), 1).over(w)
+    // "current" = no NEXT ROW (lead over a constant marker), not "next start
+    // is null" — a version row with a null start date would otherwise leave
+    // TWO current rows here while the bucket-local fold (rebuildScd2Local)
+    // correctly marks only the last one
+    val hasNext = lead(lit(1), 1).over(w).isNotNull
     df.dropDuplicates(m.keyCols :+ "_lsn")
       .withColumn(end, nextStart)
-      .withColumn(cur, when(nextStart.isNull && !col("_deleted"), lit(1)).otherwise(lit(0)))
+      .withColumn(cur, when(!hasNext && !col("_deleted"), lit(1)).otherwise(lit(0)))
   }
 
   /**
@@ -1123,6 +1135,9 @@ class LakeTable(val dir: String) {
    */
   def vacuum(keepVersions: Int = 2, keepCommittedSinceMs: Option[Long] = None): Seq[String] =
       this.synchronized {
+    // keepVersions <= 0 would classify the CURRENT snapshot's files as dead
+    // and delete the table out from under _current
+    require(keepVersions >= 1, s"vacuum(keepVersions=$keepVersions): must keep >= 1")
     val cur = currentVersion
     var keepFrom = math.max(1, cur - keepVersions + 1)
     keepCommittedSinceMs.foreach { cutoff =>

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
  */
 object Dedup {
 
-  private def normalized(text: Column): Column =
+  /** Shared with [[TextAnalysis.fingerprint]] — the dedup fingerprint and the
+    * stats fingerprint must never drift apart (both are oracle-replicated). */
+  private[ops] def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   // ── exact dedup: hash-groupBy on the normalised text ──
@@ -72,6 +74,10 @@ object Dedup {
   def lshCandidates(
       df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 16, bands: Int = 4, maxBucketSize: Int = 100): DataFrame = {
+    require(numHashes % bands == 0,
+      s"lshCandidates: bands=$bands must divide numHashes=$numHashes — a " +
+        "remainder would silently drop trailing minhash values and skew the " +
+        "(bands, rows) collision probability the caller asked for")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, textCol, idCol, numHashes)
     // bands are statically known: build the band structs without a lambda so

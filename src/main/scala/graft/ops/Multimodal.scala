@@ -28,9 +28,12 @@ object Multimodal {
       StructField("duration_ms", IntegerType),
       StructField("codec", StringType))))))
 
+  // meta fields are Option: mediaSchema declares them nullable, and a bare Int
+  // would make the encoder throw on a schema-conformant row with null meta
   case class MediaRow(
       media_id: Long, kind: String, bytes: Array[Byte],
-      width: Int, height: Int, duration_ms: Int, codec: String)
+      width: Option[Int], height: Option[Int], duration_ms: Option[Int],
+      codec: String)
 
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int,

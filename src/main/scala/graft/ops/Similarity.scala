@@ -40,16 +40,23 @@ object Similarity {
   def hyperplaneSignature(v: Column, planes: Int = 8): Column =
     VectorOps.hyperplane_sig(v, planes)
 
+  /** `excludeSelf` is only valid when queries and corpus are the SAME table
+    * (self-search / dedup): on distinct tables with overlapping id spaces it
+    * would silently drop the corpus row that happens to share the query's id. */
+  private def notSelf(excludeSelf: Boolean): Column =
+    if (excludeSelf) col("q_id") =!= col("c_id") else lit(true)
+
   /**
    * Exact brute-force cosine top-k: broadcast the (small) query set against the
    * corpus scan; per-query row_number over cosine desc.
    */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
-    val scored = c.join(q, col("q_id") =!= col("c_id"))
+    val scored = c.join(q, notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -107,13 +114,14 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, probes: Int = 2, iters: Int = 2,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
     val cents = trainCentroids(corpus, cells, iters, vecCol, idCol)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
       element_at(VectorOps.nearest_cells(col(vecCol), cents, 1), 1).as("cell"))
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
       explode(VectorOps.nearest_cells(col(vecCol), cents, probes)).as("cell")))
-    val scored = c.join(q, Seq("cell")).filter(col("q_id") =!= col("c_id"))
+    val scored = c.join(q, Seq("cell")).filter(notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -126,13 +134,14 @@ object Similarity {
    */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 6,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
     val sig = (c: Column) => hyperplaneSignature(c, planes)
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
       sig(col(vecCol)).as("bucket")))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
       sig(col(vecCol)).as("bucket"))
-    val scored = c.join(q, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+    val scored = c.join(q, Seq("bucket")).filter(notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -71,9 +71,10 @@ object TextAnalysis {
     }._1
   }
 
-  /** Normalised-text fingerprint (md5 — portable to any SQL oracle). */
-  def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+  /** Normalised-text fingerprint (md5 — portable to any SQL oracle). Shares
+    * [[Dedup.normalized]] so the stats fingerprint and the dedup fingerprint
+    * cannot drift. */
+  def fingerprint(text: Column): Column = md5(Dedup.normalized(text))
 
   /** Native rolling-hash fingerprint (codegen'd Catalyst expression). */
   def rollingFingerprint(text: Column): Column =

@@ -33,14 +33,27 @@ object FilterCompiler {
   val dateTimeFmt = "yyyy-MM-dd HH:mm:ss"
 
   /** Parse the rule's date string per target column dtype — reference:
-    * Filter.__convert_str_to_date (Filter.py:167-193; formats at Shared/DataTypes/Datatype.py:10-13). */
+    * Filter.__convert_str_to_date (Filter.py:167-193; formats at Shared/DataTypes/Datatype.py:10-13).
+    * The literal is VALIDATED driver-side at rule-compile time: a value the
+    * format cannot parse (e.g. ISO-8601 with a 'T') would otherwise make
+    * to_timestamp yield NULL and the conjunctive filter silently drop EVERY
+    * row — a drained table with no error, where the reference's strptime
+    * raises. */
   private def dateLit(v: Any, dt: DataType): Column = {
     val s = v.toString
+    val fmt = if (s.length > 10) dateTimeFmt else dateOnlyFmt
+    val javaFmt = java.time.format.DateTimeFormatter.ofPattern(fmt)
+    val ok = scala.util.Try {
+      if (s.length > 10) java.time.LocalDateTime.parse(s, javaFmt)
+      else java.time.LocalDate.parse(s, javaFmt)
+    }.isSuccess
+    require(ok, s"date filter value '$s' does not match '$fmt' " +
+      s"(supported: '$dateOnlyFmt' or '$dateTimeFmt')")
     dt match {
       case DateType =>
-        to_date(lit(s), if (s.length > 10) dateTimeFmt else dateOnlyFmt)
+        to_date(lit(s), fmt)
       case TimestampType | TimestampNTZType =>
-        to_timestamp(lit(s), if (s.length > 10) dateTimeFmt else dateOnlyFmt)
+        to_timestamp(lit(s), fmt)
       case other =>
         throw new IllegalArgumentException(
           s"date filter requires a date/timestamp column, got $other")

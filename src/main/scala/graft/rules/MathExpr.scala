@@ -54,8 +54,12 @@ object MathExpr {
     toks.toList
   }
 
+  /** Python/Polars semantics (the reference evals there): `**` binds TIGHTER
+    * than unary minus on its base (`-2**2 == -4`), while a unary minus in the
+    * exponent still binds to its operand (`2**-3` parses). Hence '^' above
+    * '~'; '~' is pushed without popping (prefix — its operand is unread). */
   private def prec(c: Char): Int = c match {
-    case '~' => 4; case '^' => 3; case '*' | '/' => 2; case '+' | '-' => 1
+    case '^' => 4; case '~' => 3; case '*' | '/' => 2; case '+' | '-' => 1
   }
   private def rightAssoc(c: Char): Boolean = c == '^' || c == '~'
 
@@ -89,6 +93,11 @@ object MathExpr {
         while (ops.nonEmpty && ops.top != LPar) ops.pop() match { case Op(c) => applyOp(c); case _ => }
         require(ops.nonEmpty, s"math_expression: unbalanced ')' in '$expr'")
         ops.pop()
+      case o @ Op('~') =>
+        // prefix operator: its operand hasn't been read yet, so nothing on
+        // the stack can apply before it (popping '^' here would mis-parse
+        // the valid exponent form `2^-3`)
+        ops.push(o)
       case o @ Op(c) =>
         while (ops.nonEmpty && (ops.top match {
           case Op(t) => prec(t) > prec(c) || (prec(t) == prec(c) && !rightAssoc(c))

@@ -92,12 +92,29 @@ object TransformCompiler {
   }
 
   /** strftime → java.time.DateTimeFormatter pattern (reference emits strftime,
-    * FunctionColumnModifier.py:26-28). */
+    * FunctionColumnModifier.py:26-28). Token-wise, not global replace: `%%`
+    * must win over `%Y` inside `%%Y` (global replace mangled it), and an
+    * UNMAPPED directive fails at rule-compile time with its name — the raw
+    * letter would otherwise reach DateTimeFormatter and throw an opaque
+    * 'Unknown pattern letter' on every batch. */
   def strftimeToJava(fmt: String): String = {
-    val map = Seq(
-      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
-      "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%f" -> "SSSSSS", "%%" -> "%")
-    map.foldLeft(fmt) { case (acc, (k, v)) => acc.replace(k, v) }
+    val map = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"format_date: dangling '%' in '$fmt'")
+        val d = fmt.charAt(i + 1)
+        if (d == '%') out += '%'
+        else out ++= map.getOrElse(d, throw new IllegalArgumentException(
+          s"format_date: unsupported strftime directive '%$d' in '$fmt' " +
+            s"(supported: ${map.keys.toSeq.sorted.map("%" + _).mkString(" ")} %%)"))
+        i += 2
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   private def requireCols(schema: StructType, cols: Seq[String], rule: String): Unit =

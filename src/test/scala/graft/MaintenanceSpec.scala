@@ -169,6 +169,25 @@ class MaintenanceSpec extends SparkSpec {
     assert(f.mayContainKey("src", "s1") && !f.mayContainKey("src", "s2"))
   }
 
+  test("guards: vacuum refuses keepVersions < 1; widen on a merge-key column " +
+    "is rejected (int/long hash to different buckets)") {
+    import org.apache.spark.sql.types._
+    val lake = new graft.lake.LakeTable(tmpDir("graft-maint-guards") + "/t")
+    lake.create(StructType(Seq(
+      StructField("id", IntegerType), StructField("n", IntegerType))),
+      buckets = 2, keyCols = Seq("id"))
+    lake.commit(0L, Nil, Set.empty)
+    // keepVersions=0 would classify the current snapshot's files as dead
+    intercept[IllegalArgumentException](lake.vacuum(keepVersions = 0))
+    // widening the key would re-route every existing key's bucket
+    val e = intercept[IllegalArgumentException](
+      lake.evolve(Seq(graft.lake.WidenColumn("id", LongType))))
+    assert(e.getMessage.contains("merge-key"))
+    // widening a NON-key column stays allowed
+    lake.evolve(Seq(graft.lake.WidenColumn("n", LongType)))
+    assert(lake.manifest.currentSchema.byName("n").get.dataType == LongType)
+  }
+
   test("vacuum age-based retention keeps snapshots younger than the cutoff") {
     import org.apache.spark.sql.types._
     val lake = new graft.lake.LakeTable(tmpDir("graft-maint-age") + "/t")

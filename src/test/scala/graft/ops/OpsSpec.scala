@@ -225,4 +225,12 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(0) <= 640 && r.getInt(1) <= 360)
     }
   }
+
+  test("decodeFeatures tolerates null meta (the schema declares it nullable)") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.synthetic(spark, 20)
+      .withColumn("meta", when(col("media_id") % 3 === 0, lit(null)).otherwise(col("meta")))
+    val f = Multimodal.decodeFeatures(media, frameCount = 4).collect()
+    assert(f.length == 20, "rows with null meta decode too (meta is unused by the codec)")
+  }
 }

@@ -24,6 +24,13 @@ class MathExprSpec extends SparkSpec {
     assert(eval("2 * -value", 3.0) == -6.0)
   }
 
+  test("unary minus vs '^' matches Python/Polars (reference eval semantics)") {
+    assert(eval("-2 ^ 2", 0.0) == -4.0)        // -(2**2), not (-2)**2
+    assert(eval("2 ^ -3", 0.0) == 0.125)       // unary minus in the exponent
+    assert(eval("value * -2 ^ 2", 3.0) == -12.0) // 3 * -(2**2)
+    assert(eval("-value ^ 2", 3.0) == -9.0)    // -(value**2)
+  }
+
   test("rejects illegal characters (no eval sandbox needed)") {
     intercept[IllegalArgumentException](MathExpr.tokenize("value; drop"))
     intercept[IllegalArgumentException](MathExpr.compile("value +", col("x")))
@@ -78,6 +85,20 @@ class FilterCompilerSpec extends SparkSpec {
       lower = Some("2024-01-01"), upper = Some("2024-12-31"))) == Set(3L))
   }
 
+  test("unparseable date literal fails at compile time, never drop-all-rows") {
+    // an ISO 'T' value would make to_timestamp yield NULL and the filter
+    // silently drain the table — the reference's strptime raises; so do we
+    val e = intercept[IllegalArgumentException] {
+      FilterCompiler.compile(
+        FilterCfg("at", "date_equals", value = Some("2024-01-01T00:00:00")), df.schema)
+    }
+    assert(e.getMessage.contains("does not match"))
+    intercept[IllegalArgumentException] {
+      FilterCompiler.compile(
+        FilterCfg("at", "date_equals", value = Some("01/02/2024")), df.schema)
+    }
+  }
+
   test("date filters reject non-date columns (reference dtype validation)") {
     intercept[IllegalArgumentException] {
       df.filter(FilterCompiler.compile(
@@ -123,6 +144,15 @@ class TransformCompilerSpec extends SparkSpec {
     assert(r.getAs[String]("joined") == "a|  Mixed Case  ")
     assert(r.getAs[Double]("age_y") == 4.0)
     assert(r.getAs[Long]("age_r") == 4L)
+  }
+
+  test("strftime translation: %% escapes, unmapped directives fail at compile") {
+    assert(TransformCompiler.strftimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+    assert(TransformCompiler.strftimeToJava("%%Y") == "%Y",
+      "%% escapes before %Y could mangle it")
+    val e = intercept[IllegalArgumentException](TransformCompiler.strftimeToJava("%d-%b-%Y"))
+    assert(e.getMessage.contains("%b"), "unmapped directive named in the error")
+    intercept[IllegalArgumentException](TransformCompiler.strftimeToJava("trailing %"))
   }
 
   test("modify uppercase / lowercase / trim / extracts / format_date / math") {
