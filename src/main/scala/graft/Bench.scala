@@ -84,6 +84,11 @@ object Bench {
       copyDir(java.nio.file.Paths.get(tableDir), pristine)
     }
     def restore(): Unit = {
+      // keep the workspace root's mtime fresh so the stale-sweep below can
+      // never classify a LIVE long-running bench's template as abandoned
+      // (directory mtime otherwise only changes when direct children do)
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(root),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       rm(new java.io.File(tableDir))
       copyDir(pristine, java.nio.file.Paths.get(tableDir))
     }
@@ -122,6 +127,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the JSON line below is machine-parsed: a comma-decimal default locale
+    // (de_DE, fr_FR) would make every f"%...f" emit "0,123" — invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // scaling pair N vs 4N: 2 vs 8 by default — above ~8 threads this single-
@@ -226,6 +234,9 @@ object Bench {
     // noisy one gets the extra pairs the median needs. The stopping rule only
     // spends or saves wall time; reported numbers always cover every pair run.
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    require(maxPairs >= 1,
+      s"SPARK_GRAFT_BENCH_PAIRS=$maxPairs: need >= 1 scaling pair (use " +
+        "SPARK_GRAFT_BENCH_QUERIES=0 to skip the query phase instead)")
     val minPairs = 2
     val stopAt = 0.85
     def effOf(p: (Double, Double)): Double =

@@ -130,7 +130,13 @@ object ChangeFeed {
       val dest = new java.io.File(dirF, f"feed-${startSeq + i}%08d.parquet")
       java.nio.file.Files.move(f.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      dest.setLastModified(baseMtime + i * 1000L)
+      // the mtime ENCODES arrival order (Spark's file source orders pending
+      // files by modification time under maxFilesPerTrigger) — a filesystem
+      // that silently refuses setLastModified would mis-order SCD2 history
+      // chaining with no error anywhere, so fail loudly instead
+      require(dest.setLastModified(baseMtime + i * 1000L),
+        s"cannot set mtime on $dest — this filesystem cannot encode feed " +
+          "arrival order; use a POSIX-mtime-capable feed directory")
     }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit

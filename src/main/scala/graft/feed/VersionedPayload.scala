@@ -39,14 +39,28 @@ private[feed] object VersionedPayload {
     * version applies its changes on top of the previous. */
   def plan(base: StructType, registry: Map[Int, Seq[SchemaChange]]): Plan = {
     var cur = base
+    // every column name any version has EVER used: reintroducing one (add or
+    // rename-to after it was renamed away) would make the union parse re-type
+    // the shared wire name to the newest occurrence — older rows' values
+    // would cast to NULL and the rename fold would silently lose them, and
+    // per-row version detection could not tell the generations apart either
+    val everUsed = scala.collection.mutable.Set[String](base.fieldNames: _*)
+    def claim(ver: Int, n: String): Unit = {
+      require(everUsed.add(n),
+        s"schema registry v$ver reuses column name '$n', which an earlier " +
+          "version already used — reintroduced names are ambiguous on the " +
+          "wire; pick a fresh name")
+    }
     val shapes = VersionShape(1, base, Nil) +:
       registry.toSeq.sortBy(_._1).filter(_._1 > 1).map { case (ver, changes) =>
         val markers = Seq.newBuilder[String]
         changes.foreach {
           case AddColumn(n, dt, nullable) =>
+            claim(ver, n)
             markers += n
             cur = StructType(cur.fields :+ StructField(n, dt, nullable))
           case RenameColumn(from, to) =>
+            claim(ver, to)
             markers += to
             cur = StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
           case WidenColumn(n, to) =>

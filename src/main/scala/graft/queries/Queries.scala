@@ -27,6 +27,26 @@ object Queries {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Pipeline-query workspace (feed + lake + checkpoint). The returned
+    * DataFrame reads these files LAZILY, so deletion can only happen after
+    * the caller consumed it — a JVM shutdown hook covers the short-lived
+    * Verify/Bench drivers and keeps repeated rounds from filling /tmp. */
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      tempRoots.forEach(r => rm(new java.io.File(r)))
+    }))
+  }
+  private def tempRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempRoots.add(p)
+    p
+  }
+
   // ─────────────────────────────── CDC feed derivation ───────────────────────────────
   // events.parquet → change events: lsn=event_id, key from user_id, op from event_type,
   // deterministic integer-hash token arrays. Mirrored 1:1 in SQL (feedSql below).
@@ -72,6 +92,22 @@ object Queries {
 
   private def tokensSql(eid: String, nTok: String): String =
     s"list_transform(generate_series(1, $nTok), x -> CAST(($eid*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
+
+  /** The LWW replay fold shared by every oracle whose final state is "the
+    * per-key latest non-DELETE event" — upsert/default/mor pipelines, the
+    * maintenance and rescale read-equivalence checks, and the quarantine
+    * drain. ONE definition: a fold fix (sentinel, new payload column) that
+    * only landed in five of six copies would silently break parity for the
+    * sixth. */
+  private def lwwFoldSql: String =
+    s"""WITH ev AS ($feedSql),
+       |last AS (
+       |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+       |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+       |  FROM ev GROUP BY doc_id)
+       |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+       |  n_tok, source
+       |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin
 
   /**
    * Synthesize a test_decoding-format WAL text feed from the derived events:
@@ -121,7 +157,7 @@ object Queries {
       filters: Seq[FilterCfg] = Nil,
       transforms: Seq[TransformCfg] = Nil,
       merge: MergeStrategy = MergeStrategy.CopyOnWrite): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(s"graft-q-${mode.toString.toLowerCase}").toString
+    val root = tempRoot(s"graft-q-${mode.toString.toLowerCase}")
     val cfg = RunnerConfig(
       feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
       job = JobConfig(mode = mode, merge = merge, buckets = 16,
@@ -315,7 +351,7 @@ object Queries {
     // what the oracle computes. Without the drain, every lsn%11==3 winner
     // would be missing and the hash would differ.
     "q_quarantine_replay" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-dlx").toString
+      val root = tempRoot("graft-q-dlx")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
@@ -346,7 +382,7 @@ object Queries {
     // v1-era rows read null-filled/projected by field id — the final state is
     // an exact SQL fold over both event generations
     "q_cdc_evolution" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-evo").toString
+      val root = tempRoot("graft-q-evo")
       val v2Payload = StructType(Seq(
         StructField("doc_id", StringType, nullable = false),
         StructField("tokens", ArrayType(IntegerType)),
@@ -580,7 +616,7 @@ object Queries {
 
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
     "q_source_fullload" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-fl").toString
+      val root = tempRoot("graft-q-fl")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 8,
@@ -600,7 +636,7 @@ object Queries {
     // Single batch (maxFilesPerTrigger covers the feed) so the per-batch LWW
     // winner counts equal the global winner counts the oracle recomputes.
     "q_cdc_lineage" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-lineage").toString
+      val root = tempRoot("graft-q-lineage")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
@@ -633,7 +669,7 @@ object Queries {
     "q_multitable_routing" -> ((s, dir) => {
       import graft.runner.MultiTableRunner
       import graft.runner.MultiTableRunner.TablePayload
-      val root = java.nio.file.Files.createTempDirectory("graft-q-route").toString
+      val root = tempRoot("graft-q-route")
       val settings = TaskSettings.parse(
         """{
           |"task": {"task_name": "routing", "replication_type": "cdc",
@@ -697,7 +733,7 @@ object Queries {
     // current read reproduces the full fold — manifests/fragments immutable,
     // data files append-only until vacuumed
     "q_lake_timetravel" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-tt").toString
+      val root = tempRoot("graft-q-tt")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 16),
@@ -723,7 +759,7 @@ object Queries {
     // compacted (delta folding) and vacuumed to one retained snapshot, must
     // still read as exactly the replay fold
     "q_lake_maintenance" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-maint").toString
+      val root = tempRoot("graft-q-maint")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
@@ -748,7 +784,7 @@ object Queries {
     // must equal the plain replay fold, and every file must land at the new
     // spec — the 100-TB "table outgrew its bucket count" runbook, oracled.
     "q_lake_rescale" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-rescale").toString
+      val root = tempRoot("graft-q-rescale")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
@@ -780,7 +816,7 @@ object Queries {
     // each row's version from its inline column names, folds renames, and the
     // registry evolves the lake when the first v2 row arrives mid-batch
     "q_cdc_evolution_mixed" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-evomix").toString
+      val root = tempRoot("graft-q-evomix")
       val feed = feedFromEvents(s, dir)
       val eid = col(ChangeEvent.LSN)
       val isDel = col(ChangeEvent.OP) === ChangeEvent.DELETE
@@ -829,7 +865,7 @@ object Queries {
     // with their LSNs and delete markers — which the oracle refolds from the
     // odd-LSN events directly
     "q_lake_changefeed" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-q-cf").toString
+      val root = tempRoot("graft-q-cf")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
@@ -932,36 +968,15 @@ object Queries {
          |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_upsert" ->
-      s"""WITH ev AS ($feedSql),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |  n_tok, source
-         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+      lwwFoldSql,
 
     "q_cdc_pipeline_default" ->
-      s"""WITH ev AS ($feedSql),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |  n_tok, source
-         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+      lwwFoldSql,
 
     // the drain restores every corrupted winner, so the oracle is the plain
     // replay fold over the uncorrupted feed
     "q_quarantine_replay" ->
-      s"""WITH ev AS ($feedSql),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |  n_tok, source
-         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+      lwwFoldSql,
 
     // both event generations folded in one pass; arg_max-over-NULL handled
     // with a sentinel (DuckDB's arg_max skips NULLs, the engine must not)
@@ -986,14 +1001,7 @@ object Queries {
          |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
 
     "q_cdc_pipeline_mor" ->
-      s"""WITH ev AS ($feedSql),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |  n_tok, source
-         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+      lwwFoldSql,
 
     "q_cdc_pipeline_scd2" ->
       s"""WITH ev AS ($feedSql),
@@ -1127,25 +1135,11 @@ object Queries {
 
     // rescale + split are read-equivalent: same fold as the plain upsert
     "q_lake_rescale" ->
-      s"""WITH ev AS ($feedSql),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |  n_tok, source
-         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+      lwwFoldSql,
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert
     "q_lake_maintenance" ->
-      s"""WITH ev AS ($feedSql),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id)
-         |SELECT doc_id, array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |  n_tok, source
-         |FROM last WHERE last_op <> 'DELETE' ORDER BY doc_id""".stripMargin,
+      lwwFoldSql,
 
     // expected parse of the synthesized envelope bus: packed arrival-order LSN
     // ((created_at−base)≪32 | txnhash16≪16 | page≪10 | pos) recomputed from

@@ -68,8 +68,8 @@ object MultiTableRunner {
   }
 
   /** Build per-table jobs (priority-ordered) and create their lake tables. */
-  def ensureTables(spark: SparkSession, cfg: Config): Seq[TableJob] =
-    cfg.settings.tables.map { rules =>
+  def ensureTables(spark: SparkSession, cfg: Config): Seq[TableJob] = {
+    val jobs = cfg.settings.tables.map { rules =>
       val payload = cfg.payloads.getOrElse(rules.id,
         throw new IllegalArgumentException(s"no payload declared for table ${rules.id}"))
       val job = JobConfig(
@@ -97,6 +97,16 @@ object MultiTableRunner {
       val lake = CdcRunner.ensureTable(spark, runnerCfg)
       TableJob(rules, payload, lake, job, targetId)
     }
+    // two tables renamed onto the same post-transform target would share one
+    // lake directory and merge into it CONCURRENTLY (same epoch, both passing
+    // isCommitted before either commits) — racing commits corrupt the manifest
+    val dup = jobs.groupBy(_.targetId).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"multiple source tables map onto the same target lake table(s) " +
+        s"${dup.mkString(", ")} after structural transforms — each table needs " +
+        "a distinct target identity")
+    jobs
+  }
 
   /**
    * Route one micro-batch to every table: priority CLASSES apply in order

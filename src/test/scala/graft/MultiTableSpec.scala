@@ -106,6 +106,37 @@ class MultiTableSpec extends SparkSpec {
     assert(lake.read(spark).count() == 4)
   }
 
+  test("two tables renamed onto one target are rejected (shared lake dir " +
+    "would race concurrent merges)") {
+    val json =
+      """{
+        |  "task": { "task_name": "collide", "replication_type": "cdc",
+        |    "cdc_settings": { "mode": "upsert" } },
+        |  "tables": [
+        |    { "schema_name": "hr", "table_name": "a", "priority": 0 },
+        |    { "schema_name": "hr", "table_name": "b", "priority": 0 } ],
+        |  "transformations": [
+        |    { "table_info": { "schema_name": "hr", "table_name": "a" },
+        |      "settings": { "transformation_type": "modify_table_name",
+        |        "description": "r", "contract": { "target_table_name": "x" },
+        |        "priority": 0 } },
+        |    { "table_info": { "schema_name": "hr", "table_name": "b" },
+        |      "settings": { "transformation_type": "modify_table_name",
+        |        "description": "r", "contract": { "target_table_name": "x" },
+        |        "priority": 0 } }
+        |  ]
+        |}""".stripMargin
+    val payload = TablePayload(StructType(Seq(
+      StructField("id", StringType))), Seq("id"))
+    val cfg = Config(
+      feedDir = "unused", lakeRoot = tmpDir("graft-multi-collide") + "/lake",
+      checkpointDir = "unused-cp", settings = TaskSettings.parse(json),
+      payloads = Map("hr.a" -> payload, "hr.b" -> payload), buckets = 2)
+    val e = intercept[IllegalArgumentException](
+      MultiTableRunner.ensureTables(spark, cfg))
+    assert(e.getMessage.contains("same target"))
+  }
+
   test("one feed routes into two lake tables with per-table rules") {
     val root = tmpDir("graft-multi")
     val settings = TaskSettings.parse(settingsJson)

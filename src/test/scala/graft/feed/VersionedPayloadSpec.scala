@@ -103,4 +103,22 @@ class VersionedPayloadSpec extends AnyFunSuite {
       assert(p.latest.fieldNames.contains("k"))
     }
   }
+
+  test("reintroducing a renamed-away column name is rejected (ambiguous wire)") {
+    // v3 adds 'b' (renamed away in v2) as an int: the union would re-type the
+    // shared wire name to int, casting every v1-era 'b' value to NULL before
+    // the rename fold could see it — silent data loss, so plan() must refuse
+    val e = intercept[IllegalArgumentException](VersionedPayload.plan(base, Map(
+      2 -> Seq(RenameColumn("b", "b2")),
+      3 -> Seq(AddColumn("b", IntegerType)))))
+    assert(e.getMessage.contains("reuses column name 'b'"))
+    // same for a rename TARGET that reuses an old name
+    intercept[IllegalArgumentException](VersionedPayload.plan(base, Map(
+      2 -> Seq(RenameColumn("b", "b2")),
+      3 -> Seq(RenameColumn("c", "b")))))
+    // fresh names stay legal
+    assert(VersionedPayload.plan(base, Map(
+      2 -> Seq(RenameColumn("b", "b2")),
+      3 -> Seq(AddColumn("d", IntegerType)))).versioned)
+  }
 }
