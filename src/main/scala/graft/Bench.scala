@@ -171,13 +171,29 @@ object Bench {
           s"pipeline query will absorb init): ${e.getMessage}")
       }
     }
-    val queryTimes = if (!runQueries) Seq.empty else
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    // min-of-2 per query: host-level co-tenant noise strictly INFLATES walls
+    // (see the scaling-pair comment below) and a single sample let r04's noise
+    // window masquerade as a +13-26% regression on the commit-heavy lake
+    // queries. Two passes, per-query min; both samples reported for audit.
+    val querySampleCount =
+      if (!runQueries) 0 else sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_SAMPLES", "2").toInt
+    val querySamples: Seq[Seq[(String, Double)]] =
+      (1 to querySampleCount).map { pass =>
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name (pass $pass): ${e.getMessage}"); false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+      }
+    val queryTimes: Seq[(String, Double)] =
+      if (querySamples.isEmpty) Seq.empty
+      else querySamples.head.map(_._1).map { name =>
+        val samples = querySamples.flatMap(_.collect { case (`name`, t) => t })
+        val good = samples.filter(_ >= 0)
+        name -> (if (good.nonEmpty) good.min else -1.0)
+      }
 
     // ── 2. headline: merge-apply throughput at N and 4N cores, same input ──
     val feedDir = benchTmp("graft-bench-feed") + "/feed"
@@ -189,13 +205,20 @@ object Bench {
     val tmpl = new SeedTemplate(spark, nDocs, maxTok)
     spark.stop()
 
-    // JIT/codegen warm-up (untimed) at full parallelism, then one MoR sample
-    // (ingest + delta fold; the CoW pair walls below carry the repetition —
-    // one sample here keeps the total bench wall inside the driver's budget)
+    // JIT/codegen warm-up (untimed) at full parallelism, then the MoR samples.
+    // MIN-OF-N (default 2), like the scaling pairs: r03/r04 each shipped ONE
+    // unpaired MoR sample and each landed one phase in a co-tenant noise
+    // window (ingest 31 s quiet vs 167 s noisy on identical work) — noise
+    // only ever inflates, so the min is the engine and every sample is
+    // reported for audit.
     spark = newSession(scaleHi)
     val tWarm = timedCdcRun(spark, feedDir, tmpl)._1
-    val (tMor, tMorFold) = timedCdcRun(spark, feedDir, tmpl,
-      merge = MergeStrategy.MergeOnRead)
+    val morSampleCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOR_SAMPLES", "2").toInt
+    val morSamples = (1 to morSampleCount).map { _ =>
+      timedCdcRun(spark, feedDir, tmpl, merge = MergeStrategy.MergeOnRead)
+    }
+    val tMor = morSamples.map(_._1).min
+    val tMorFold = morSamples.map(_._2).min
     spark.stop()
     def level(cores: Int): Double = {
       val s = newSession(cores)
@@ -269,7 +292,8 @@ object Bench {
           f"pair(lo=$lo%.1f,hi=$hi%.1f,eff=${effOf((lo, hi))}%.3f)"
         }.mkString(" ") +
         f" headline=$efficiency%.3f clean=${effOf(bestPair)}%.3f median=$effMedian%.3f" +
-        f" mor=$tMor%.1f+fold$tMorFold%.1fs")
+        f" mor=$tMor%.1f+fold$tMorFold%.1fs (samples " +
+        morSamples.map { case (i, f) => f"$i%.1f+$f%.1f" }.mkString(", ") + ")")
     rm(new java.io.File(feedDir).getParentFile)
     tmpl.delete()
 
@@ -278,6 +302,10 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qSamplesJson = queryTimes.map(_._1).map { name =>
+      "\"" + name + "\":[" + querySamples.flatMap(_.collect { case (`name`, t) => t })
+        .map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = queryTimes.collect { case (_, v) if v >= 0 => v }.sum
     val pairsJson = pairs.map { case (lo, hi) =>
       f"""{"sec_lo":$lo%.2f,"sec_hi":$hi%.2f,"eff":${effOf((lo, hi))}%.3f}"""
@@ -290,9 +318,12 @@ object Bench {
       f""""scaling_efficiency_cleanpair":${effOf(bestPair)}%.3f,""" +
       f""""scaling_pairs":$pairsJson,""" +
       f""""mor_sec_ingest":$tMor%.2f,"mor_sec_fold":$tMorFold%.2f,""" +
+      f""""mor_samples":${morSamples.map { case (i, f) =>
+        f"""{"ingest":$i%.2f,"fold":$f%.2f}""" }.mkString("[", ",", "]")},""" +
       f""""mor_events_per_sec_ingest":${(nEvents / tMor).toLong}}"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cdc":$cdc,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""queries_samples":$qSamplesJson,"cdc":$cdc,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for callers that scrape decorated logs: also drop the
     // line into a well-known file next to the build

@@ -35,6 +35,21 @@ import graft.runner._
  * // ops: dedup_exact | dedup_minhash | dedup_simhash | dedup_embedding |
  * //      ann_bruteforce | ann_lsh | ann_ivf | text_stats | multimodal_features
  * }}}
+ *
+ * Maintenance mode — the table-lifecycle runbooks (rescale, compaction,
+ * vacuum, audit) and the dead-letter drain (reference: dlx.py:1-13) without
+ * writing Scala; each verb writes a small report frame to `--out`:
+ * {{{
+ * runMain graft.JobMain --op <verb> --table <lakeDir> --out <parquet> [--config <json>]
+ * // verbs (config keys):
+ * //   compact           {max_files_per_bucket, max_delta_files, drop_tombstones_below}
+ * //   vacuum            {keep_versions, keep_committed_since_ms}
+ * //   rescale           {buckets}               // default: 2× current
+ * //   split_buckets     {max_groups}            // bounded migration step
+ * //   reconcile         {}                      // lineage-vs-manifest audit
+ * //   quarantine_list   {epoch?}                // browse rows + reasons
+ * //   quarantine_replay {epoch, attempt?, merge?} // re-drive one epoch's DLX
+ * }}}
  */
 object JobMain {
 
@@ -58,6 +73,89 @@ object JobMain {
     def str(k: String, d: String): String = (j \ k).extractOpt[String].getOrElse(d)
     def int(k: String, d: Int): Int = (j \ k).extractOpt[Int].getOrElse(d)
     def dbl(k: String, d: Double): Double = (j \ k).extractOpt[Double].getOrElse(d)
+    def bool(k: String, d: Boolean): Boolean = (j \ k).extractOpt[Boolean].getOrElse(d)
+    def lng(k: String, d: Long): Long = (j \ k).extractOpt[Long].getOrElse(d)
+    def lngOpt(k: String): Option[Long] = (j \ k).extractOpt[Long]
+  }
+
+  /** Ops that act on a lake table (`--table <lakeDir>`) instead of a parquet
+    * input — the maintenance/DLX lifecycle verbs. */
+  private val maintenanceOps = Set("compact", "vacuum", "rescale", "split_buckets",
+    "reconcile", "quarantine_list", "quarantine_replay")
+
+  /**
+   * Maintenance + DLX verbs over a lake table — the reference drives its whole
+   * lifecycle from settings.json + processes (manager.py, dlx.py:1-13); this
+   * is the equivalent no-code surface for the engine's runbooks (rescale,
+   * compaction, vacuum, audit, dead-letter drain). Each verb returns a small
+   * report frame so `--out` lands an auditable artifact.
+   */
+  private def runMaintenanceOp(
+      spark: SparkSession, op: String, args: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def opt(flag: String): Option[String] = optArg(args, flag)
+    val tableDir = opt("--table").getOrElse(throw new IllegalArgumentException(
+      s"--op $op needs --table <lakeDir>"))
+    val lake = new graft.lake.LakeTable(tableDir)
+    val c = new OpConf(opt("--config") match {
+      case Some(p) => JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      case None => JObject()
+    })
+    def manifestReport(m: graft.lake.Manifest) =
+      Seq((m.version, m.buckets, m.files.size, m.files.count(_.isDelta),
+        m.files.map(_.spec).distinct.sorted.mkString(","), m.committedEpochCount))
+        .toDF("version", "buckets", "files", "delta_files", "specs", "committed_epochs")
+    op match {
+      case "compact" =>
+        manifestReport(lake.compact(spark,
+          maxFilesPerBucket = c.int("max_files_per_bucket", 4),
+          maxDeltaFiles = c.int("max_delta_files", 4),
+          dropTombstonesBelow = c.lngOpt("drop_tombstones_below")))
+      case "vacuum" =>
+        lake.vacuum(
+          keepVersions = c.int("keep_versions", 2),
+          keepCommittedSinceMs = c.lngOpt("keep_committed_since_ms"))
+          .toDF("deleted_path")
+      case "rescale" =>
+        manifestReport(lake.rescale(c.int("buckets",
+          lake.manifest.buckets * 2)))
+      case "split_buckets" =>
+        manifestReport(lake.splitBuckets(spark,
+          maxGroups = c.int("max_groups", Int.MaxValue)))
+      case "reconcile" =>
+        val r = lake.reconcile()
+        Seq((r.ok, r.missingLineage.mkString(","),
+          r.mismatchedMetrics.toSeq.sortBy(_._1).map { case (k, (mf, ln)) =>
+            s"$k:manifest=$mf,lineage=$ln"
+          }.mkString(";")))
+          .toDF("ok", "missing_lineage_epochs", "mismatched_metrics")
+      case "quarantine_list" =>
+        lake.quarantine(spark, c.lngOpt("epoch"))
+      case "quarantine_replay" =>
+        // the merge config is re-derived from the table's own manifest (mode,
+        // keys, scd columns); only the merge strategy — not recorded per
+        // table — comes from config (default copy_on_write)
+        val m = lake.manifest
+        val epoch = c.lngOpt("epoch").getOrElse(throw new IllegalArgumentException(
+          "--op quarantine_replay needs config {\"epoch\": N}"))
+        val cfg = JobConfig(
+          mode = if (m.tableMode == graft.lake.Manifest.SCD2) CdcMode.Scd2
+                 else CdcMode.Upsert,
+          merge = MergeStrategy.parse(c.str("merge", "copy_on_write")),
+          keyCols = m.keyCols,
+          scdCols = m.scdCols match {
+            case Seq(s, e, cur) => ScdCols(s, e, cur)
+            case _              => ScdCols()
+          },
+          changeFeed = c.bool("change_feed", false))
+        val r = graft.apply.MergeApply.replayQuarantine(
+          spark, lake, epoch, cfg, attempt = c.int("attempt", 0))
+        Seq((r.epoch, r.skipped,
+          r.metrics.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")))
+          .toDF("replay_epoch", "skipped", "metrics")
+      case other => throw new IllegalArgumentException(s"unknown maintenance op '$other'")
+    }
   }
 
   /**
@@ -68,6 +166,7 @@ object JobMain {
   def runOp(spark: SparkSession, args: Seq[String]): org.apache.spark.sql.DataFrame = {
     def opt(flag: String): Option[String] = optArg(args, flag)
     val op = opt("--op").getOrElse(throw new IllegalArgumentException("--op missing"))
+    if (maintenanceOps.contains(op)) return runMaintenanceOp(spark, op, args)
     val in = opt("--in").getOrElse(throw new IllegalArgumentException(
       s"--op $op needs --in <parquet>"))
     val df = spark.read.parquet(in)
@@ -83,6 +182,11 @@ object JobMain {
     val vecCol = c.str("vec_col", "embedding")
     val vecId = c.str("id_col", "vec_id")
     val k = c.int("k", 10)
+    // self-match exclusion is only valid when queries and corpus are the SAME
+    // table (Similarity.notSelf contract): with a distinct --queries table,
+    // dropping the corpus row that happens to share a query's id would
+    // silently eat a legitimate top-k hit. Overridable via config.
+    val excludeSelf = c.bool("exclude_self", opt("--queries").isEmpty)
     op match {
       case "dedup_exact" => Dedup.exact(df, textCol, idCol)
       case "dedup_minhash" =>
@@ -92,19 +196,21 @@ object JobMain {
           c.int("bands", 4), textCol, idCol)
       case "dedup_embedding" =>
         Dedup.embeddingNearDups(df, c.dbl("threshold", 0.95), vecCol, vecId)
-      case "ann_bruteforce" => Similarity.bruteForceTopK(queries, df, k, vecCol, vecId)
+      case "ann_bruteforce" =>
+        Similarity.bruteForceTopK(queries, df, k, vecCol, vecId, excludeSelf)
       case "ann_lsh" =>
-        Similarity.lshTopK(queries, df, k, c.int("planes", 6), vecCol, vecId)
+        Similarity.lshTopK(queries, df, k, c.int("planes", 6), vecCol, vecId, excludeSelf)
       case "ann_ivf" =>
         Similarity.ivfTopK(queries, df, k, c.int("cells", 16), c.int("probes", 2),
-          c.int("iters", 2), vecCol, vecId)
+          c.int("iters", 2), vecCol, vecId, excludeSelf)
       case "text_stats" => TextAnalysis.stats(df, textCol, idCol)
       case "multimodal_features" =>
         Multimodal.decodeFeatures(df, c.int("frame_count", 8), c.int("partitions", 0))
       case other => throw new IllegalArgumentException(
         s"unknown --op '$other' (dedup_exact | dedup_minhash | dedup_simhash | " +
           "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
-          "multimodal_features)")
+          "multimodal_features; maintenance, with --table: compact | vacuum | " +
+          "rescale | split_buckets | reconcile | quarantine_list | quarantine_replay)")
     }
   }
 
@@ -241,11 +347,14 @@ object JobMain {
             filters = table.filters,
             transforms = table.transforms,
             errorPolicy = settings.errorPolicy,
-            scdCols = settings.scdCols),
+            scdCols = settings.scdCols,
+            changeFeed = settings.changeFeed),
           payloadSchema = payload,
           schemaRegistry = settings.schemaRegistry,
           autoCompactEveryEpochs = settings.autoCompactEveryEpochs,
-          autoCompactMaxDeltaFiles = settings.autoCompactMaxDeltaFiles)
+          autoCompactMaxDeltaFiles = settings.autoCompactMaxDeltaFiles,
+          autoRescaleBytesPerBucket = settings.autoRescaleBytesPerBucket,
+          autoRescaleMaxGroups = settings.autoRescaleMaxGroups)
         val lake = CdcRunner.ensureTable(spark, cfg, reload = reload)
         if (settings.replicationType.startsWith("full_load"))
           opt("--snapshot").foreach { snap =>

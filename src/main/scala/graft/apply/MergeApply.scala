@@ -151,9 +151,25 @@ object MergeApply {
     // invoked after the mode's first action (observation complete, pre-commit);
     // returns (quarantined, received) for metrics. Rare path re-scans the batch.
     val onStats: () => (Long, Long) = () => {
-      val nReceived = obs.get.get("n_received").collect { case v: Long => v }.getOrElse(0L)
-      // n_bad is null for an empty batch (sum over zero rows)
-      val nBad = obs.get.get("n_bad").collect { case v: Long => v }.getOrElse(0L)
+      val observed = obs.get
+      // AQE reads observed metrics from the FINAL physical plan: when EVERY
+      // row of the batch quarantines/filters away, empty-stage propagation can
+      // replace the subtree holding the CollectMetrics node and the metrics
+      // vanish (empty map) even though the rows were scanned — which would
+      // silently drop an all-bad batch with no quarantine and undercount
+      // events_received in the delivery audit. Recount directly in that case;
+      // the batch reduced to nothing, so one extra scan is the audit's cost.
+      val (nReceived, nBad) =
+        if (observed.nonEmpty) (
+          observed.get("n_received").collect { case v: Long => v }.getOrElse(0L),
+          // n_bad is null for an empty batch (sum over zero rows)
+          observed.get("n_bad").collect { case v: Long => v }.getOrElse(0L))
+        else {
+          val r = batch.agg(
+            count(lit(1)).as("n_received"),
+            sum(when(!invariantOk, 1L).otherwise(0L)).as("n_bad")).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
       if (nBad > 0) {
         // quarantine=false means "bad rows fail the batch" (JobConfig contract),
         // NOT "skip detection" — detection always runs, only routing differs
@@ -266,13 +282,11 @@ object MergeApply {
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
 
-      // ── merge-on-read: the reduced change set IS the commit — per-bucket
-      // delta files, no base read, no join, no bucket rewrite. O(batch) bytes
-      // written per epoch regardless of how many buckets the batch touches;
-      // read-time per-key max(_lsn) + compaction folding do the rest. ──
-      if (cfg.merge == MergeStrategy.MergeOnRead) {
+      // the reduced change set in delta-row shape — the MoR commit itself, and
+      // the CoW change sidecar when the table records a change feed
+      def deltaRows = {
         val cOp = col(ChangeEvent.OP)
-        val deltaRows = reduced.select(
+        reduced.select(
           (payloadCols.map { c =>
             if (keys.contains(c)) col(c)
             else when(cOp === ChangeEvent.DELETE, lit(null)).otherwise(col(c)).as(c)
@@ -280,12 +294,27 @@ object MergeApply {
             col(ChangeEvent.LSN).as("_lsn") :+
             (cOp === ChangeEvent.DELETE).as("_deleted") :+
             col("_bucket")): _*)
+      }
+
+      // ── merge-on-read: the reduced change set IS the commit — per-bucket
+      // delta files, no base read, no join, no bucket rewrite. O(batch) bytes
+      // written per epoch regardless of how many buckets the batch touches;
+      // read-time per-key max(_lsn) + compaction folding do the rest. ──
+      if (cfg.merge == MergeStrategy.MergeOnRead) {
         val files = timed("delta-write")(
           writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA))
         timed("commit")(
           lake.commit(epoch, files, Set.empty, baseMetrics + ("delta_commits" -> 1L)))
         return BatchResult(epoch, skipped = false, baseMetrics)
       }
+
+      // CoW change sidecar (LakeTable.changeLog's CDC-out source for CoW
+      // tables) — written BEFORE the commit so a committed epoch always has
+      // its change set; a crash in between leaves an orphan sidecar the
+      // retried epoch overwrites
+      if (cfg.changeFeed)
+        timed("change-sidecar")(
+          lake.writeChangeSet(deltaRows.drop("_bucket"), epoch, m.currentSchemaId))
 
       // ── copy-on-write: manifest-pruned base read — only affected buckets
       // (closure-expanded: after a rescale a coarser pre-split file covers
@@ -404,6 +433,12 @@ object MergeApply {
           lake.commit(epoch, files, Set.empty, metrics + ("delta_commits" -> 1L)))
         return BatchResult(epoch, skipped = false, metrics)
       }
+
+      // CoW change sidecar: scd2's change set is its version rows (same shape
+      // merge-on-read commits as deltas)
+      if (cfg.changeFeed)
+        timed("change-sidecar")(
+          lake.writeChangeSet(evRows.drop("_bucket"), epoch, m.currentSchemaId))
 
       val affectedC = lake.bucketClosure(m, affected)
       val base = lake.readBuckets(spark, affectedC)

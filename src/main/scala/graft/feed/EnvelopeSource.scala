@@ -180,14 +180,27 @@ object EnvelopeSource {
   def writeFeed(
       events: DataFrame, feedDir: String,
       schemaName: String, tableName: String,
-      batchSize: Int = 1000): ProducerStats = {
+      batchSize: Int = 1000,
+      /** capture-cycle second; -1 = derive the next free one from the bus.
+        * SINGLE-PUBLISHER assumption: two concurrent writeFeed calls into the
+        * same bus can both derive the same value — serialize publishes, or
+        * pass explicit disjoint values. */
+      createdAt: Long = -1L): ProducerStats = {
+    // budget checks FIRST: batchSize=0 would turn the pages computation into
+    // an opaque divide-by-zero, and a bad argument should fail before the
+    // count() below triggers a Spark job
+    require(batchSize >= 1 && batchSize <= 1024,
+      s"writeFeed batchSize $batchSize outside the 1..1024 ops/page LSN budget")
     // one publish = one capture second: page numbering restarts per call, so
     // successive publishes into the same bus MUST advance created_at or their
     // packed LSNs collide and the LWW merge silently drops the later changes.
-    // The publish index comes from the stats manifests already on disk —
-    // deterministic, no wall clock.
-    val priorPublishes = producerStatsFiles(feedDir, schemaName, tableName).size
-    val createdAt = 1700000000L + priorPublishes
+    // The next free value comes from the MESSAGE PAGES already on the bus
+    // (max created_at + 1) — robust against deleted stats manifests and
+    // against publishes made via toMessages directly, which a manifest-count
+    // scheme would silently collide with. Deterministic, no wall clock.
+    val created =
+      if (createdAt >= 0) createdAt
+      else maxCreatedAt(feedDir).map(_ + 1L).getOrElse(1700000000L)
     // single evaluation: the count below and the serialization read the same
     // materialized rows (a non-deterministic source would otherwise publish
     // one row set and manifest another)
@@ -198,20 +211,46 @@ object EnvelopeSource {
       // fail FAST on the packed-LSN wire budget — the consumer's parse
       // raise_errors on page ≥ 64 / position ≥ 1024, which would otherwise
       // crash the stream long after this publish reported success
-      require(batchSize >= 1 && batchSize <= 1024,
-        s"writeFeed batchSize $batchSize exceeds the 1024 ops/page LSN budget")
       require(pages <= 64,
         s"writeFeed: $ops ops at $batchSize/page needs $pages pages — " +
           "the LSN budget allows 64 per publish; split into multiple publishes")
-      toMessages(events, schemaName, tableName, batchSize, createdAt)
+      toMessages(events, schemaName, tableName, batchSize, created)
         .coalesce(1).write.mode("append").text(feedDir)
       val stats = ProducerStats(pages, ops)
       val p = java.nio.file.Paths.get(feedDir,
         s"_stats-$schemaName.$tableName-${System.nanoTime()}.json")
       java.nio.file.Files.writeString(p,
-        s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops}""")
+        s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops,""" +
+          s""""created_at":$created}""")
       stats
     } finally { events.unpersist(); () }
+  }
+
+  private val createdAtRe = """"created_at"\s*:\s*(\d+)""".r
+
+  /** Highest capture second already on the bus — every publish writes its
+    * pages into one part file with a constant created_at, so reading just the
+    * FIRST line of each message file (driver-side, O(files)) covers all
+    * publishes regardless of who made them or whether their stats manifests
+    * survived. */
+  private def maxCreatedAt(feedDir: String): Option[Long] = {
+    val dir = java.nio.file.Paths.get(feedDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val values = scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .flatMap { p =>
+          scala.util.Try(scala.util.Using.resource(
+            java.nio.file.Files.newBufferedReader(p))(_.readLine())).toOption
+            .flatMap(l => Option(l))
+            .flatMap(l => createdAtRe.findFirstMatchIn(l).map(_.group(1).toLong))
+        }.toSeq
+    }
+    if (values.isEmpty) None else Some(values.max)
   }
 
   private def producerStatsFiles(

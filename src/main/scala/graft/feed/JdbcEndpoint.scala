@@ -134,4 +134,117 @@ object JdbcEndpoint {
     ensureTable(conn, table, df.schema, keyCols, varcharLen)
     bulkInsert(df, conn, table, batchSize)
   }
+
+  /** One row the target database rejected: the full row as JSON plus the
+    * driver's exception message — the reference's `apply_exceptions` record
+    * (trempy/Metadata/Query.py:66-81, CDCOperationsHandler.py:25-30). */
+  case class ApplyException(row_json: String, error: String)
+
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case StringType     => java.sql.Types.VARCHAR
+    case IntegerType    => java.sql.Types.INTEGER
+    case LongType       => java.sql.Types.BIGINT
+    case ShortType      => java.sql.Types.SMALLINT
+    case DoubleType     => java.sql.Types.DOUBLE
+    case FloatType      => java.sql.Types.REAL
+    case BooleanType    => java.sql.Types.BOOLEAN
+    case TimestampType  => java.sql.Types.TIMESTAMP
+    case DateType       => java.sql.Types.DATE
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case _              => java.sql.Types.OTHER
+  }
+
+  /**
+   * Bulk insert WITH per-row error capture — the reference records the failing
+   * row + exception and keeps going (`apply_exceptions`,
+   * CDCOperationsHandler.py:25-30); Spark's own JDBC writer instead fails the
+   * whole write on the first constraint violation. Each partition opens one
+   * connection (the canonical Spark JDBC sink shape — the built-in writer is
+   * the same foreachPartition loop) and inserts in `batchSize` pages inside a
+   * transaction; a rejected page rolls back and re-drives row-by-row, so only
+   * the genuinely bad rows surface. Good rows land; bad rows return as
+   * [[ApplyException]]s (row JSON + driver message).
+   *
+   * EXECUTES EAGERLY (the returned frame is computed and persisted before
+   * this returns): inserts are side effects, and a lazily re-evaluated plan
+   * would re-insert every good row. Call `unpersist()` on the result when
+   * done. At-least-once on Spark task retry, like any JDBC append.
+   */
+  def bulkInsertCapturing(df: DataFrame, conn: Conn, table: String,
+      batchSize: Int = 10000): DataFrame = {
+    require(batchSize >= 1, s"batchSize $batchSize: must be >= 1")
+    val schema = df.schema
+    val colNames = schema.fieldNames.toSeq
+    val insertSql = s"INSERT INTO $table (" +
+      colNames.map(c => s""""$c"""").mkString(", ") +
+      s") VALUES (${colNames.map(_ => "?").mkString(", ")})"
+    val typeCodes = schema.fields.map(f => jdbcTypeCode(f.dataType))
+    val url = conn.url
+    val props = conn.properties
+    import org.apache.spark.sql.functions.{struct, to_json, col}
+    val withJson = df.withColumn("_row_json",
+      to_json(struct(colNames.map(col): _*)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = schema.length
+    val errors = withJson.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val c = java.sql.DriverManager.getConnection(url, p)
+        val out = scala.collection.mutable.ListBuffer.empty[ApplyException]
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(insertSql)
+          def bind(r: org.apache.spark.sql.Row): Unit = {
+            var i = 0
+            while (i < n) {
+              val v = r.get(i)
+              if (v == null) ps.setNull(i + 1, typeCodes(i))
+              else ps.setObject(i + 1, v)
+              i += 1
+            }
+          }
+          rows.grouped(batchSize).foreach { page =>
+            try {
+              page.foreach { r => bind(r); ps.addBatch() }
+              ps.executeBatch()
+              c.commit()
+            } catch {
+              case _: java.sql.SQLException =>
+                // page poisoned: roll back, re-drive each row alone so only
+                // the actually-rejected rows are recorded
+                c.rollback()
+                ps.clearBatch()
+                page.foreach { r =>
+                  try { bind(r); ps.executeUpdate(); c.commit() }
+                  catch {
+                    case e: java.sql.SQLException =>
+                      c.rollback()
+                      out += ApplyException(
+                        r.getString(r.length - 1), // _row_json (last column)
+                        Option(e.getMessage).getOrElse(e.getClass.getName))
+                  }
+                }
+            }
+          }
+          ps.close()
+        } finally c.close()
+        out.iterator
+      }
+    }.toDF()
+    errors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    errors.count() // force the inserts exactly once
+    errors
+  }
+
+  /** [[fullLoadTo]] with per-row error capture: keyed DDL, then
+    * [[bulkInsertCapturing]] — PK-violating rows come back with messages
+    * instead of failing the load. */
+  def fullLoadToCapturing(df: DataFrame, conn: Conn, table: String,
+      keyCols: Seq[String], batchSize: Int = 10000, varcharLen: Int = 255): DataFrame = {
+    ensureTable(conn, table, df.schema, keyCols, varcharLen)
+    bulkInsertCapturing(df, conn, table, batchSize)
+  }
 }

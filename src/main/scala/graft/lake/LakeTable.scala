@@ -100,7 +100,10 @@ final case class DataFile(
       * to — per-file, like `schemaId`, so [[LakeTable.rescale]] can grow the
       * table's bucket count without rewriting data. 0 = written before spec
       * tracking (patched to the manifest's bucket count on resolve). */
-    spec: Int = 0) {
+    spec: Int = 0,
+    /** on-disk size — drives the auto-rescale bytes/bucket policy without
+      * re-stating every file each tick. 0 = recorded before size tracking. */
+    bytes: Long = 0L) {
   def isDelta: Boolean = kind == DataFile.DELTA
   /** Current-spec buckets this file's rows can belong to: `pmod(h, k·s) ≡
     * pmod(h, s) (mod s)`, so a file at spec `s` holding bucket `b` covers
@@ -121,6 +124,10 @@ final case class DataFile(
 object Manifest {
   val LWW = "lww"
   val SCD2 = "scd2"
+  /** `Manifest.epoch` value for versions not produced by a data commit
+    * (create / evolve / rescale / manifest rewrite) and for manifests written
+    * before epoch tracking. */
+  val NoEpoch: Long = Long.MinValue
 }
 
 /**
@@ -160,7 +167,11 @@ final case class Manifest(
     scdCols: Seq[String] = Nil,
     /** wall-clock commit time (ms) — metadata only (age-based vacuum
       * retention); never feeds data or replay decisions */
-    committedAtMs: Long = 0L) {
+    committedAtMs: Long = 0L,
+    /** the streaming/maintenance epoch whose commit produced THIS version
+      * ([[Manifest.NoEpoch]] for metadata-only versions) — lets changeLog map
+      * a snapshot window back to the epochs whose change sidecars it spans. */
+    epoch: Long = Manifest.NoEpoch) {
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
@@ -189,7 +200,8 @@ object ManifestJson {
   private def fileToJson(f: DataFile): JObject = JObject(List(
     "path" -> JString(f.path), "bucket" -> JInt(f.bucket),
     "schema_id" -> JInt(f.schemaId), "rows" -> JLong(f.rows),
-    "kind" -> JString(f.kind), "spec" -> JInt(f.spec)) ++
+    "kind" -> JString(f.kind), "spec" -> JInt(f.spec),
+    "bytes" -> JLong(f.bytes)) ++
     (if (f.keyStats.isEmpty) Nil
      else List("key_stats" -> (JObject(f.keyStats.toList.sortBy(_._1)
        .map { case (c, r) => c -> (rangeToJson(r): JValue) }): JValue))))
@@ -207,7 +219,8 @@ object ManifestJson {
         case JObject(kvs) => kvs.map { case (c, r) => c -> rangeFromJson(r) }.toMap
         case _ => Map.empty[String, ColRange]
       },
-      (jf \ "spec").extractOrElse[Int](0))
+      (jf \ "spec").extractOrElse[Int](0),
+      (jf \ "bytes").extractOrElse[Long](0L))
 
   def writeFragment(fr: ManifestFragment): String =
     JsonMethods.pretty(JsonMethods.render(JObject(
@@ -242,7 +255,8 @@ object ManifestJson {
       "fragments" -> JArray(m.fragments.toList.map(JString(_))),
       "table_mode" -> JString(m.tableMode),
       "scd_cols" -> JArray(m.scdCols.toList.map(JString(_))),
-      "committed_at_ms" -> JLong(m.committedAtMs)
+      "committed_at_ms" -> JLong(m.committedAtMs),
+      "epoch" -> JLong(m.epoch)
     )
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -292,7 +306,8 @@ object ManifestJson {
         case JArray(cs) => cs.map(_.extract[String])
         case _ => Nil
       },
-      committedAtMs = (j \ "committed_at_ms").extractOrElse[Long](0L))
+      committedAtMs = (j \ "committed_at_ms").extractOrElse[Long](0L),
+      epoch = (j \ "epoch").extractOrElse[Long](Manifest.NoEpoch))
   }
 }
 
@@ -357,6 +372,38 @@ class LakeTable(val dir: String) {
 
   def dataDir(epoch: Long): String = s"$dir/data/epoch=$epoch"
   def quarantineDir(epoch: Long): String = s"$dir/quarantine/epoch=$epoch"
+  /** Per-epoch change sidecar of a copy-on-write commit (JobConfig.changeFeed):
+    * the reduced per-key change set, delta-file-shaped, read ONLY by
+    * [[changeLog]] — never by table reads (the rows are already merged into
+    * the base). Merge-on-read commits need none: their delta files are the
+    * change set. */
+  def changesDir(epoch: Long): String = s"$dir/changes/epoch=$epoch"
+
+  /** Persist one CoW epoch's change set ([[changesDir]]). Overwrite keeps a
+    * retried epoch idempotent; the `_meta.json` records the writer schema id
+    * so changeLog can project the rows onto the window-end schema by field
+    * id, like any other file group. */
+  def writeChangeSet(changes: DataFrame, epoch: Long, schemaId: Int): Unit = {
+    changes.write.mode("overwrite").parquet(changesDir(epoch))
+    Files.writeString(Paths.get(changesDir(epoch), "_meta.json"),
+      s"""{"schema_id":$schemaId}""")
+  }
+
+  private def changeSetFiles(epoch: Long): Seq[DataFile] = {
+    val root = Paths.get(changesDir(epoch))
+    val sid = (JsonMethods.parse(new String(
+      Files.readAllBytes(root.resolve("_meta.json")))) \ "schema_id") match {
+      case JInt(v) => v.toInt
+      case other   => throw new IllegalStateException(
+        s"changes/epoch=$epoch/_meta.json has no schema_id ($other)")
+    }
+    scala.util.Using.resource(Files.list(root)) { ls =>
+      ls.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => DataFile(p.toString, -1, sid, -1L))
+        .toSeq
+    }
+  }
 
   /** Epochs with quarantined rows on disk — the dead-letter inventory an
     * operator lists before draining (reference: the `dlx_message` table,
@@ -376,6 +423,25 @@ class LakeTable(val dir: String) {
   /** Read one epoch's quarantined rows (payload + `_error_reason`). */
   def readQuarantine(spark: SparkSession, epoch: Long): DataFrame =
     spark.read.parquet(quarantineDir(epoch))
+
+  /** Browse the dead-letter table: quarantined rows + `_error_reason` +
+    * `_epoch`, across all epochs or one — the read half of the DLX surface
+    * (reference: the browsable `dlx_message` / `apply_exceptions` tables,
+    * trempy/Metadata/Query.py:47-81), paired with
+    * [[graft.apply.MergeApply.replayQuarantine]] as the write half. Returns
+    * an empty frame (schema: `_epoch`, `_error_reason`) when nothing is
+    * quarantined. */
+  def quarantine(spark: SparkSession, epoch: Option[Long] = None): DataFrame = {
+    val epochs = epoch.map(Seq(_)).getOrElse(quarantinedEpochs)
+      .filter(e => Files.isDirectory(Paths.get(quarantineDir(e))))
+    if (epochs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("_epoch", LongType),
+          StructField("_error_reason", StringType))))
+    else epochs.map(e => readQuarantine(spark, e).withColumn("_epoch", lit(e)))
+      .reduce(_ unionByName _)
+  }
 
   // ── snapshot isolation: readers resolve _current once, then read that manifest ──
   def currentVersion: Int = {
@@ -533,7 +599,8 @@ class LakeTable(val dir: String) {
       version = newVersion,
       files = liveFiles,
       fragments = if (consolidate) Seq(fragName) else evolved.fragments :+ fragName,
-      metrics = mergedMetrics)
+      metrics = mergedMetrics,
+      epoch = epoch)
     writeManifest(m, Some(fragment))
     writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
     m
@@ -542,7 +609,8 @@ class LakeTable(val dir: String) {
   /** Schema evolution only (no data) — bumps schema id, new snapshot. */
   def evolve(changes: Seq[SchemaChange]): Manifest = this.synchronized {
     val old = manifest
-    val m = applySchemaChanges(old, changes).copy(version = old.version + 1)
+    val m = applySchemaChanges(old, changes).copy(version = old.version + 1,
+      epoch = Manifest.NoEpoch)
     writeManifest(m, None)
     m
   }
@@ -574,7 +642,7 @@ class LakeTable(val dir: String) {
     val newVersion = old.version + 1
     val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
     val m = old.copy(version = newVersion, buckets = newBuckets,
-      fragments = Seq(f"mf-$newVersion%06d.json"))
+      fragments = Seq(f"mf-$newVersion%06d.json"), epoch = Manifest.NoEpoch)
     writeManifest(m, Some(fragment))
     m
   }
@@ -607,7 +675,8 @@ class LakeTable(val dir: String) {
     val old = manifest
     val newVersion = old.version + 1
     val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
-    val m = old.copy(version = newVersion, fragments = Seq(f"mf-$newVersion%06d.json"))
+    val m = old.copy(version = newVersion, fragments = Seq(f"mf-$newVersion%06d.json"),
+      epoch = Manifest.NoEpoch)
     writeManifest(m, Some(fragment))
     m
   }
@@ -874,8 +943,15 @@ class LakeTable(val dir: String) {
    * — ask for changes older than the kept snapshots and the files are gone —
    * which is the standard lake-format incremental-read contract. Rows project
    * forward onto `toVersion`'s schema by field id, so the consumer sees one
-   * schema even across mid-window evolution. CoW commits write no delta
-   * files; a pure-CoW window yields an empty frame.
+   * schema even across mid-window evolution.
+   *
+   * Copy-on-write commits contribute through their change SIDECARS
+   * ([[changesDir]], written when JobConfig.changeFeed is on). A CoW data
+   * commit in the window with NO sidecar fails loudly — an empty frame that
+   * actually means "changes weren't recorded" is the worst failure shape for
+   * a downstream sync ("no changes" that silently loses data). The initial
+   * full load (epoch -1) is excluded by contract, like every lake format's
+   * change feed: consumers bootstrap from `readVersion`, then follow changes.
    */
   def changeLog(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
     require(1 <= fromVersion && fromVersion <= toVersion && toVersion <= currentVersion,
@@ -894,12 +970,31 @@ class LakeTable(val dir: String) {
     fragsSeen ++= readMeta(fromVersion).fragments
     val added = Seq.newBuilder[DataFile]
     ((fromVersion + 1) to toVersion).foreach { v =>
-      readMeta(v).fragments.foreach { name =>
+      val meta = readMeta(v)
+      var newBase, newDelta = 0
+      meta.fragments.foreach { name =>
         if (fragsSeen.add(name)) {
           readFragmentFile(name).added.foreach { f =>
-            if (seen.add(f.path) && f.isDelta) added += f
+            if (seen.add(f.path)) {
+              if (f.isDelta) { added += f; newDelta += 1 }
+              else newBase += 1
+            }
           }
         }
+      }
+      // CoW data commits: the sidecar is the change set (replay epochs — the
+      // quarantine drain — included; the full load and maintenance rewrites
+      // excluded by the epoch check)
+      if (meta.epoch >= 0) {
+        if (Files.isDirectory(Paths.get(changesDir(meta.epoch))))
+          added ++= changeSetFiles(meta.epoch)
+        else if (newDelta == 0 && newBase > 0)
+          throw new IllegalStateException(
+            s"changeLog($fromVersion, $toVersion): version $v (epoch " +
+              s"${meta.epoch}) is a copy-on-write commit with no recorded " +
+              "change set — enable JobConfig.changeFeed (cdc_settings." +
+              "change_feed) or use merge-on-read; refusing to return a " +
+              "silently incomplete feed")
       }
     }
     readFiles(spark, mTo, added.result())
@@ -1114,6 +1209,37 @@ class LakeTable(val dir: String) {
   }
 
   /**
+   * The [[rescale]] runbook as a POLICY (reference analogue: the settings.json
+   * contract drives every other maintenance behavior): when average live
+   * bytes/bucket exceeds `bytesPerBucket`, double the bucket count
+   * (metadata-only) and start migrating; while a rescale is already in
+   * flight, migrate up to `maxGroups` more groups instead — one bounded
+   * physical step per maintenance tick, reads correct on the mixed-spec
+   * table throughout. Sizes come from the per-file `bytes` recorded at
+   * commit (files recorded before size tracking are stat'ed once). Invoked
+   * by the runner at the auto-compact cadence
+   * (cdc_settings.auto_rescale_bytes_per_bucket); idempotent and cheap when
+   * below threshold (driver-side metadata arithmetic only).
+   */
+  def autoRescale(spark: SparkSession, bytesPerBucket: Long,
+      factor: Int = 2, maxGroups: Int = 4): Manifest = {
+    require(bytesPerBucket > 0, s"autoRescale bytesPerBucket=$bytesPerBucket: must be > 0")
+    require(factor >= 2, s"autoRescale factor=$factor: must be >= 2")
+    val m = manifest
+    if (m.files.exists(_.spec != m.buckets)) return splitBuckets(spark, maxGroups)
+    if (m.keyCols.isEmpty || m.files.isEmpty) return m
+    val liveBytes = m.files.map { f =>
+      if (f.bytes > 0) f.bytes
+      else scala.util.Try(Files.size(Paths.get(f.path))).getOrElse(0L)
+    }.sum
+    if (liveBytes / m.buckets <= bytesPerBucket) m
+    else {
+      rescale(m.buckets * factor)
+      splitBuckets(spark, maxGroups)
+    }
+  }
+
+  /**
    * Physical GC: delete data files referenced only by snapshots older than the
    * `keepVersions` most recent, plus their manifests. Readers of kept snapshots
    * are unaffected (time travel window shrinks to `keepVersions`).
@@ -1174,8 +1300,22 @@ class LakeTable(val dir: String) {
         p = p.getParent
       }
     }
+    // change sidecars of epochs committed at pruned versions are unreachable
+    // (their version's manifest goes away below) — GC them with the snapshot.
+    // Read the epoch BEFORE deleting the manifest; epochs are unique per table.
     (1 until keepFrom).foreach { v =>
       val mp = manifestPath(v)
+      if (Files.exists(mp)) {
+        val e = ManifestJson.read(new String(Files.readAllBytes(mp))).epoch
+        if (e >= 0) {
+          val cd = Paths.get(changesDir(e))
+          if (Files.isDirectory(cd)) {
+            scala.util.Using.resource(Files.walk(cd)) { w =>
+              w.iterator().asScala.toSeq
+            }.reverse.foreach { p => if (Files.deleteIfExists(p)) deleted += p.toString }
+          }
+        }
+      }
       if (Files.deleteIfExists(mp)) deleted += mp.toString
     }
     // fragments referenced by no kept snapshot (e.g. superseded by a
@@ -1270,7 +1410,7 @@ class LakeTable(val dir: String) {
             case _ => -1
           }
           DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L),
-            kind, spec = writeSpec)
+            kind, spec = writeSpec, bytes = Files.size(p))
         }.toSeq
     }
     // footer reads in parallel — serial per-file metadata I/O on the driver

@@ -122,4 +122,11 @@ case class JobConfig(
       * to the quarantine table and continue — reference DLX analogue
       * (trempy/Messages/MessageDlx.py:57-83). false: any violation fails the batch.
       * Detection always runs; this flag only picks the routing. */
-    quarantine: Boolean = true)
+    quarantine: Boolean = true,
+    /** true: copy-on-write commits also persist their reduced per-key change
+      * set as a per-epoch change sidecar, so LakeTable.changeLog serves
+      * CDC-out from CoW tables too (merge-on-read deltas ARE the change set
+      * and need no sidecar). Off by default: it adds one O(batch) write per
+      * epoch to the CoW hot path; changeLog fails loudly — never silently
+      * empty — when asked for a window containing unrecorded CoW commits. */
+    changeFeed: Boolean = false)

@@ -41,6 +41,17 @@ object TaskSettings {
         * stream; 0 leaves compaction to explicit maintenance. */
       autoCompactEveryEpochs: Int,
       autoCompactMaxDeltaFiles: Int,
+      /** engine extension (cdc_settings.change_feed): persist per-epoch change
+        * sidecars on copy-on-write commits so changeLog serves CDC-out. */
+      changeFeed: Boolean,
+      /** engine extension (cdc_settings.auto_rescale_bytes_per_bucket): >0
+        * doubles the bucket count whenever live bytes/bucket exceeds it (the
+        * rescale runbook as a policy, applied at the auto-compact cadence);
+        * 0 leaves rescaling to explicit maintenance. */
+      autoRescaleBytesPerBucket: Long,
+      /** bucket groups migrated per maintenance tick while a rescale is in
+        * flight (bounds one tick's physical rewrite). */
+      autoRescaleMaxGroups: Int,
       scdCols: ScdCols,
       errorPolicy: ErrorPolicy,
       tables: Seq[TableRules],
@@ -177,6 +188,11 @@ object TaskSettings {
         (cdc \ "auto_compact_every_epochs").extractOrElse[Int](0),
       autoCompactMaxDeltaFiles =
         (cdc \ "auto_compact_max_delta_files").extractOrElse[Int](8),
+      changeFeed = (cdc \ "change_feed").extractOrElse[Boolean](false),
+      autoRescaleBytesPerBucket =
+        (cdc \ "auto_rescale_bytes_per_bucket").extractOrElse[Long](0L),
+      autoRescaleMaxGroups =
+        (cdc \ "auto_rescale_max_groups").extractOrElse[Int](4),
       scdCols = ScdCols(
         (scd2 \ "start_date_column_name").extractOrElse[String]("scd_start_date"),
         (scd2 \ "end_date_column_name").extractOrElse[String]("scd_end_date"),

@@ -66,12 +66,23 @@ object Multimodal {
   }
 
   /**
+   * The pluggable decode kernel — bytes in, features out. Implementations MUST
+   * be deterministic pure functions of the row (replay/retry stability) and
+   * Serializable (the instance ships to executors inside the mapPartitions
+   * closure). A real libjpeg/ffmpeg decoder drops in here without touching
+   * the pipeline (partitioning, batch shape, schema) or the oracle.
+   */
+  trait MediaCodec extends Serializable {
+    def decodeAndExtract(row: MediaRow, frameCount: Int): MediaFeatures
+  }
+
+  /**
    * STUB codec — stands in for libjpeg/ffmpeg, which are not in this container.
    * Deterministic pure function of the bytes so tests and replay are stable.
-   * Replace the body with a real decoder to productionise; the signature is the
+   * Replace with a real [[MediaCodec]] to productionise; the signature is the
    * contract: one call per row, invoked batch-wise from mapPartitions.
    */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decodeAndExtract(row: MediaRow, frameCount: Int): MediaFeatures = {
       val bytes = if (row.bytes == null) Array.empty[Byte] else row.bytes
       // "decode": byte histogram over 16 buckets + rolling content hash.
@@ -97,7 +108,8 @@ object Multimodal {
    * Input is size-bucketed and repartitioned first so decode work is balanced
    * across tasks (big videos don't pile onto one executor).
    */
-  def decodeFeatures(media: DataFrame, frameCount: Int = 8, partitions: Int = 0): DataFrame = {
+  def decodeFeatures(media: DataFrame, frameCount: Int = 8, partitions: Int = 0,
+      codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val sized = media.select(
@@ -112,7 +124,7 @@ object Multimodal {
     balanced.as[MediaRow]
       .mapPartitions { it =>
         // per-task init would go here (decoder handle, reusable buffers)
-        it.map(StubCodec.decodeAndExtract(_, frameCount))
+        it.map(codec.decodeAndExtract(_, frameCount))
       }
       .toDF()
   }

@@ -34,7 +34,16 @@ case class RunnerConfig(
       * files otherwise accumulate one set per epoch). 0 disables. */
     autoCompactEveryEpochs: Int = 0,
     /** delta-file threshold handed to the auto compaction pass. */
-    autoCompactMaxDeltaFiles: Int = 8)
+    autoCompactMaxDeltaFiles: Int = 8,
+    /** >0: whenever live bytes/bucket exceeds this, double the bucket count
+      * (metadata-only rescale) and migrate physically in bounded splitBuckets
+      * batches at the auto-compact cadence — the 100-TB "table outgrew its
+      * bucket count" runbook as a policy instead of an operator action.
+      * 0 disables (explicit maintenance only). */
+    autoRescaleBytesPerBucket: Long = 0L,
+    /** bucket groups migrated per maintenance tick while a rescale is in
+      * flight — bounds one tick's physical rewrite. */
+    autoRescaleMaxGroups: Int = 4)
 
 object CdcRunner {
 
@@ -221,6 +230,9 @@ object CdcRunner {
     if (cfg.autoCompactEveryEpochs > 0 && epoch >= 0 &&
         (epoch + 1) % cfg.autoCompactEveryEpochs == 0) {
       lake.compact(spark, maxDeltaFiles = cfg.autoCompactMaxDeltaFiles): Unit
+      if (cfg.autoRescaleBytesPerBucket > 0)
+        lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
+          maxGroups = cfg.autoRescaleMaxGroups): Unit
     }
   }
 

@@ -80,7 +80,8 @@ object MultiTableRunner {
         filters = rules.filters,
         transforms = rules.transforms,
         errorPolicy = cfg.settings.errorPolicy,
-        scdCols = cfg.settings.scdCols)
+        scdCols = cfg.settings.scdCols,
+        changeFeed = cfg.settings.changeFeed)
       // target identity after structural transforms (rename schema/table)
       val compiled = TransformCompiler.compile(job.transforms,
         TableSpec(rules.schemaName, rules.tableName, job.keyCols),
@@ -93,7 +94,9 @@ object MultiTableRunner {
         job = job,
         payloadSchema = payload.schema,
         autoCompactEveryEpochs = cfg.settings.autoCompactEveryEpochs,
-        autoCompactMaxDeltaFiles = cfg.settings.autoCompactMaxDeltaFiles)
+        autoCompactMaxDeltaFiles = cfg.settings.autoCompactMaxDeltaFiles,
+        autoRescaleBytesPerBucket = cfg.settings.autoRescaleBytesPerBucket,
+        autoRescaleMaxGroups = cfg.settings.autoRescaleMaxGroups)
       val lake = CdcRunner.ensureTable(spark, runnerCfg)
       TableJob(rules, payload, lake, job, targetId)
     }

@@ -67,6 +67,28 @@ class ErrorPolicySpec extends SparkSpec {
     assert(!res.skipped && lake.isCommitted(0L))
   }
 
+  test("quarantine(spark, epoch?) browses rows + reasons across epochs") {
+    val job = JobConfig()
+    val lake = mkLake(job)
+    // empty DLX: empty frame with the contract columns, no exception
+    val empty = lake.quarantine(spark)
+    assert(empty.isEmpty && empty.columns.contains("_error_reason"))
+    // two poisoned epochs → one browsable table with an _epoch column
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    MergeApply.applyBatch(spark, lake, df, 0L, job)
+    val rows2 = Seq(
+      Row(9L, 1L, ts(9), "FROB", 1, "k9", Seq(1), Int.box(1), "web"))
+    MergeApply.applyBatch(spark, lake,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows2, 1), schema), 1L, job)
+    val all = lake.quarantine(spark)
+      .select("_epoch", "doc_id", MergeApply.QUARANTINE_REASON).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(all.map(t => (t._1, t._2)).toSeq == Seq((0L, "k2"), (1L, "k9")), s"$all")
+    assert(all(0)._3.startsWith("payload_invariant") && all(1)._3.startsWith("unknown_op"))
+    // single-epoch filter
+    assert(lake.quarantine(spark, Some(1L)).count() == 1)
+  }
+
   test("quarantine carries per-row reasons; replayQuarantine re-drives corrected rows") {
     import org.apache.spark.sql.functions._
     val job = JobConfig()

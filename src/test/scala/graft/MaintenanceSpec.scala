@@ -350,6 +350,62 @@ class MaintenanceSpec extends SparkSpec {
     assert(perKey.forall(_.getLong(1) == 1L), "exactly one current version per key")
   }
 
+  test("auto-rescale policy: below threshold no-op; above threshold doubles " +
+    "and migrates incrementally without re-doubling mid-migration") {
+    val root = tmpDir("graft-maint-autorescale")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 200), cfg)
+    val before = lake.manifest
+    assert(before.files.forall(_.bytes > 0), "commits record per-file sizes")
+    val liveBytes = before.files.map(_.bytes).sum
+    val state = lake.read(spark).collect().map(_.toString).sorted
+
+    // comfortably above the current bytes/bucket: nothing happens
+    assert(lake.autoRescale(spark, liveBytes).version == before.version)
+    // below it: metadata rescale + first bounded migration step
+    val m1 = lake.autoRescale(spark, liveBytes / 16, maxGroups = 1)
+    assert(m1.buckets == 8, "doubled")
+    assert(m1.files.exists(_.spec == 4), "migration bounded to one group per tick")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+    // mid-migration ticks CONTINUE the split — they never double again
+    val m2 = lake.autoRescale(spark, liveBytes / 16, maxGroups = 64)
+    assert(m2.buckets == 8 && m2.files.forall(_.spec == 8), "migration completed")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+  }
+
+  test("cdc_settings auto-rescale: threshold crossed mid-stream converges, " +
+    "reads equal a policy-free twin throughout") {
+    val root = tmpDir("graft-maint-autorescale-stream")
+    def mkCfg(sub: String, policy: Boolean) = RunnerConfig(
+      feedDir = s"$root/$sub/feed", tableDir = s"$root/$sub/table",
+      checkpointDir = s"$root/$sub/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      maxFilesPerTrigger = 1,
+      autoCompactEveryEpochs = if (policy) 2 else 0,
+      autoRescaleBytesPerBucket = if (policy) 1L else 0L, // any data crosses it
+      autoRescaleMaxGroups = 64)
+    val cfg = mkCfg("a", policy = true)
+    val twin = mkCfg("twin", policy = false)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 800, nDocs = 150))
+    Seq(cfg, twin).foreach { c =>
+      ChangeFeed.writeFeed(feed, c.feedDir, nFiles = 4)
+      CdcRunner.ensureTable(spark, c)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    val m = lake.manifest
+    assert(m.buckets > 2, s"policy grew the bucket count mid-stream: ${m.buckets}")
+    assert(m.files.forall(f => f.spec > 0 && m.buckets % f.spec == 0),
+      s"every file at a divisor-chain spec: ${m.files.map(_.spec).distinct}")
+    val twinState = new graft.lake.LakeTable(twin.tableDir)
+      .read(spark).collect().map(_.toString).sorted
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
+      "policy-driven rescale is invisible to readers")
+  }
+
   test("commit refuses partial replacement of a pre-split file (coverage guard)") {
     import org.apache.spark.sql.types._
     val lake = new graft.lake.LakeTable(tmpDir("graft-maint-cover") + "/t")

@@ -48,6 +48,111 @@ class OpsMainSpec extends SparkSpec {
     intercept[IllegalArgumentException](JobMain.runOp(spark, Seq("--op", "text_stats")))
   }
 
+  test("ann with a distinct --queries table keeps corpus rows sharing a query id " +
+    "(exclude_self defaults by query-side identity)") {
+    // corpus == queries table content but loaded via --queries: ids overlap 1:1;
+    // rank-1 for every query must be its identical twin (cosine 1), which
+    // excludeSelf=true would silently drop
+    val conf = writeConfig("""{"k": 1}""")
+    val viaCli = JobMain.runOp(spark,
+        Seq("--op", "ann_bruteforce", "--in", embs, "--queries", embs, "--config", conf))
+      .collect()
+    assert(viaCli.nonEmpty && viaCli.forall(r =>
+      r.getAs[Long]("q_id") == r.getAs[Long]("c_id")),
+      "rank-1 of each query against a distinct corpus table is its own id")
+    // self-search (no --queries) still excludes the trivial match
+    val self = JobMain.runOp(spark,
+        Seq("--op", "ann_bruteforce", "--in", embs, "--config", conf)).collect()
+    assert(self.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
+  }
+
+  test("maintenance verbs (compact | vacuum | rescale | split_buckets | reconcile) " +
+    "from the CLI == direct API effects") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-opsmain-maint")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+        buckets = 2),
+      maxFilesPerTrigger = 1)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 400, nDocs = 80)),
+      cfg.feedDir, nFiles = 4)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val state = lake.read(spark).collect().map(_.toString).sorted
+    def tbl = Seq("--table", cfg.tableDir)
+
+    // compact: deltas folded, report reflects the new manifest
+    val conf = writeConfig("""{"max_files_per_bucket": 1, "max_delta_files": 1}""")
+    val cRep = JobMain.runOp(spark,
+      Seq("--op", "compact", "--config", conf) ++ tbl).head()
+    assert(cRep.getAs[Int]("delta_files") == 0, s"deltas folded: $cRep")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+
+    // rescale (default 2×) + bounded split + completing split
+    val rRep = JobMain.runOp(spark, Seq("--op", "rescale") ++ tbl).head()
+    assert(rRep.getAs[Int]("buckets") == 4)
+    val sConf = writeConfig("""{"max_groups": 1}""")
+    JobMain.runOp(spark, Seq("--op", "split_buckets", "--config", sConf) ++ tbl)
+      .head()
+    val s2 = JobMain.runOp(spark, Seq("--op", "split_buckets") ++ tbl).head()
+    assert(s2.getAs[String]("specs") == "4", s"fully migrated: $s2")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+
+    // vacuum: report lists the deleted paths, table reads intact
+    val vConf = writeConfig("""{"keep_versions": 1}""")
+    val vRep = JobMain.runOp(spark, Seq("--op", "vacuum", "--config", vConf) ++ tbl)
+    assert(vRep.count() > 0, "superseded files deleted")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+
+    // reconcile: clean audit
+    val aRep = JobMain.runOp(spark, Seq("--op", "reconcile") ++ tbl).head()
+    assert(aRep.getAs[Boolean]("ok"), s"audit: $aRep")
+
+    // --table missing fails loudly
+    val e = intercept[IllegalArgumentException](
+      JobMain.runOp(spark, Seq("--op", "compact")))
+    assert(e.getMessage.contains("--table"))
+  }
+
+  test("quarantine_list + quarantine_replay from the CLI drain the DLX " +
+    "like the direct API") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-opsmain-dlx")
+    val job = JobConfig()
+    val lake = CdcRunner.ensureTable(spark, RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table",
+      checkpointDir = s"$root/cp", job = job))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val poison = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1, 2), Int.box(2), "web"),
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1, 2, 3), Int.box(99), "web"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(poison, 2), ChangeEvent.schema())
+    graft.apply.MergeApply.applyBatch(spark, lake, df, 0L, job)
+    def tbl = Seq("--table", s"$root/table")
+
+    val listed = JobMain.runOp(spark, Seq("--op", "quarantine_list") ++ tbl).collect()
+    assert(listed.length == 1 && listed(0).getAs[Long]("_epoch") == 0L &&
+      listed(0).getAs[String]("_error_reason").startsWith("payload_invariant"))
+    assert(listed.map(_.getAs[String]("doc_id")).toSeq == Seq("k2"))
+
+    // drain epoch 0 unfixed: the bad row re-quarantines under the replay epoch
+    val rConf = writeConfig("""{"epoch": 0}""")
+    val rep = JobMain.runOp(spark,
+      Seq("--op", "quarantine_replay", "--config", rConf) ++ tbl).head()
+    assert(!rep.getAs[Boolean]("skipped"))
+    assert(rep.getAs[String]("metrics").contains("events_quarantined=1"))
+    val epochs = JobMain.runOp(spark, Seq("--op", "quarantine_list") ++ tbl)
+      .select("_epoch").distinct().collect().map(_.getLong(0)).sorted
+    assert(epochs.length == 2 && epochs.head == 0L, s"replay epoch listed: ${epochs.toSeq}")
+  }
+
   test("dedup_embedding honors vec_col/id_col overrides") {
     val renamed = spark.read.parquet(embs)
       .select(col("vec_id").as("vid"), col("embedding").as("emb"))

@@ -181,6 +181,44 @@ class EnvelopeSpec extends SparkSpec {
       "the producer diff flags exactly the dropped page's ops")
   }
 
+  test("writeFeed capture-second derivation survives deleted stats manifests " +
+    "and direct toMessages publishes; batchSize=0 fails with the budget message") {
+    import org.apache.spark.sql.functions.col
+    def events(n: Int, startLsn: Long) = ChangeFeed.events(spark,
+        ChangeFeed.FeedSpec(nEvents = n, nDocs = 30, startLsn = startLsn))
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+    val root = tmpDir("graft-env-created")
+    val bus = s"$root/bus"
+    // publish 1 via writeFeed, then DELETE its stats manifest (operator mishap)
+    EnvelopeSource.writeFeed(events(50, 1), bus, "corpus", "documents", 100)
+    val stats = new java.io.File(bus).listFiles()
+      .filter(_.getName.startsWith("_stats-"))
+    assert(stats.nonEmpty && stats.forall(_.delete()))
+    // publish 2 via toMessages DIRECTLY (same bus, no manifest at all)
+    EnvelopeSource.toMessages(events(50, 101), "corpus", "documents", 100,
+        createdAt = 1700000100L)
+      .coalesce(1).write.mode("append").text(bus)
+    // publish 3 via writeFeed again: must derive a FRESH capture second from
+    // the message pages themselves — a manifest-count scheme would reuse
+    // 1700000000 and collide with publish 1's packed LSNs
+    EnvelopeSource.writeFeed(events(50, 201), bus, "corpus", "documents", 100)
+    val parsed = EnvelopeSource.parseForTable(
+      spark.read.text(bus).withColumnRenamed("value", "value"),
+      payload, "corpus", "documents")
+    val lsns = parsed.select("lsn").collect().map(_.getLong(0))
+    assert(lsns.length == 150, "all three publishes parse")
+    assert(lsns.distinct.length == 150, "no packed-LSN collision across publishes")
+    // the third publish ranks after the second (capture seconds advance)
+    val createdSecs = parsed.select((col("lsn") / 4294967296L).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(createdSecs.length == 3, s"three distinct capture seconds: ${createdSecs.toSeq}")
+
+    // batchSize=0: loud budget error BEFORE any Spark job, not a /0 crash
+    val e = intercept[IllegalArgumentException](
+      EnvelopeSource.writeFeed(events(10, 900), bus, "corpus", "documents", 0))
+    assert(e.getMessage.contains("1..1024"))
+  }
+
   test("rename registry + v1-only first batch: pre-evolution values survive") {
     // Every batch before the first v2 row arrives contains only v1 rows. The
     // versioned parse folds them to the LATEST column names (source→origin),

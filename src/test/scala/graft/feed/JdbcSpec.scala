@@ -107,6 +107,41 @@ class JdbcSpec extends SparkSpec {
     assert(!JdbcEndpoint.ensureTable(conn, "KEYED_T", df.schema, Seq("doc_id")))
   }
 
+  test("per-row apply exceptions: PK collisions are captured with messages, " +
+    "good rows land (reference apply_exceptions)") {
+    val good = spark.range(30).select(
+      concat(lit("p-"), lpad(col("id").cast(StringType), 3, "0")).as("doc_id"),
+      col("id").cast(IntegerType).as("n_tok"),
+      lit("web").as("source"))
+    // target with a primary key, pre-seeded with 5 of the 30 ids → those 5
+    // violate the constraint on the bulk load; the other 25 must still land
+    JdbcEndpoint.fullLoadTo(good.filter(col("n_tok") < 5), conn, "CAPT_T",
+      keyCols = Seq("doc_id"))
+    val errors = JdbcEndpoint.bulkInsertCapturing(good, conn, "CAPT_T", batchSize = 8)
+    try {
+      val errs = errors.collect()
+      assert(errs.length == 5, s"exactly the PK collisions captured: ${errs.length}")
+      assert(errs.forall(r => r.getAs[String]("error") != null &&
+        r.getAs[String]("error").nonEmpty), "driver message carried per row")
+      assert(errs.forall(_.getAs[String]("row_json").contains("doc_id")),
+        "the failing row rides with its exception (apply_exceptions shape)")
+      // good rows all landed exactly once; bad rows did not duplicate
+      val landed = JdbcEndpoint.snapshot(spark, conn, "CAPT_T")
+      assert(landed.count() == 30, "5 pre-seeded + 25 newly inserted")
+      assert(landed.groupBy("doc_id").count()
+        .filter(col("count") > 1).count() == 0, "no duplicates")
+    } finally errors.unpersist()
+    // a fully-clean batch captures nothing and inserts everything
+    val clean = spark.range(30, 40).select(
+      concat(lit("p-"), lpad(col("id").cast(StringType), 3, "0")).as("doc_id"),
+      col("id").cast(IntegerType).as("n_tok"),
+      lit("web").as("source"))
+    val none = JdbcEndpoint.bulkInsertCapturing(clean, conn, "CAPT_T", batchSize = 8)
+    try assert(none.isEmpty &&
+      JdbcEndpoint.snapshot(spark, conn, "CAPT_T").count() == 40)
+    finally none.unpersist()
+  }
+
   test("partitioned snapshot of an empty table: bounds are NULL, falls back clean") {
     JdbcEndpoint.bulkInsert(
       spark.range(0).select(col("id").as("seq"), lit("x").as("v")), conn, "EMPTY_T")

@@ -233,4 +233,30 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(media, frameCount = 4).collect()
     assert(f.length == 20, "rows with null meta decode too (meta is unused by the codec)")
   }
+
+  test("codec is pluggable: a second MediaCodec runs through the same pipeline " +
+    "(stub is just the default impl)") {
+    // toy alternative "decoder": counts only even bytes, fixed frame count —
+    // deliberately different outputs so a silent fallback to the stub would fail
+    object EvenByteCodec extends Multimodal.MediaCodec {
+      def decodeAndExtract(row: Multimodal.MediaRow, frameCount: Int): Multimodal.MediaFeatures = {
+        val bytes = if (row.bytes == null) Array.empty[Byte] else row.bytes
+        val hist = new Array[Long](16)
+        var even = 0L
+        bytes.foreach { b => if ((b & 1) == 0) { even += 1; hist((b & 0xff) % 16) += 1 } }
+        Multimodal.MediaFeatures(row.media_id, row.kind, bytes.length, even, hist, frameCount)
+      }
+    }
+    val media = Multimodal.synthetic(spark, 60)
+    val alt = Multimodal.decodeFeatures(media, frameCount = 4, codec = EvenByteCodec)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("content_hash")).toMap
+    val stub = Multimodal.decodeFeatures(media, frameCount = 4)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("content_hash")).toMap
+    assert(alt.keySet == stub.keySet, "same rows through the same plumbing")
+    assert(alt != stub, "the alternative codec's features actually differ")
+    // per-row: the alt hash is the even-byte count — recompute one row locally
+    val one = media.filter(org.apache.spark.sql.functions.col("media_id") === 7L)
+      .select("bytes").head().getAs[Array[Byte]](0)
+    assert(alt(7L) == one.count(b => (b & 1) == 0).toLong)
+  }
 }
