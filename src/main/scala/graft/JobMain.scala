@@ -49,6 +49,8 @@ import graft.runner._
  * //   reconcile         {}                      // lineage-vs-manifest audit
  * //   quarantine_list   {epoch?}                // browse rows + reasons
  * //   quarantine_replay {epoch, attempt?, merge?} // re-drive one epoch's DLX
+ * //   read              {version?}              // consumer bootstrap (time travel)
+ * //   change_log        {from, to?}             // incremental CDC-out (from, to]
  * }}}
  */
 object JobMain {
@@ -79,9 +81,10 @@ object JobMain {
   }
 
   /** Ops that act on a lake table (`--table <lakeDir>`) instead of a parquet
-    * input — the maintenance/DLX lifecycle verbs. */
+    * input — the maintenance/DLX lifecycle verbs plus the read-side pair a
+    * downstream consumer needs (snapshot read + incremental change feed). */
   private val maintenanceOps = Set("compact", "vacuum", "rescale", "split_buckets",
-    "reconcile", "quarantine_list", "quarantine_replay")
+    "reconcile", "quarantine_list", "quarantine_replay", "read", "change_log")
 
   /**
    * Maintenance + DLX verbs over a lake table — the reference drives its whole
@@ -132,6 +135,19 @@ object JobMain {
           .toDF("ok", "missing_lineage_epochs", "mismatched_metrics")
       case "quarantine_list" =>
         lake.quarantine(spark, c.lngOpt("epoch"))
+      case "read" =>
+        // the consumer bootstrap: current state, or as-of a snapshot version
+        c.lngOpt("version") match {
+          case Some(v) => lake.readVersion(spark, v.toInt)
+          case None    => lake.read(spark)
+        }
+      case "change_log" =>
+        // the consumer's incremental sync: changes in (from, to]; `to`
+        // defaults to the current version so a cron'd sync passes only the
+        // version it last saw
+        val from = c.lngOpt("from").getOrElse(throw new IllegalArgumentException(
+          "--op change_log needs config {\"from\": <last synced version>}")).toInt
+        lake.changeLog(spark, from, c.lng("to", lake.currentVersion.toLong).toInt)
       case "quarantine_replay" =>
         // the merge config is re-derived from the table's own manifest (mode,
         // keys, scd columns); only the merge strategy — not recorded per
@@ -210,7 +226,8 @@ object JobMain {
         s"unknown --op '$other' (dedup_exact | dedup_minhash | dedup_simhash | " +
           "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
           "multimodal_features; maintenance, with --table: compact | vacuum | " +
-          "rescale | split_buckets | reconcile | quarantine_list | quarantine_replay)")
+          "rescale | split_buckets | reconcile | quarantine_list | " +
+          "quarantine_replay | read | change_log)")
     }
   }
 

@@ -118,6 +118,46 @@ class OpsMainSpec extends SparkSpec {
     assert(e.getMessage.contains("--table"))
   }
 
+  test("read + change_log verbs: consumer bootstrap and incremental sync " +
+    "from the CLI == direct API") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-opsmain-sync")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2, changeFeed = true))
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 60))
+    ChangeFeed.writeFeed(feed, cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 60, startLsn = 301)),
+      cfg.feedDir, nFiles = 2, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    def tbl = Seq("--table", cfg.tableDir)
+
+    val readCli = JobMain.runOp(spark, Seq("--op", "read") ++ tbl)
+      .collect().map(_.toString).sorted
+    assert(readCli.sameElements(lake.read(spark).collect().map(_.toString).sorted))
+    // time travel via config
+    val vConf = writeConfig(s"""{"version": $v1}""")
+    val asOf = JobMain.runOp(spark, Seq("--op", "read", "--config", vConf) ++ tbl)
+      .collect().map(_.toString).sorted
+    assert(asOf.sameElements(lake.readVersion(spark, v1).collect().map(_.toString).sorted))
+    assert(!asOf.sameElements(readCli), "the second wave changed the table")
+
+    // change_log: `to` defaults to the current version
+    val cConf = writeConfig(s"""{"from": $v1}""")
+    val clCli = JobMain.runOp(spark, Seq("--op", "change_log", "--config", cConf) ++ tbl)
+      .collect().map(_.toString).sorted
+    assert(clCli.nonEmpty && clCli.sameElements(
+      lake.changeLog(spark, v1, lake.currentVersion).collect().map(_.toString).sorted))
+    intercept[IllegalArgumentException](
+      JobMain.runOp(spark, Seq("--op", "change_log") ++ tbl))
+  }
+
   test("quarantine_list + quarantine_replay from the CLI drain the DLX " +
     "like the direct API") {
     import graft.model._
