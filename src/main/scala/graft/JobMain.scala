@@ -51,6 +51,8 @@ import graft.runner._
  * //   quarantine_replay {epoch, attempt?, merge?} // re-drive one epoch's DLX
  * //   read              {version?}              // consumer bootstrap (time travel)
  * //   change_log        {from, to?}             // incremental CDC-out (from, to]
+ * //   jdbc_apply        {url, target_table, from, to?, keys?, columns?,
+ * //                      properties?, batch_size?} // lake → database sync
  * }}}
  */
 object JobMain {
@@ -78,13 +80,22 @@ object JobMain {
     def bool(k: String, d: Boolean): Boolean = (j \ k).extractOpt[Boolean].getOrElse(d)
     def lng(k: String, d: Long): Long = (j \ k).extractOpt[Long].getOrElse(d)
     def lngOpt(k: String): Option[Long] = (j \ k).extractOpt[Long]
+    def strSeq(k: String): Seq[String] = (j \ k) match {
+      case JArray(vs) => vs.map(_.extract[String])
+      case _          => Nil
+    }
+    def strMap(k: String): Map[String, String] = (j \ k) match {
+      case JObject(kvs) => kvs.collect { case (n, JString(v)) => n -> v }.toMap
+      case _            => Map.empty
+    }
   }
 
   /** Ops that act on a lake table (`--table <lakeDir>`) instead of a parquet
     * input — the maintenance/DLX lifecycle verbs plus the read-side pair a
     * downstream consumer needs (snapshot read + incremental change feed). */
   private val maintenanceOps = Set("compact", "vacuum", "rescale", "split_buckets",
-    "reconcile", "quarantine_list", "quarantine_replay", "read", "change_log")
+    "reconcile", "quarantine_list", "quarantine_replay", "read", "change_log",
+    "jdbc_apply")
 
   /**
    * Maintenance + DLX verbs over a lake table — the reference drives its whole
@@ -148,6 +159,47 @@ object JobMain {
         val from = c.lngOpt("from").getOrElse(throw new IllegalArgumentException(
           "--op change_log needs config {\"from\": <last synced version>}")).toInt
         lake.changeLog(spark, from, c.lng("to", lake.currentVersion.toLong).toInt)
+      case "jdbc_apply" =>
+        // incremental lake → database sync: a changeLog window applied to a
+        // keyed JDBC target with LWW delete+insert pages (the reference's
+        // replication direction, batched). Bootstrap the target once with
+        // `--op read` + fullLoadTo (or let the first window be (1, to]).
+        import org.apache.spark.sql.functions.col
+        val url = c.str("url", "")
+        require(url.nonEmpty, "--op jdbc_apply needs config {\"url\": \"jdbc:...\"}")
+        val conn = graft.feed.JdbcEndpoint.Conn(url, c.strMap("properties"))
+        val target = c.str("target_table", "")
+        require(target.nonEmpty, "--op jdbc_apply needs config {\"target_table\": \"T\"}")
+        val keys = c.strSeq("keys") match {
+          case Nil => lake.manifest.keyCols
+          case ks  => ks
+        }
+        val from = c.lngOpt("from").getOrElse(throw new IllegalArgumentException(
+          "--op jdbc_apply needs config {\"from\": <last synced version>}")).toInt
+        val to = c.lng("to", lake.currentVersion.toLong).toInt
+        val changes0 = lake.changeLog(spark, from, to)
+        // JDBC targets have no array type: the payload must be scalar. Fail
+        // with the offending columns rather than silently dropping data —
+        // declare the projection via config {"columns": [...]}.
+        val payload = c.strSeq("columns") match {
+          case Nil => changes0.schema.fields.filterNot(_.name.startsWith("_"))
+            .map(_.name).toSeq
+          case cs  => cs
+        }
+        val unmappable = payload.filter(n =>
+          changes0.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        require(unmappable.isEmpty,
+          s"jdbc_apply: column(s) ${unmappable.mkString(", ")} are arrays — JDBC " +
+            "targets need scalars; pass config {\"columns\": [...]} selecting " +
+            "the scalar payload")
+        val changes = changes0.select((payload ++ Seq("_lsn", "_deleted")).map(col): _*)
+        graft.feed.JdbcEndpoint.ensureTable(conn, target,
+          org.apache.spark.sql.types.StructType(
+            payload.map(n => changes.schema(n)).toArray), keys)
+        graft.feed.JdbcEndpoint.applyChanges(changes, conn, target, keys,
+          c.int("batch_size", 10000))
+        Seq((from, to, keys.mkString(","), target))
+          .toDF("from_version", "to_version", "keys", "target_table")
       case "quarantine_replay" =>
         // the merge config is re-derived from the table's own manifest (mode,
         // keys, scd columns); only the merge strategy — not recorded per
@@ -227,7 +279,7 @@ object JobMain {
           "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
           "multimodal_features; maintenance, with --table: compact | vacuum | " +
           "rescale | split_buckets | reconcile | quarantine_list | " +
-          "quarantine_replay | read | change_log)")
+          "quarantine_replay | read | change_log | jdbc_apply)")
     }
   }
 

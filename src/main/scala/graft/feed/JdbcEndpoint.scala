@@ -247,4 +247,93 @@ object JdbcEndpoint {
     ensureTable(conn, table, df.schema, keyCols, varcharLen)
     bulkInsertCapturing(df, conn, table, batchSize)
   }
+
+  /**
+   * Apply a change set to a keyed JDBC target — the reference's replication
+   * DIRECTION (its consumer upserts/deletes row-by-row into PostgreSQL,
+   * CDCOperationsHandler.py:88-277), re-expressed batched: collapse the
+   * changes per key (max `_lsn` wins — a multi-epoch changeLog window carries
+   * one winner per epoch per key), then per partition apply pages
+   * transactionally as DELETE-by-key + INSERT of the survivors — the
+   * portable MERGE (no dialect-specific UPSERT syntax), exactly the
+   * last-writer-wins semantics the lake merge uses. Pair with
+   * `LakeTable.changeLog` for incremental lake → database sync:
+   * bootstrap with [[fullLoadTo]], then apply each sync window's feed.
+   *
+   * At-least-once on Spark task retry (idempotent at the ROW level: re-running
+   * the same reduced page converges to the same final state — delete+insert
+   * of the same keys), like every JDBC writer.
+   */
+  def applyChanges(changes: DataFrame, conn: Conn, table: String,
+      keyCols: Seq[String], batchSize: Int = 10000): Unit = {
+    require(keyCols.nonEmpty, "applyChanges needs the merge key columns")
+    keyCols.foreach(k => require(changes.columns.contains(k),
+      s"key column '$k' not in the change set"))
+    require(changes.columns.contains("_lsn") && changes.columns.contains("_deleted"),
+      "change set must carry _lsn and _deleted (LakeTable.changeLog shape)")
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val payloadCols = changes.columns.filterNot(_.startsWith("_")).toSeq
+    val nonKey = payloadCols.filterNot(keyCols.contains)
+    // per-key LWW collapse — map-side partial max_by keeps hot keys skew-safe
+    val reduced = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct((nonKey :+ "_deleted").map(col): _*), col("_lsn")).as("_w"))
+      .select(keyCols.map(col) ++ nonKey.map(c => col(s"_w.$c").as(c)) :+
+        col("_w._deleted").as("_deleted"): _*)
+    val schema = reduced.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val delIdx = schema.fieldIndex("_deleted")
+    val insertCols = payloadCols
+    val insertIdx = insertCols.map(schema.fieldIndex).toArray
+    val insertTypes = insertIdx.map(i => jdbcTypeCode(schema(i).dataType))
+    val keyTypes = keyIdx.map(i => jdbcTypeCode(schema(i).dataType))
+    val deleteSql = s"DELETE FROM $table WHERE " +
+      keyCols.map(k => s""""$k" = ?""").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (" +
+      insertCols.map(c => s""""$c"""").mkString(", ") +
+      s") VALUES (${insertCols.map(_ => "?").mkString(", ")})"
+    val url = conn.url
+    val props = conn.properties
+    reduced.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val p = new java.util.Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val c = java.sql.DriverManager.getConnection(url, p)
+        try {
+          c.setAutoCommit(false)
+          val del = c.prepareStatement(deleteSql)
+          val ins = c.prepareStatement(insertSql)
+          rows.grouped(batchSize).foreach { page =>
+            // DELETE every key in the page (idempotent no-op for new keys),
+            // then INSERT the non-tombstone winners: one txn per page
+            page.foreach { r =>
+              var i = 0
+              while (i < keyIdx.length) {
+                val v = r.get(keyIdx(i))
+                if (v == null) del.setNull(i + 1, keyTypes(i)) else del.setObject(i + 1, v)
+                i += 1
+              }
+              del.addBatch()
+            }
+            del.executeBatch()
+            page.foreach { r =>
+              if (!r.getBoolean(delIdx)) {
+                var i = 0
+                while (i < insertIdx.length) {
+                  val v = r.get(insertIdx(i))
+                  if (v == null) ins.setNull(i + 1, insertTypes(i))
+                  else ins.setObject(i + 1, v)
+                  i += 1
+                }
+                ins.addBatch()
+              }
+            }
+            ins.executeBatch()
+            c.commit()
+          }
+          del.close(); ins.close()
+        } finally c.close()
+      }
+    }
+  }
 }

@@ -142,6 +142,61 @@ class JdbcSpec extends SparkSpec {
     finally none.unpersist()
   }
 
+  test("incremental lake → database sync: bootstrap full load, then applyChanges " +
+    "of a changeLog window == lake state (deletes included); CLI jdbc_apply agrees") {
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-jdbc-sync")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+        buckets = 4),
+      payloadSchema = payload)
+    def events(n: Int, startLsn: Long) = ChangeFeed.events(spark,
+        ChangeFeed.FeedSpec(nEvents = n, nDocs = 60, startLsn = startLsn))
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+    ChangeFeed.writeFeed(events(300, 1), cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    // bootstrap the target from the v1 snapshot (keyed DDL + bulk insert)
+    JdbcEndpoint.fullLoadTo(lake.read(spark).select("doc_id", "n_tok", "source"),
+      conn, "SYNC_T", keyCols = Seq("doc_id"))
+    // second wave: updates + deletes land in the lake only
+    ChangeFeed.writeFeed(events(200, 301), cfg.feedDir, nFiles = 2, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // incremental apply of the (v1, current] window
+    JdbcEndpoint.applyChanges(
+      lake.changeLog(spark, v1, lake.currentVersion)
+        .select("doc_id", "n_tok", "source", "_lsn", "_deleted"),
+      conn, "SYNC_T", keyCols = Seq("doc_id"), batchSize = 32)
+    val target = JdbcEndpoint.snapshot(spark, conn, "SYNC_T")
+      .collect().map(_.toString).sorted
+    val lakeState = lake.read(spark).select("doc_id", "n_tok", "source")
+      .collect().map(_.toString).sorted
+    assert(target.nonEmpty && target.sameElements(lakeState),
+      "the synced target equals the lake after the window (upserts AND deletes)")
+    // re-applying the same window converges to the same state (at-least-once safe)
+    JdbcEndpoint.applyChanges(
+      lake.changeLog(spark, v1, lake.currentVersion)
+        .select("doc_id", "n_tok", "source", "_lsn", "_deleted"),
+      conn, "SYNC_T", keyCols = Seq("doc_id"), batchSize = 32)
+    assert(JdbcEndpoint.snapshot(spark, conn, "SYNC_T")
+      .collect().map(_.toString).sorted.sameElements(lakeState))
+
+    // the no-code route: jdbc_apply into a fresh target from the same window
+    val confP = java.nio.file.Files.createTempFile("graft-jdbcapply", ".json")
+    java.nio.file.Files.writeString(confP,
+      s"""{"url": "${conn.url.replace("\\", "\\\\")}",
+         |"properties": {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+         |"target_table": "SYNC_CLI_T", "from": 1,
+         |"columns": ["doc_id", "n_tok", "source"]}""".stripMargin)
+    graft.JobMain.runOp(spark, Seq("--op", "jdbc_apply",
+      "--table", cfg.tableDir, "--config", confP.toString))
+    // window (1, current] covers everything → fresh target == lake state
+    assert(JdbcEndpoint.snapshot(spark, conn, "SYNC_CLI_T")
+      .collect().map(_.toString).sorted.sameElements(lakeState))
+  }
+
   test("partitioned snapshot of an empty table: bounds are NULL, falls back clean") {
     JdbcEndpoint.bulkInsert(
       spark.range(0).select(col("id").as("seq"), lit("x").as("v")), conn, "EMPTY_T")
