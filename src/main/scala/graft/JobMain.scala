@@ -49,6 +49,7 @@ import graft.runner._
  * //   reconcile         {}                      // lineage-vs-manifest audit
  * //   quarantine_list   {epoch?}                // browse rows + reasons
  * //   quarantine_replay {epoch, attempt?, merge?} // re-drive one epoch's DLX
+ * //   quarantine_clear  {epoch}                 // drop a drained epoch's rows
  * //   read              {version?}              // consumer bootstrap (time travel)
  * //   change_log        {from, to?}             // incremental CDC-out (from, to]
  * //   jdbc_apply        {url, target_table, from, to?, keys?, columns?,
@@ -94,8 +95,8 @@ object JobMain {
     * input — the maintenance/DLX lifecycle verbs plus the read-side pair a
     * downstream consumer needs (snapshot read + incremental change feed). */
   private val maintenanceOps = Set("compact", "vacuum", "rescale", "split_buckets",
-    "reconcile", "quarantine_list", "quarantine_replay", "read", "change_log",
-    "jdbc_apply")
+    "reconcile", "quarantine_list", "quarantine_replay", "quarantine_clear",
+    "read", "change_log", "jdbc_apply")
 
   /**
    * Maintenance + DLX verbs over a lake table — the reference drives its whole
@@ -146,6 +147,11 @@ object JobMain {
           .toDF("ok", "missing_lineage_epochs", "mismatched_metrics")
       case "quarantine_list" =>
         lake.quarantine(spark, c.lngOpt("epoch"))
+      case "quarantine_clear" =>
+        val epoch = c.lngOpt("epoch").getOrElse(throw new IllegalArgumentException(
+          "--op quarantine_clear needs config {\"epoch\": N} — clearing is " +
+            "an explicit per-epoch acknowledgement, never a sweep"))
+        lake.clearQuarantine(epoch).toDF("deleted_path")
       case "read" =>
         // the consumer bootstrap: current state, or as-of a snapshot version
         c.lngOpt("version") match {

@@ -424,6 +424,21 @@ class LakeTable(val dir: String) {
   def readQuarantine(spark: SparkSession, epoch: Long): DataFrame =
     spark.read.parquet(quarantineDir(epoch))
 
+  /** Drop one epoch's quarantined rows — the operator's acknowledgement after
+    * a successful [[graft.apply.MergeApply.replayQuarantine]] drain (or a
+    * deliberate discard). Explicit and epoch-scoped on purpose: quarantine
+    * dirs are the audit trail of what the merge refused, so nothing GCs them
+    * implicitly — but at 10^10-event cadence drained epochs must be
+    * clearable or the DLX inventory grows forever. Returns the deleted
+    * paths; empty when the epoch has none. */
+  def clearQuarantine(epoch: Long): Seq[String] = {
+    val root = Paths.get(quarantineDir(epoch))
+    if (!Files.isDirectory(root)) return Nil
+    val deleted = scala.util.Using.resource(Files.walk(root))(_.iterator().asScala.toSeq)
+      .reverse.filter(Files.deleteIfExists(_)).map(_.toString)
+    deleted
+  }
+
   /** Browse the dead-letter table: quarantined rows + `_error_reason` +
     * `_epoch`, across all epochs or one — the read half of the DLX surface
     * (reference: the browsable `dlx_message` / `apply_exceptions` tables,

@@ -294,6 +294,20 @@ class MultiTableSpec extends SparkSpec {
     assert(state("e2") == (("bob", null)))
   }
 
+  test("examples/settings-lake-ops.json: the engine-extension keys parse " +
+    "(change_feed, auto-compact, auto-rescale)") {
+    val s = TaskSettings.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("examples/settings-lake-ops.json")))
+    assert(s.mergeStrategy == MergeStrategy.MergeOnRead)
+    assert(s.buckets == 64 && s.changeFeed)
+    assert(s.autoCompactEveryEpochs == 4 && s.autoCompactMaxDeltaFiles == 8)
+    assert(s.autoRescaleBytesPerBucket == 1073741824L && s.autoRescaleMaxGroups == 4)
+    // defaults when the keys are absent (the plain example)
+    val d = TaskSettings.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("examples/settings.json")))
+    assert(!d.changeFeed && d.autoRescaleBytesPerBucket == 0L)
+  }
+
   test("examples/settings.json drives full_load_and_cdc: load completes first, " +
     "then the continuous trigger tails at interval_seconds") {
     import graft.feed.ChangeFeed

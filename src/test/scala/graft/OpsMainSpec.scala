@@ -191,6 +191,18 @@ class OpsMainSpec extends SparkSpec {
     val epochs = JobMain.runOp(spark, Seq("--op", "quarantine_list") ++ tbl)
       .select("_epoch").distinct().collect().map(_.getLong(0)).sorted
     assert(epochs.length == 2 && epochs.head == 0L, s"replay epoch listed: ${epochs.toSeq}")
+
+    // the acknowledgement: clear the drained source epoch, replay epoch stays
+    val clConf = writeConfig("""{"epoch": 0}""")
+    val cleared = JobMain.runOp(spark,
+      Seq("--op", "quarantine_clear", "--config", clConf) ++ tbl)
+    assert(cleared.count() > 0, "deleted paths reported")
+    val after = JobMain.runOp(spark, Seq("--op", "quarantine_list") ++ tbl)
+      .select("_epoch").distinct().collect().map(_.getLong(0))
+    assert(after.toSeq == Seq(epochs(1)), s"only the replay epoch remains: ${after.toSeq}")
+    // clearing is explicit per-epoch — no epoch, loud failure
+    intercept[IllegalArgumentException](
+      JobMain.runOp(spark, Seq("--op", "quarantine_clear") ++ tbl))
   }
 
   test("dedup_embedding honors vec_col/id_col overrides") {
