@@ -109,6 +109,43 @@ class ChangeFeedCowSpec extends SparkSpec {
       "pruned epochs' sidecars are gone")
   }
 
+  test("maintenance inside the window leaves the CoW feed exact: compaction " +
+    "consolidates the fragment list but adds no change rows") {
+    val root = tmpDir("graft-cfcow-maint")
+    val cfg = mkCfg(root, "t",
+      JobConfig(mode = CdcMode.Upsert, buckets = 2, changeFeed = true),
+      filesPerTrigger = 1)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 400, nDocs = 80))
+    ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) <= 200), cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    // second wave in several epochs, a compaction (consolidating commit) and
+    // a rescale (metadata-only commit) interleaved in the SAME window
+    ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) > 200), cfg.feedDir,
+      nFiles = 2, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    lake.compact(spark, maxFilesPerBucket = 1)
+    lake.rescale(4)
+    val got = lake.changeLog(spark, v1, lake.currentVersion)
+      .select("doc_id", "_lsn", "_deleted").collect().map(_.toString).sorted
+    // the exact per-epoch winner set depends on the streaming file split, so
+    // assert the split-independent invariants: the feed's key set equals
+    // wave-2's, and each key's max change LSN matches wave-2's — despite the
+    // consolidating compaction + metadata rescale commits inside the window
+    val rows = lake.changeLog(spark, v1, lake.currentVersion)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.max("_lsn").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wave2 = feed.filter(col(ChangeEvent.LSN) > 200)
+      .groupBy(ChangeEvent.DOC_ID)
+      .agg(org.apache.spark.sql.functions.max(ChangeEvent.LSN).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == wave2,
+      "per-key max change LSN across the window == wave-2's, despite the " +
+        "compaction + rescale commits inside the window")
+    assert(got.nonEmpty)
+  }
+
   test("SCD2 CoW sidecar: version rows served, equal to the MoR delta feed") {
     val root = tmpDir("graft-cfcow-scd2")
     val cow = mkCfg(root, "cow",
