@@ -162,4 +162,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("ObjectHashAggregate"),
       s"partial aggregation present:\n$p")
   }
+
+  test("jdbc sync collapse is the same skew-safe shape: partial max_by, " +
+    "one shuffle, winner values correct") {
+    import org.apache.spark.sql.functions._
+    val changes = spark.range(0, 3000).select(
+      concat(lit("d"), pmod(col("id"), lit(7))).as("doc_id"), // 7 hot keys
+      col("id").cast("int").as("n_tok"),
+      lit("s").as("source"),
+      col("id").as("_lsn"),
+      (col("id") % 11 === 0).as("_deleted"))
+    val collapsed = graft.feed.JdbcEndpoint.collapseChanges(changes, Seq("doc_id"))
+    val p = collapsed.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by") || p.contains("ObjectHashAggregate"),
+      s"map-side combine present:\n$p")
+    assert(p.split("Exchange").length <= 2, s"exactly one shuffle:\n$p")
+    val rows = collapsed.collect().map(r =>
+      r.getAs[String]("doc_id") -> r.getAs[Int]("n_tok")).toMap
+    assert(rows.size == 7 && rows("d0") == 2996,
+      s"per-key winner is the max-LSN row: $rows")
+  }
 }
