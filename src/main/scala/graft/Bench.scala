@@ -149,6 +149,12 @@ object Bench {
     val maxTok = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXTOK", "128").toInt
 
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") == "1"
+    // validated up front — an empty.min crash AFTER the query phase and feed
+    // build would waste the 20 minutes that already ran
+    val morSampleCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOR_SAMPLES", "2").toInt
+    require(morSampleCount >= 1,
+      s"SPARK_GRAFT_BENCH_MOR_SAMPLES=$morSampleCount: need >= 1 (use " +
+        "SPARK_GRAFT_BENCH_QUERIES=0 to skip the query phase instead)")
 
     // clear stale bench workspaces from crashed runs (tmpfs is shared + finite);
     // age-scoped so a concurrently running bench's live workspace is never hit
@@ -213,7 +219,6 @@ object Bench {
     // reported for audit.
     spark = newSession(scaleHi)
     val tWarm = timedCdcRun(spark, feedDir, tmpl)._1
-    val morSampleCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOR_SAMPLES", "2").toInt
     val morSamples = (1 to morSampleCount).map { _ =>
       timedCdcRun(spark, feedDir, tmpl, merge = MergeStrategy.MergeOnRead)
     }

@@ -169,7 +169,11 @@ object JobMain {
         // incremental lake → database sync: a changeLog window applied to a
         // keyed JDBC target with LWW delete+insert pages (the reference's
         // replication direction, batched). Bootstrap the target once with
-        // `--op read` + fullLoadTo (or let the first window be (1, to]).
+        // `--op read` + a full load; a first window of (1, to] substitutes
+        // for the bootstrap ONLY on CDC-only tables — the change feed
+        // excludes the initial snapshot (epoch -1) by contract, so a
+        // full-loaded table synced from version 1 would silently miss every
+        // row the snapshot alone contributed (guarded below).
         import org.apache.spark.sql.functions.col
         val url = c.str("url", "")
         require(url.nonEmpty, "--op jdbc_apply needs config {\"url\": \"jdbc:...\"}")
@@ -183,6 +187,14 @@ object JobMain {
         val from = c.lngOpt("from").getOrElse(throw new IllegalArgumentException(
           "--op jdbc_apply needs config {\"from\": <last synced version>}")).toInt
         val to = c.lng("to", lake.currentVersion.toLong).toInt
+        require(from > 1 || !lake.manifest.isCommittedEpoch(-1L) ||
+          c.bool("target_bootstrapped", false),
+          "jdbc_apply from version 1 on a FULL-LOADED table: the change feed " +
+            "excludes the initial snapshot, so rows only the snapshot " +
+            "contributed would be silently missing from the target. Bootstrap " +
+            "the target first (--op read + a bulk load), then sync from the " +
+            "bootstrapped version — or pass {\"target_bootstrapped\": true} " +
+            "to confirm the target already holds the snapshot")
         val changes0 = lake.changeLog(spark, from, to)
         // JDBC targets have no array type: the payload must be scalar. Fail
         // with the offending columns rather than silently dropping data —
@@ -222,7 +234,10 @@ object JobMain {
             case Seq(s, e, cur) => ScdCols(s, e, cur)
             case _              => ScdCols()
           },
-          changeFeed = c.bool("change_feed", false))
+          // default from the table's own on-disk evidence: a drain on a
+          // feed-recording table MUST write the replay epoch's sidecar, or
+          // every changeLog window spanning it throws forever after
+          changeFeed = c.bool("change_feed", lake.recordsChangeFeed))
         val r = graft.apply.MergeApply.replayQuarantine(
           spark, lake, epoch, cfg, attempt = c.int("attempt", 0))
         Seq((r.epoch, r.skipped,

@@ -181,13 +181,33 @@ object JdbcEndpoint {
     val typeCodes = schema.fields.map(f => jdbcTypeCode(f.dataType))
     val url = conn.url
     val props = conn.properties
-    import org.apache.spark.sql.functions.{struct, to_json, col}
-    val withJson = df.withColumn("_row_json",
-      to_json(struct(colNames.map(col): _*)))
     val spark = df.sparkSession
     import spark.implicits._
     val n = schema.length
-    val errors = withJson.mapPartitions { rows =>
+    val fieldNames = colNames.toArray
+    // the row JSON is built ONLY in the per-row failure branch — serializing
+    // every row up front would tax the 100%-clean common case (a 10^9-row
+    // bootstrap) for an artifact that is almost never produced
+    def rowJson(r: org.apache.spark.sql.Row): String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(JObject(
+        fieldNames.toList.zipWithIndex.map { case (name, i) =>
+          name -> (r.get(i) match {
+            case null                 => JNull
+            case v: String            => JString(v)
+            case v: java.lang.Integer => JLong(v.longValue())
+            case v: java.lang.Long    => JLong(v)
+            case v: java.lang.Short   => JLong(v.longValue())
+            case v: java.lang.Double  => JDouble(v)
+            case v: java.lang.Float   => JDouble(v.doubleValue())
+            case v: java.lang.Boolean => JBool(v)
+            case v: java.math.BigDecimal => JDecimal(BigDecimal(v))
+            case v                    => JString(v.toString) // timestamp/date
+          })
+        })))
+    }
+    val errors = df.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
         val p = new java.util.Properties()
@@ -222,8 +242,7 @@ object JdbcEndpoint {
                   catch {
                     case e: java.sql.SQLException =>
                       c.rollback()
-                      out += ApplyException(
-                        r.getString(r.length - 1), // _row_json (last column)
+                      out += ApplyException(rowJson(r),
                         Option(e.getMessage).getOrElse(e.getClass.getName))
                   }
                 }

@@ -379,6 +379,18 @@ class LakeTable(val dir: String) {
     * change set. */
   def changesDir(epoch: Long): String = s"$dir/changes/epoch=$epoch"
 
+  /** Whether this table has recorded ANY change sidecar — the on-disk signal
+    * that it is run with `change_feed` on. Maintenance entry points use it to
+    * default their own changeFeed flag, so a quarantine drain on a
+    * feed-recording table cannot silently commit a sidecar-less epoch that
+    * would wedge every changeLog window spanning it. */
+  def recordsChangeFeed: Boolean = {
+    val root = Paths.get(dir, "changes")
+    Files.isDirectory(root) && scala.util.Using.resource(Files.list(root)) { ls =>
+      ls.iterator().asScala.exists(_.getFileName.toString.startsWith("epoch="))
+    }
+  }
+
   /** Persist one CoW epoch's change set ([[changesDir]]). Overwrite keeps a
     * retried epoch idempotent; the `_meta.json` records the writer schema id
     * so changeLog can project the rows onto the window-end schema by field
@@ -455,7 +467,9 @@ class LakeTable(val dir: String) {
         StructType(Seq(StructField("_epoch", LongType),
           StructField("_error_reason", StringType))))
     else epochs.map(e => readQuarantine(spark, e).withColumn("_epoch", lit(e)))
-      .reduce(_ unionByName _)
+      // epochs quarantined before and after a schema evolution carry
+      // different column sets — browse them anyway (missing columns null)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ── snapshot isolation: readers resolve _current once, then read that manifest ──

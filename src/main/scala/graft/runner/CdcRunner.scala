@@ -233,6 +233,12 @@ object CdcRunner {
       if (cfg.autoRescaleBytesPerBucket > 0)
         lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
           maxGroups = cfg.autoRescaleMaxGroups): Unit
+    } else if (cfg.autoRescaleBytesPerBucket > 0 && epoch >= 0) {
+      // the rescale policy must not be silently inert when auto-compaction is
+      // off: with no compact cadence to ride, check every epoch — below the
+      // threshold it is driver-side metadata arithmetic on the cached fold
+      lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
+        maxGroups = cfg.autoRescaleMaxGroups): Unit
     }
   }
 

@@ -146,6 +146,55 @@ class ChangeFeedCowSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("quarantine drain on a feed-recording table records the replay epoch's " +
+    "sidecar by default (CLI change_feed auto-derived)") {
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-cfcow-drain")
+    val cfg = mkCfg(root, "t",
+      JobConfig(mode = CdcMode.Upsert, buckets = 4, changeFeed = true))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val vMark = lake.currentVersion
+    // poison batch straight through the merge (mixed good+bad)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val poison = Seq(
+      Row(9001L, 1L, ts(1), "INSERT", 1, "kx", Seq(1, 2), Int.box(2), "web"),
+      Row(9002L, 1L, ts(2), "FROB", 1, "ky", Seq(1), Int.box(1), "web"))
+    graft.apply.MergeApply.applyBatch(spark, lake,
+      spark.createDataFrame(spark.sparkContext.parallelize(poison, 2),
+        ChangeEvent.schema()), 500L, cfg.job)
+    assert(lake.recordsChangeFeed, "sidecars on disk identify a feed-recording table")
+    // THE HAZARD, demonstrated: a drain configured without changeFeed commits
+    // the fixed rows sidecar-less and wedges every window spanning it
+    val fix = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("op", org.apache.spark.sql.functions.lit("INSERT"))
+    graft.apply.MergeApply.replayQuarantine(spark, lake, 500L,
+      cfg.job.copy(changeFeed = false), fix = fix)
+    intercept[IllegalStateException](
+      lake.changeLog(spark, vMark, lake.currentVersion).count())
+    // the same drain with the table-derived default (what the CLI does via
+    // lake.recordsChangeFeed) records the sidecar and the window serves
+    graft.apply.MergeApply.replayQuarantine(spark, lake, 500L,
+      cfg.job.copy(changeFeed = lake.recordsChangeFeed), fix = fix, attempt = 1)
+    // wedged version is inside any spanning window forever — sync restarts
+    // from a mark AFTER it (the recovery runbook); the attempt-1 drain is
+    // then served with its sidecar
+    val vBad = lake.currentVersion - 1
+    val cl = lake.changeLog(spark, vBad, lake.currentVersion)
+    assert(cl.filter(col("doc_id") === "ky").count() == 1,
+      "the re-driven row is in the feed from the post-wedge mark")
+    // and the CLI drain derives the default itself (re-quarantine path: no
+    // fix possible over the wire, rows re-quarantine, nothing wedges)
+    val confP = java.nio.file.Files.createTempFile("graft-drain", ".json")
+    java.nio.file.Files.writeString(confP, """{"epoch": 500, "attempt": 2}""")
+    graft.JobMain.runOp(spark, Seq("--op", "quarantine_replay",
+      "--table", cfg.tableDir, "--config", confP.toString))
+    assert(lake.changeLog(spark, vBad, lake.currentVersion).count() >= 1)
+  }
+
   test("SCD2 CoW sidecar: version rows served, equal to the MoR delta feed") {
     val root = tmpDir("graft-cfcow-scd2")
     val cow = mkCfg(root, "cow",

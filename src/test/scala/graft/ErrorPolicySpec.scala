@@ -76,15 +76,23 @@ class ErrorPolicySpec extends SparkSpec {
     // two poisoned epochs → one browsable table with an _epoch column
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
     MergeApply.applyBatch(spark, lake, df, 0L, job)
+    // epoch 1's batch carries an EXTRA payload column (post-evolution feed
+    // shape): the browse must still union both epochs (missing columns null)
+    import org.apache.spark.sql.types._
+    val schema2 = StructType(schema.fields :+ StructField("lang", StringType))
     val rows2 = Seq(
-      Row(9L, 1L, ts(9), "FROB", 1, "k9", Seq(1), Int.box(1), "web"))
+      Row(9L, 1L, ts(9), "FROB", 1, "k9", Seq(1), Int.box(1), "web", "en"))
     MergeApply.applyBatch(spark, lake,
-      spark.createDataFrame(spark.sparkContext.parallelize(rows2, 1), schema), 1L, job)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows2, 1), schema2), 1L, job)
     val all = lake.quarantine(spark)
       .select("_epoch", "doc_id", MergeApply.QUARANTINE_REASON).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
     assert(all.map(t => (t._1, t._2)).toSeq == Seq((0L, "k2"), (1L, "k9")), s"$all")
     assert(all(0)._3.startsWith("payload_invariant") && all(1)._3.startsWith("unknown_op"))
+    // the pre-evolution epoch's rows read the new column as null
+    val langs = lake.quarantine(spark).select("_epoch", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs == Map(0L -> null, 1L -> "en"), s"$langs")
     // single-epoch filter
     assert(lake.quarantine(spark, Some(1L)).count() == 1)
   }

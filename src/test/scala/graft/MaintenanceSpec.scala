@@ -404,6 +404,19 @@ class MaintenanceSpec extends SparkSpec {
       .read(spark).collect().map(_.toString).sorted
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(twinState),
       "policy-driven rescale is invisible to readers")
+
+    // the policy must NOT be silently inert when auto-compaction is off —
+    // with no compact cadence to ride, it runs on its own every-epoch check
+    val solo = mkCfg("solo", policy = false).copy(
+      autoRescaleBytesPerBucket = 1L, autoRescaleMaxGroups = 64)
+    ChangeFeed.writeFeed(feed, solo.feedDir, nFiles = 4)
+    CdcRunner.ensureTable(spark, solo)
+    CdcRunner.runAvailableNow(spark, solo)
+    val mSolo = new graft.lake.LakeTable(solo.tableDir).manifest
+    assert(mSolo.buckets > 2,
+      s"rescale policy fires without a compaction cadence: ${mSolo.buckets}")
+    assert(new graft.lake.LakeTable(solo.tableDir)
+      .read(spark).collect().map(_.toString).sorted.sameElements(twinState))
   }
 
   test("commit refuses partial replacement of a pre-split file (coverage guard)") {

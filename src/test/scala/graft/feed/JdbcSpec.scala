@@ -195,6 +195,23 @@ class JdbcSpec extends SparkSpec {
     // window (1, current] covers everything → fresh target == lake state
     assert(JdbcEndpoint.snapshot(spark, conn, "SYNC_CLI_T")
       .collect().map(_.toString).sorted.sameElements(lakeState))
+
+    // a FULL-LOADED lake refuses the same from=1 shortcut: the change feed
+    // excludes the snapshot, so the target would silently miss snapshot-only
+    // rows — explicit bootstrap acknowledgement required
+    val root2 = tmpDir("graft-jdbc-sync-fl")
+    val cfg2 = cfg.copy(feedDir = s"$root2/feed", tableDir = s"$root2/table",
+      checkpointDir = s"$root2/cp")
+    val lake2 = CdcRunner.ensureTable(spark, cfg2)
+    CdcRunner.fullLoad(spark, lake2,
+      lake.read(spark).select("doc_id", "n_tok", "source"), cfg2)
+    val conf2 = java.nio.file.Files.createTempFile("graft-jdbcapply2", ".json")
+    java.nio.file.Files.writeString(conf2,
+      s"""{"url": "${conn.url}", "target_table": "SYNC_FL_T", "from": 1,
+         |"columns": ["doc_id", "n_tok", "source"]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](graft.JobMain.runOp(spark,
+      Seq("--op", "jdbc_apply", "--table", cfg2.tableDir, "--config", conf2.toString)))
+    assert(e.getMessage.contains("snapshot"), e.getMessage)
   }
 
   test("partitioned snapshot of an empty table: bounds are NULL, falls back clean") {
