@@ -60,6 +60,20 @@ case class AddColumn(name: String, dataType: DataType, nullable: Boolean = true)
 case class RenameColumn(from: String, to: String) extends SchemaChange
 case class WidenColumn(name: String, to: DataType) extends SchemaChange
 
+/** A commit prepared against a snapshot that is no longer current could not be
+  * safely attached to the table head: something it depends on (the buckets it
+  * rewrites, the schema it evolves, the file list it consolidates) changed
+  * under it. The operation must be recomputed from the current snapshot —
+  * readers and disjoint writers were never at risk (the losing commit
+  * published nothing). */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+/** Internal signal: the version-file CAS was lost to a concurrent committer.
+  * Callers inside [[LakeTable]] re-read the head and retry or surface a
+  * [[ConcurrentCommitException]]; never escapes the class. */
+private[lake] final class CommitRace(val version: Int) extends RuntimeException(
+  s"version v$version was committed concurrently")
+
 object DataFile {
   val BASE = "base"
   /** Merge-on-read delta: per-epoch per-key LWW rows layered over the base;
@@ -473,7 +487,19 @@ class LakeTable(val dir: String) {
   }
 
   // ── snapshot isolation: readers resolve _current once, then read that manifest ──
+  /** Latest committed version. The pointer is a freshness HINT, not the commit
+    * point — the version-file CAS is (see [[writeManifest]]) — so resolution
+    * probes forward past it: a committer that died between winning the CAS and
+    * moving the pointer, or a racing slower committer briefly regressing it,
+    * leaves the pointer stale but never wrong-by-more-than-lag. Steady-state
+    * cost is one negative `Files.exists` probe. */
   def currentVersion: Int = {
+    var v = currentVersionHint
+    while (Files.exists(manifestPath(v + 1))) v += 1
+    v
+  }
+
+  private def currentVersionHint: Int = {
     if (!Files.exists(currentPtr)) 0
     else new String(Files.readAllBytes(currentPtr)).trim.toInt
   }
@@ -533,13 +559,32 @@ class LakeTable(val dir: String) {
   def bloomOptions(keyCols: Seq[String]): Map[String, String] =
     keyCols.map(k => s"parquet.bloom.filter.enabled#$k" -> "true").toMap
 
-  // ── atomic commit: tmp + ATOMIC_MOVE; version rename is the serialization point ──
-  private def writeManifest(m0: Manifest, fragment: Option[ManifestFragment]): Unit = {
+  // ── atomic commit: the version-file CAS is the ONE serialization point ──
+  /** Fragment file name for snapshot `seq` — unique per commit ATTEMPT (the
+    * nonce), so racing committers building the same next version never
+    * overwrite each other's fragment: the loser's file is simply never
+    * referenced by any manifest and is swept by [[vacuum]]'s unreferenced-
+    * fragment pass (the `mf-`/`.json` shape is what that pass matches). */
+  private def newFragName(seq: Int): String = {
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+    f"mf-$seq%06d-$nonce.json"
+  }
+
+  /** Publish one snapshot. Order: fragment (under its attempt-unique name),
+    * then the version file via `Files.createLink` — atomic fail-if-exists, so
+    * the FIRST committer of `v{N}.json` wins and every other attempt at N
+    * raises [[CommitRace]] having published nothing a reader can see — then
+    * the pointer, advanced monotonically (stale pointers are healed by
+    * [[currentVersion]]'s forward probe, so a crash between CAS and pointer
+    * move loses freshness, never correctness). This is the multi-writer
+    * commit protocol for rename/link-atomic filesystems (local, HDFS, NFS);
+    * an object-store deployment swaps this method for a catalog CAS. */
+  private def writeManifest(m0: Manifest, fragment: Option[(String, ManifestFragment)]): Unit = {
     // commit wall-clock stamp: metadata for age-based vacuum retention only
     val m = m0.copy(committedAtMs = System.currentTimeMillis())
     Files.createDirectories(manifestsDir)
-    fragment.foreach { fr =>
-      val name = f"mf-${fr.seq}%06d.json"
+    fragment.foreach { case (name, fr) =>
       val ftmp = manifestsDir.resolve(s".$name.tmp-${System.nanoTime()}")
       Files.write(ftmp, ManifestJson.writeFragment(fr).getBytes)
       Files.move(ftmp, manifestsDir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
@@ -547,13 +592,42 @@ class LakeTable(val dir: String) {
     }
     val tmp = manifestsDir.resolve(s".v${m.version}.json.tmp-${System.nanoTime()}")
     Files.write(tmp, ManifestJson.write(m).getBytes)
-    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val ptmp = manifestsDir.resolve(s"._current.tmp-${System.nanoTime()}")
-    Files.write(ptmp, m.version.toString.getBytes)
-    Files.move(ptmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try Files.createLink(manifestPath(m.version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitRace(m.version)
+    }
+    Files.deleteIfExists(tmp)
+    if (currentVersionHint < m.version) {
+      val ptmp = manifestsDir.resolve(s"._current.tmp-${System.nanoTime()}")
+      Files.write(ptmp, m.version.toString.getBytes)
+      Files.move(ptmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     foldCache = Some((m.version, m.fragments, m.files))
+  }
+
+  /** Bounded retry around a commit body that re-reads the head on each
+    * attempt; converts a persistent losing streak into a loud error. Jittered
+    * exponential backoff keeps N hot committers interleaving instead of
+    * starving the slowest (a CAS loss costs one head re-read + JSON rewrite,
+    * so without jitter the loser tends to keep losing). */
+  private def retryingCommit(what: String)(attempt: => Manifest): Manifest = {
+    var losses = 0
+    while (true) {
+      try return attempt
+      catch {
+        case _: CommitRace =>
+          losses += 1
+          if (losses > 20) throw new ConcurrentCommitException(
+            s"$what lost the version race $losses times in a row; giving up")
+          val capMs = math.min(1L << math.min(losses, 7), 100L)
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(capMs + 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Create the table: empty snapshot v1 at schema id 1. `keyCols` enables
@@ -567,7 +641,11 @@ class LakeTable(val dir: String) {
     val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil,
       epochWatermark = -2L, recentEpochs = Set.empty, metrics = Map.empty,
       keyCols = keyCols, tableMode = tableMode, scdCols = scdCols)
-    writeManifest(m, None)
+    try writeManifest(m, None)
+    catch {
+      case _: CommitRace => // two processes raced table creation
+        throw new IllegalStateException(s"lake table at $dir already exists")
+    }
     m
   }
 
@@ -593,6 +671,21 @@ class LakeTable(val dir: String) {
    * fragment of O(newFiles) plus a small snapshot JSON — commit cost does not
    * scale with total table file count. `consolidate` folds the whole fragment
    * list into a single fragment (used by compaction).
+   *
+   * MULTI-WRITER (optimistic concurrency): pass `readVersion` = the snapshot
+   * version the commit's inputs were computed from (the manifest a merge read
+   * its base buckets at, the file list a maintenance rewrite started from).
+   * If the head moved since, the commit attaches to the new head only when
+   * provably safe — nothing it replaces changed, no concurrent rescale, no
+   * concurrent evolution under its own `changes` — and otherwise throws
+   * [[ConcurrentCommitException]] BEFORE publishing anything (the caller
+   * recomputes from the fresh head and retries, like any optimistic lake
+   * format). A pure addition (merge-on-read delta, metrics-only commit)
+   * rebases unconditionally. Two limits, same as the published formats:
+   * the CAS needs link/rename atomicity (object stores swap in a catalog —
+   * the seam is [[writeManifest]]), and STREAMING epochs assume at most one
+   * active streaming writer per table (Spark's checkpoint lock) — a zombie
+   * driver re-writing `data/epoch=N` is fenced by the checkpoint, not here.
    */
   def commit(
       epoch: Long,
@@ -600,48 +693,91 @@ class LakeTable(val dir: String) {
       replacedBuckets: Set[Int],
       metricsDelta: Map[String, Long] = Map.empty,
       changes: Seq[SchemaChange] = Nil,
-      consolidate: Boolean = false): Manifest = this.synchronized {
-    val old = manifest
-    if (old.isCommittedEpoch(epoch)) return old
-    val evolved = if (changes.isEmpty) old else applySchemaChanges(old, changes)
-    val (dropped, carried) = evolved.files.partition(_.replacedBy(replacedBuckets))
-    // PARTIAL coverage of a coarser-spec (pre-rescale) file would silently drop
-    // the rows of its other children — a caller replacing any current bucket of
-    // such a file must replace the whole group (LakeTable.bucketClosure)
-    dropped.foreach { f =>
-      require(f.coveredBuckets(evolved.buckets).forall(replacedBuckets.contains),
-        s"commit(epoch=$epoch) replaces only part of ${f.path} " +
-          s"(spec=${f.spec}, bucket=${f.bucket}, current buckets=${evolved.buckets}): " +
-          "expand the replace set with bucketClosure")
+      consolidate: Boolean = false,
+      readVersion: Option[Int] = None): Manifest = this.synchronized {
+    retryingCommit(s"commit(epoch=$epoch)") {
+      val old = manifest
+      if (old.isCommittedEpoch(epoch)) old
+      else {
+        readVersion.filter(_ != old.version).foreach(rv =>
+          checkRebase(rv, old, replacedBuckets, changes, consolidate, epoch))
+        val evolved = if (changes.isEmpty) old else applySchemaChanges(old, changes)
+        val (dropped, carried) = evolved.files.partition(_.replacedBy(replacedBuckets))
+        // PARTIAL coverage of a coarser-spec (pre-rescale) file would silently drop
+        // the rows of its other children — a caller replacing any current bucket of
+        // such a file must replace the whole group (LakeTable.bucketClosure)
+        dropped.foreach { f =>
+          require(f.coveredBuckets(evolved.buckets).forall(replacedBuckets.contains),
+            s"commit(epoch=$epoch) replaces only part of ${f.path} " +
+              s"(spec=${f.spec}, bucket=${f.bucket}, current buckets=${evolved.buckets}): " +
+              "expand the replace set with bucketClosure")
+        }
+        val mergedMetrics = (evolved.metrics.keySet ++ metricsDelta.keySet).map { k =>
+          k -> (evolved.metrics.getOrElse(k, 0L) + metricsDelta.getOrElse(k, 0L))
+        }.toMap
+        val newVersion = evolved.version + 1
+        val liveFiles = carried ++ newFiles
+        val fragment =
+          if (consolidate)
+            ManifestFragment(newVersion, liveFiles, (0 until evolved.buckets).toSet)
+          else ManifestFragment(newVersion, newFiles, replacedBuckets)
+        val fragName = newFragName(fragment.seq)
+        val m = advanceEpochs(evolved, epoch).copy(
+          version = newVersion,
+          files = liveFiles,
+          fragments = if (consolidate) Seq(fragName) else evolved.fragments :+ fragName,
+          metrics = mergedMetrics,
+          epoch = epoch)
+        writeManifest(m, Some((fragName, fragment)))
+        writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
+        m
+      }
     }
-    val mergedMetrics = (evolved.metrics.keySet ++ metricsDelta.keySet).map { k =>
-      k -> (evolved.metrics.getOrElse(k, 0L) + metricsDelta.getOrElse(k, 0L))
-    }.toMap
-    val newVersion = evolved.version + 1
-    val liveFiles = carried ++ newFiles
-    val fragment =
-      if (consolidate)
-        ManifestFragment(newVersion, liveFiles, (0 until evolved.buckets).toSet)
-      else ManifestFragment(newVersion, newFiles, replacedBuckets)
-    val fragName = f"mf-${fragment.seq}%06d.json"
-    val m = advanceEpochs(evolved, epoch).copy(
-      version = newVersion,
-      files = liveFiles,
-      fragments = if (consolidate) Seq(fragName) else evolved.fragments :+ fragName,
-      metrics = mergedMetrics,
-      epoch = epoch)
-    writeManifest(m, Some(fragment))
-    writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
-    m
   }
 
-  /** Schema evolution only (no data) — bumps schema id, new snapshot. */
+  /** The rebase guard (see [[commit]]): a commit prepared against `readV`
+    * attaches to head `cur` only if nothing it depends on moved in between. */
+  private def checkRebase(readV: Int, cur: Manifest, replacedBuckets: Set[Int],
+      changes: Seq[SchemaChange], consolidate: Boolean, epoch: Long): Unit = {
+    def fail(why: String): Nothing = throw new ConcurrentCommitException(
+      s"commit(epoch=$epoch) was prepared against snapshot v$readV but the " +
+        s"head is v${cur.version}: $why — recompute from the current snapshot " +
+        "and retry")
+    if (consolidate)
+      fail("a consolidating rewrite (compaction) folds the whole file list, " +
+        "so ANY interleaved commit invalidates it")
+    if (!Files.exists(manifestPath(readV)))
+      fail("the base snapshot no longer exists (vacuumed)")
+    if (replacedBuckets.nonEmpty) {
+      if (cur.buckets != readMeta(readV).buckets)
+        fail("the bucket spec changed under it (concurrent rescale)")
+      // the exact staleness test: the live file set of the buckets this commit
+      // REWRITES must be byte-identical between base and head — fold the base
+      // without touching the incremental cache (it tracks the head)
+      def liveIn(frags: Seq[String]): Set[String] =
+        frags.foldLeft(Seq.empty[DataFile]) { (fs, n) =>
+          val fr = readFragmentFile(n)
+          fs.filterNot(_.replacedBy(fr.replacedBuckets)) ++ fr.added
+        }.filter(_.replacedBy(replacedBuckets)).map(_.path).toSet
+      if (liveIn(readMeta(readV).fragments) !=
+          cur.files.filter(_.replacedBy(replacedBuckets)).map(_.path).toSet)
+        fail("the bucket(s) this commit rewrites changed under it")
+    }
+    if (changes.nonEmpty && cur.currentSchemaId != readMeta(readV).currentSchemaId)
+      fail("the schema evolved concurrently with this commit's own evolution")
+  }
+
+  /** Schema evolution only (no data) — bumps schema id, new snapshot. On a
+    * lost version race the changes are re-applied to the fresh head (field-id
+    * allocation is recomputed there, so it composes with whatever landed). */
   def evolve(changes: Seq[SchemaChange]): Manifest = this.synchronized {
-    val old = manifest
-    val m = applySchemaChanges(old, changes).copy(version = old.version + 1,
-      epoch = Manifest.NoEpoch)
-    writeManifest(m, None)
-    m
+    retryingCommit("evolve") {
+      val old = manifest
+      val m = applySchemaChanges(old, changes).copy(version = old.version + 1,
+        epoch = Manifest.NoEpoch)
+      writeManifest(m, None)
+      m
+    }
   }
 
   /**
@@ -662,18 +798,21 @@ class LakeTable(val dir: String) {
    * recorded explicitly before the manifest's bucket count changes.
    */
   def rescale(newBuckets: Int): Manifest = this.synchronized {
-    val old = manifest
-    require(newBuckets > old.buckets && newBuckets % old.buckets == 0,
-      s"rescale($newBuckets): must be a proper integer multiple of the " +
-        s"current bucket count ${old.buckets}")
-    require(old.keyCols.nonEmpty,
-      "rescale needs merge keys (splitBuckets re-derives buckets from key values)")
-    val newVersion = old.version + 1
-    val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
-    val m = old.copy(version = newVersion, buckets = newBuckets,
-      fragments = Seq(f"mf-$newVersion%06d.json"), epoch = Manifest.NoEpoch)
-    writeManifest(m, Some(fragment))
-    m
+    retryingCommit(s"rescale($newBuckets)") {
+      val old = manifest
+      require(newBuckets > old.buckets && newBuckets % old.buckets == 0,
+        s"rescale($newBuckets): must be a proper integer multiple of the " +
+          s"current bucket count ${old.buckets}")
+      require(old.keyCols.nonEmpty,
+        "rescale needs merge keys (splitBuckets re-derives buckets from key values)")
+      val newVersion = old.version + 1
+      val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
+      val fragName = newFragName(newVersion)
+      val m = old.copy(version = newVersion, buckets = newBuckets,
+        fragments = Seq(fragName), epoch = Manifest.NoEpoch)
+      writeManifest(m, Some((fragName, fragment)))
+      m
+    }
   }
 
   /**
@@ -701,13 +840,16 @@ class LakeTable(val dir: String) {
   /** Fold the fragment list into one fragment without touching data files —
     * bounds reader-side fold cost between compactions. */
   def rewriteManifests(): Manifest = this.synchronized {
-    val old = manifest
-    val newVersion = old.version + 1
-    val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
-    val m = old.copy(version = newVersion, fragments = Seq(f"mf-$newVersion%06d.json"),
-      epoch = Manifest.NoEpoch)
-    writeManifest(m, Some(fragment))
-    m
+    retryingCommit("rewriteManifests") {
+      val old = manifest
+      val newVersion = old.version + 1
+      val fragment = ManifestFragment(newVersion, old.files, (0 until old.buckets).toSet)
+      val fragName = newFragName(newVersion)
+      val m = old.copy(version = newVersion, fragments = Seq(fragName),
+        epoch = Manifest.NoEpoch)
+      writeManifest(m, Some((fragName, fragment)))
+      m
+    }
   }
 
   private def applySchemaChanges(m: Manifest, changes: Seq[SchemaChange]): Manifest = {
@@ -1123,9 +1265,14 @@ class LakeTable(val dir: String) {
   // ── maintenance: compaction + vacuum (mandatory at 10^10-event scale, where
   //    every epoch adds files and superseded snapshots pin old ones) ──
 
-  /** Synthetic epoch ids for maintenance commits — disjoint from the streaming
-    * epoch space (streaming epochs are ≥ -1; fullLoad uses -1). */
-  private def maintenanceEpoch(m: Manifest): Long = -1000L - m.version
+  /** Maintenance epochs live below the streaming range (< -1), are never
+    * recorded in the committed-epoch set, and are UNIQUE PER ATTEMPT: two
+    * maintenance jobs racing from the same base version must not share a
+    * `data/epoch=N` directory, or the loser's overwrite would delete files the
+    * winner's already-published commit references — the rebase guard protects
+    * the manifest, this protects the bytes under it. */
+  private def maintenanceEpoch(): Long =
+    -1000L - java.util.concurrent.ThreadLocalRandom.current().nextLong(1L << 60)
 
   /**
    * Rewrite buckets whose file count exceeds `maxFilesPerBucket` — or that
@@ -1158,7 +1305,7 @@ class LakeTable(val dir: String) {
       }
       .keySet
     if (oversized.isEmpty) return m
-    val epoch = maintenanceEpoch(m)
+    val epoch = maintenanceEpoch()
     // read per group, tag each row's CURRENT-spec bucket, union. Each branch
     // is narrowed to ONE partition — delta-bearing branches already are
     // (bucket-local fold), small-file branches coalesce — so the partitionBy
@@ -1191,8 +1338,11 @@ class LakeTable(val dir: String) {
     val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
     // replace the full current-spec closure of every rewritten group
     val replaced = (0 until m.buckets).filter(b => oversized.contains(b % gran)).toSet
-    // compaction also folds the fragment list down to one (manifest rewrite)
-    commit(epoch, files, replaced, Map("compactions" -> 1L), consolidate = true)
+    // compaction also folds the fragment list down to one (manifest rewrite);
+    // readVersion pins the snapshot the rewrite folded — any interleaved
+    // commit surfaces as ConcurrentCommitException instead of silent loss
+    commit(epoch, files, replaced, Map("compactions" -> 1L), consolidate = true,
+      readVersion = Some(m.version))
   }
 
   /**
@@ -1215,7 +1365,7 @@ class LakeTable(val dir: String) {
     def g(f: DataFile): Int = f.bucket % gran
     val staleGroups = stale.map(g).distinct.sorted.take(maxGroups).toSet
     val groupFiles = m.files.filter(f => staleGroups.contains(g(f)))
-    val epoch = maintenanceEpoch(m)
+    val epoch = maintenanceEpoch()
     // delta-bearing groups need the bucket-complete one-partition fold; a
     // pure-base group has no per-key resolution to do, so it reads at FULL
     // parallelism (a 1.5 TB pre-split bucket migrates across many tasks, not
@@ -1234,7 +1384,11 @@ class LakeTable(val dir: String) {
       .parquet(dataDir(epoch))
     val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
     val replaced = (0 until m.buckets).filter(b => staleGroups.contains(b % gran)).toSet
-    commit(epoch, files, replaced, Map("bucket_splits" -> 1L))
+    // pin the snapshot the rewrite read: an interleaved merge into one of the
+    // migrating groups must surface as ConcurrentCommitException, not be
+    // silently overwritten by this rewrite's pre-merge fold
+    commit(epoch, files, replaced, Map("bucket_splits" -> 1L),
+      readVersion = Some(m.version))
   }
 
   /**
@@ -1347,16 +1501,24 @@ class LakeTable(val dir: String) {
       }
       if (Files.deleteIfExists(mp)) deleted += mp.toString
     }
-    // fragments referenced by no kept snapshot (e.g. superseded by a
-    // consolidation rewrite) are dead too
+    // fragments referenced by no kept snapshot (superseded by a consolidation
+    // rewrite, or a lost commit race's never-referenced loser) are dead too.
+    // Guard: a fragment's embedded seq > currentVersion belongs to an
+    // IN-FLIGHT commit attempt (written before its version-file CAS) — if its
+    // CAS succeeds, v{seq} will reference it; if it loses, the next vacuum
+    // sees seq <= head and sweeps it then. Sweeping only seq <= cur can
+    // therefore never eat a fragment a future winner references.
     val keptFragments: Set[String] = (keepFrom to cur).flatMap { v =>
       ManifestJson.read(new String(Files.readAllBytes(manifestPath(v)))).fragments
     }.toSet
+    def fragSeq(name: String): Int =
+      scala.util.Try(name.stripPrefix("mf-").take(6).toInt).getOrElse(Int.MaxValue)
     scala.util.Using.resource(Files.list(manifestsDir)) { ls =>
       ls.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("mf-") &&
           p.getFileName.toString.endsWith(".json") &&
-          !keptFragments.contains(p.getFileName.toString))
+          !keptFragments.contains(p.getFileName.toString) &&
+          fragSeq(p.getFileName.toString) <= cur)
         .toSeq
     }.foreach { p => if (Files.deleteIfExists(p)) deleted += p.toString }
     deleted.toSeq

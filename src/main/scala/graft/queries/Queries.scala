@@ -935,6 +935,50 @@ object Queries {
           col("_lsn").as("change_lsn"),
           col("_deleted").cast(IntegerType).as("is_deleted"))
         .orderBy("doc_id")
+    }),
+
+    // cross-process optimistic concurrency, end-to-end: a SECOND LakeTable
+    // instance (external maintenance process stand-in — JobMain --op compact
+    // running beside the stream) plans a consolidating rewrite, the stream
+    // lands more merges under it, and the stale consolidation is REFUSED by
+    // the rebase guard BEFORE publishing anything — then the runbook redo
+    // from the fresh head succeeds, and the final state is exactly the plain
+    // LWW fold (same oracle as the single-writer pipeline on purpose: the
+    // concurrency protocol must never change what readers see)
+    "q_lake_concurrent" -> ((s, dir) => {
+      val root = tempRoot("graft-q-concurrent")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+        maxFilesPerTrigger = 2)
+      val feed = feedFromEvents(s, dir)
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 === 0),
+        cfg.feedDir, nFiles = 2)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      // external process captures its snapshot: version + the file list its
+      // planned rewrite would fold
+      val external = new graft.lake.LakeTable(cfg.tableDir)
+      val staleM = external.manifest
+      // ... while the stream keeps merging (head moves under the plan)
+      ChangeFeed.writeFeed(feed.filter(col(ChangeEvent.LSN) % 2 =!= 0),
+        cfg.feedDir, nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(s, cfg)
+      // the stale consolidation must fail loudly with nothing published
+      val refused =
+        try {
+          external.commit(-5000L, staleM.files, (0 until staleM.buckets).toSet,
+            consolidate = true, readVersion = Some(staleM.version))
+          false
+        } catch { case _: graft.lake.ConcurrentCommitException => true }
+      require(refused, "stale consolidation must be refused by the rebase guard")
+      // redo from the fresh head — the runbook path — then read
+      external.compact(s, maxFilesPerBucket = 1)
+      lake.read(s)
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1175,6 +1219,12 @@ object Queries {
 
     // rescale + split are read-equivalent: same fold as the plain upsert
     "q_lake_rescale" ->
+      lwwFoldSql,
+
+    // the multi-writer protocol never changes what readers see: refused stale
+    // consolidation + fresh-head redo fold to the plain upsert state — ONE
+    // oracle with the single-writer pipeline on purpose
+    "q_lake_concurrent" ->
       lwwFoldSql,
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert

@@ -227,18 +227,31 @@ object CdcRunner {
     MergeApply.applyBatch(spark, lake, batch, epoch, cfg.job)
     // scheduled maintenance: fold deltas / compact small files in-line with the
     // stream (snapshot-isolated; epoch-count cadence keeps read cost bounded)
+    // Maintenance is best-effort: losing a rebase race to an EXTERNAL
+    // maintenance job (JobMain --op compact/split_buckets beside the stream)
+    // must defer this tick, not fail the stream — the data commit above
+    // already landed, and the next cadence tick redoes the work from the
+    // fresh head. Data commits themselves never swallow this exception.
+    def deferOnConflict(what: String)(op: => Unit): Unit =
+      try op catch {
+        case e: graft.lake.ConcurrentCommitException =>
+          System.err.println(s"[graft] $what deferred to next tick: ${e.getMessage}")
+      }
     if (cfg.autoCompactEveryEpochs > 0 && epoch >= 0 &&
         (epoch + 1) % cfg.autoCompactEveryEpochs == 0) {
-      lake.compact(spark, maxDeltaFiles = cfg.autoCompactMaxDeltaFiles): Unit
+      deferOnConflict("auto-compact")(
+        lake.compact(spark, maxDeltaFiles = cfg.autoCompactMaxDeltaFiles): Unit)
       if (cfg.autoRescaleBytesPerBucket > 0)
-        lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
-          maxGroups = cfg.autoRescaleMaxGroups): Unit
+        deferOnConflict("auto-rescale")(
+          lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
+            maxGroups = cfg.autoRescaleMaxGroups): Unit)
     } else if (cfg.autoRescaleBytesPerBucket > 0 && epoch >= 0) {
       // the rescale policy must not be silently inert when auto-compaction is
       // off: with no compact cadence to ride, check every epoch — below the
       // threshold it is driver-side metadata arithmetic on the cached fold
-      lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
-        maxGroups = cfg.autoRescaleMaxGroups): Unit
+      deferOnConflict("auto-rescale")(
+        lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
+          maxGroups = cfg.autoRescaleMaxGroups): Unit)
     }
   }
 

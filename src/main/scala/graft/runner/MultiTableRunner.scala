@@ -135,7 +135,14 @@ object MultiTableRunner {
       // single-table runner's autoCompactEveryEpochs)
       if (autoCompactEveryEpochs > 0 && epoch >= 0 &&
           (epoch + 1) % autoCompactEveryEpochs == 0) {
-        tj.lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit
+        // best-effort like the single-table runner: an external maintenance
+        // job winning the rebase race defers this tick, not the stream
+        try tj.lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit
+        catch {
+          case e: graft.lake.ConcurrentCommitException =>
+            System.err.println(s"[graft] auto-compact(${tj.rules.tableName}) " +
+              s"deferred to next tick: ${e.getMessage}")
+        }
       }
     }
     val cache = jobs.size > 1
