@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
@@ -25,13 +26,24 @@ import graft.functions.{DotProduct, HyperplaneSig, NearestCells, RollingHash}
  *   - `nearest_cells(v, centroids, probes)`— IVF probe list (centroids = foldable
  *                                            array<array<double>> literal)
  *   - `rolling_hash(s[, prime, mod])`      — polynomial fingerprint hash
+ *
+ * Registered TABLE functions (the lake as a pure-SQL surface — reads,
+ * time travel, CDC-out and DLX browse without a line of Scala; arguments
+ * must be literals, resolved at analysis time like any table reference):
+ *   - `graft_table('dir')`                 — current snapshot (tombstone-free,
+ *                                            merge-on-read deltas resolved)
+ *   - `graft_table('dir', version)`        — time travel to a snapshot
+ *   - `graft_changes('dir', from, to)`     — change feed over (from, to]
+ *   - `graft_quarantine('dir'[, epoch])`   — quarantined rows + reasons
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -77,11 +89,55 @@ object GraftExtensions {
       }
     )
 
+  /** The lake surfaces as SQL table functions. Builders run at ANALYSIS time
+    * (like resolving any table reference): literal args are evaluated, the
+    * manifest is resolved once, and the returned plan is the same
+    * bucket-pruned, delta-resolving plan the Scala readers build — so
+    * `spark.sql("SELECT … FROM graft_table('…')")` costs what
+    * `lake.read(spark)` costs, no extra indirection. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      tvf("graft_table",
+        "_FUNC_(dir[, version]) - lake snapshot read; 2-arg form time-travels") { args =>
+        if (args.isEmpty || args.size > 2)
+          fail(s"graft_table expects 1 or 2 arguments, got ${args.size}")
+        val lake = new graft.lake.LakeTable(stringArg("graft_table", "dir", args(0)))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df =
+          if (args.size == 2) lake.readVersion(spark, intArg("graft_table", "version", args(1)))
+          else lake.read(spark)
+        df.queryExecution.logical
+      },
+      tvf("graft_changes",
+        "_FUNC_(dir, from, to) - change feed over the version window (from, to]") { args =>
+        arity("graft_changes", args, 3)
+        val lake = new graft.lake.LakeTable(stringArg("graft_changes", "dir", args(0)))
+        lake.changeLog(org.apache.spark.sql.SparkSession.active,
+          intArg("graft_changes", "from", args(1)),
+          intArg("graft_changes", "to", args(2)))
+          .queryExecution.logical
+      },
+      tvf("graft_quarantine",
+        "_FUNC_(dir[, epoch]) - quarantined rows with per-row reasons") { args =>
+        if (args.isEmpty || args.size > 2)
+          fail(s"graft_quarantine expects 1 or 2 arguments, got ${args.size}")
+        val lake = new graft.lake.LakeTable(stringArg("graft_quarantine", "dir", args(0)))
+        val epoch = if (args.size == 2)
+          Some(longArg("graft_quarantine", "epoch", args(1))) else None
+        lake.quarantine(org.apache.spark.sql.SparkSession.active, epoch)
+          .queryExecution.logical
+      }
+    )
+
   /** Register on a live session (same builders as the extension path). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+    }
+  }
 
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
@@ -90,6 +146,18 @@ object GraftExtensions {
     val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
     (FunctionIdentifier(name), info, builder)
   }
+
+  private def tvf(name: String, usage: String)(builder: Seq[Expression] => LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = {
+    val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    (FunctionIdentifier(name), info, builder)
+  }
+
+  private def stringArg(name: String, arg: String, e: Expression): String =
+    Cast(foldableArg(name, arg, e), StringType).eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => fail(s"$name: $arg must be a string literal, got $other")
+    }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)

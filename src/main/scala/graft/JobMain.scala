@@ -255,6 +255,19 @@ object JobMain {
   def runOp(spark: SparkSession, args: Seq[String]): org.apache.spark.sql.DataFrame = {
     def opt(flag: String): Option[String] = optArg(args, flag)
     val op = opt("--op").getOrElse(throw new IllegalArgumentException("--op missing"))
+    if (op == "sql") {
+      // free-form SQL over the lake's table functions (graft_table /
+      // graft_changes / graft_quarantine) + the native kernels — the
+      // engine's whole read surface from one verb, no Scala, no --table:
+      // the TVF arguments name the lake dirs inside the statement itself
+      GraftExtensions.register(spark)
+      val stmt = opt("--sql")
+        .orElse(opt("--sql-file").map(p => new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))))
+        .getOrElse(throw new IllegalArgumentException(
+          "--op sql needs --sql \"<statement>\" or --sql-file <path>"))
+      return spark.sql(stmt)
+    }
     if (maintenanceOps.contains(op)) return runMaintenanceOp(spark, op, args)
     val in = opt("--in").getOrElse(throw new IllegalArgumentException(
       s"--op $op needs --in <parquet>"))

@@ -979,6 +979,28 @@ object Queries {
           array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
           col("n_tok"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // the lake as PURE SQL: after a normal streaming ingest, the final read
+    // goes through the graft_table table function — the surface a SQL-only
+    // consumer (or `JobMain --op sql`) uses — and must fold to exactly the
+    // same state as the Scala reader (same oracle as the upsert pipeline)
+    "q_sql_surface" -> ((s, dir) => {
+      val root = tempRoot("graft-q-sql")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+        maxFilesPerTrigger = 2)
+      ChangeFeed.writeFeed(feedFromEvents(s, dir), cfg.feedDir, nFiles = 4)
+      CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      graft.GraftExtensions.register(s) // the extensionless-session path
+      s.sql(
+        s"""SELECT doc_id,
+           |       array_join(cast(tokens AS array<string>), ',') AS tokens_csv,
+           |       n_tok, source
+           |FROM graft_table('${cfg.tableDir}')
+           |ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -1225,6 +1247,10 @@ object Queries {
     // consolidation + fresh-head redo fold to the plain upsert state — ONE
     // oracle with the single-writer pipeline on purpose
     "q_lake_concurrent" ->
+      lwwFoldSql,
+
+    // the SQL surface reads what the Scala reader reads — same fold oracle
+    "q_sql_surface" ->
       lwwFoldSql,
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert

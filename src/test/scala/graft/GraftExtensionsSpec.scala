@@ -64,4 +64,45 @@ class GraftExtensionsSpec extends SparkSpec {
     val custom = spark.sql("SELECT rolling_hash('ab', 7, 97) AS h").head().getLong(0)
     assert(custom == (('a'.toLong * 7 + 'b'.toLong) % 97))
   }
+
+  test("graft_table / graft_changes / graft_quarantine: the lake as pure SQL") {
+    import graft.model._
+    import graft.feed.ChangeFeed
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-ext-tvf")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4, changeFeed = true))
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 400, nDocs = 80))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") % 2 === 0), cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 20), cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    ChangeFeed.writeFeed(feed.filter(col("lsn") % 2 =!= 0), cfg.feedDir,
+      nFiles = 2, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+
+    val dir = cfg.tableDir
+    // current read == the Scala reader
+    val sqlNow = spark.sql(s"SELECT * FROM graft_table('$dir')")
+      .collect().map(_.toString).sorted
+    assert(sqlNow.sameElements(lake.read(spark).collect().map(_.toString).sorted))
+    // time travel == readVersion
+    val sqlV1 = spark.sql(s"SELECT * FROM graft_table('$dir', $v1)")
+      .collect().map(_.toString).sorted
+    assert(sqlV1.sameElements(lake.readVersion(spark, v1).collect().map(_.toString).sorted))
+    assert(!sqlV1.sameElements(sqlNow), "the two snapshots differ")
+    // change feed == changeLog, composable with plain SQL on top
+    val to = lake.currentVersion
+    val nChanges = spark.sql(
+      s"SELECT count(*) AS n FROM graft_changes('$dir', $v1, $to)").head().getLong(0)
+    assert(nChanges == lake.changeLog(spark, v1, to).count() && nChanges > 0)
+    // quarantine browse (empty on this clean run, but resolvable with schema)
+    val q = spark.sql(s"SELECT * FROM graft_quarantine('$dir')")
+    assert(q.columns.contains("_error_reason") && q.count() == 0)
+    // non-literal args fail at analysis, like a bad table reference
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_table(string(rand()))").collect())
+  }
 }

@@ -158,6 +158,34 @@ class OpsMainSpec extends SparkSpec {
       JobMain.runOp(spark, Seq("--op", "change_log") ++ tbl))
   }
 
+  test("sql verb: free-form SQL over the lake TVFs from the CLI") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-opsmain-sql")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 60)),
+      cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val n = JobMain.runOp(spark, Seq("--op", "sql", "--sql",
+      s"SELECT count(*) AS n FROM graft_table('${cfg.tableDir}')")).head().getLong(0)
+    assert(n == lake.read(spark).count() && n > 0)
+    // --sql-file path + composition with ordinary SQL on top of the TVF
+    val f = java.nio.file.Files.createTempFile("graft-sql", ".sql")
+    java.nio.file.Files.writeString(f,
+      s"""SELECT source, count(*) AS docs
+         |FROM graft_table('${cfg.tableDir}')
+         |GROUP BY source ORDER BY source""".stripMargin)
+    val bySource = JobMain.runOp(spark,
+      Seq("--op", "sql", "--sql-file", f.toString)).collect()
+    assert(bySource.map(_.getLong(1)).sum == n)
+    intercept[IllegalArgumentException](JobMain.runOp(spark, Seq("--op", "sql")))
+  }
+
   test("quarantine_list + quarantine_replay from the CLI drain the DLX " +
     "like the direct API") {
     import graft.model._
