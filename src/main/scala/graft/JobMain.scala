@@ -54,6 +54,10 @@ import graft.runner._
  * //   change_log        {from, to?}             // incremental CDC-out (from, to]
  * //   jdbc_apply        {url, target_table, from, to?, keys?, columns?,
  * //                      properties?, batch_size?} // lake → database sync
+ * //   lake_sync         {merge?, buckets?}      // lake → lake replication:
+ * //                     --in <sourceLakeDir> --table <targetLakeDir>; creates
+ * //                     + bootstraps the mirror, then each run syncs the
+ * //                     window since its exactly-once stored cursor
  * }}}
  */
 object JobMain {
@@ -268,6 +272,29 @@ object JobMain {
           "--op sql needs --sql \"<statement>\" or --sql-file <path>"))
       return spark.sql(stmt)
     }
+    if (op == "lake_sync") {
+      // lake → lake incremental replication: --in names the UPSTREAM lake,
+      // --table the downstream mirror (created + bootstrapped on first run);
+      // config {merge: "cow"|"mor", buckets: N} shapes the target table
+      import spark.implicits._
+      val src = opt("--in").getOrElse(throw new IllegalArgumentException(
+        "--op lake_sync needs --in <sourceLakeDir>"))
+      val tgt = opt("--table").getOrElse(throw new IllegalArgumentException(
+        "--op lake_sync needs --table <targetLakeDir>"))
+      val c = new OpConf(opt("--config") match {
+        case Some(p) => JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+        case None => JObject()
+      })
+      val merge = c.str("merge", "cow") match {
+        case "mor" => graft.model.MergeStrategy.MergeOnRead
+        case _     => graft.model.MergeStrategy.CopyOnWrite
+      }
+      val r = graft.lake.LakeSync.sync(spark, src, tgt, merge,
+        buckets = c.lngOpt("buckets").map(_.toInt))
+      return Seq((r.fromVersion, r.toVersion, r.epoch, r.rows, r.bootstrapped))
+        .toDF("from_version", "to_version", "epoch", "rows", "bootstrapped")
+    }
     if (maintenanceOps.contains(op)) return runMaintenanceOp(spark, op, args)
     val in = opt("--in").getOrElse(throw new IllegalArgumentException(
       s"--op $op needs --in <parquet>"))
@@ -313,7 +340,7 @@ object JobMain {
           "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
           "multimodal_features; maintenance, with --table: compact | vacuum | " +
           "rescale | split_buckets | reconcile | quarantine_list | " +
-          "quarantine_replay | read | change_log | jdbc_apply)")
+          "quarantine_replay | read | change_log | jdbc_apply | lake_sync | sql)")
     }
   }
 

@@ -117,7 +117,12 @@ object MergeApply {
       lake: LakeTable,
       batch: DataFrame,
       epoch: Long,
-      cfg: JobConfig): BatchResult = {
+      cfg: JobConfig,
+      /** Merged into THIS epoch's commit metrics — rides the same atomic
+        * manifest write, so callers can persist their own cursor (e.g.
+        * [[graft.lake.LakeSync]]'s synced-source-version offset) exactly-once
+        * with the data it accounts for. Summed like every manifest metric. */
+      extraMetrics: Map[String, Long] = Map.empty): BatchResult = {
 
     // exactly-once: a re-delivered epoch is a no-op (idempotent commit)
     if (lake.isCommitted(epoch)) return BatchResult(epoch, skipped = true, Map.empty)
@@ -220,9 +225,9 @@ object MergeApply {
 
     cfg.mode match {
       case CdcMode.Scd2 =>
-        applyScd2(spark, lake, transformed, epoch, cfg, keys, onStats)
+        applyScd2(spark, lake, transformed, epoch, cfg, keys, onStats, extraMetrics)
       case _ =>
-        applyLww(spark, lake, transformed, epoch, cfg, keys, onStats)
+        applyLww(spark, lake, transformed, epoch, cfg, keys, onStats, extraMetrics)
     }
   }
 
@@ -235,7 +240,8 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       keys: Seq[String],
-      onStats: () => (Long, Long)): BatchResult = {
+      onStats: () => (Long, Long),
+      extraMetrics: Map[String, Long]): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -268,8 +274,10 @@ object MergeApply {
       val (nQuarantined, nReceived) = onStats()
 
       if (affected.isEmpty) {
+        // an empty reduction still commits (and still carries extraMetrics):
+        // a sync window whose changes all reduce away must advance its cursor
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-          "events_received" -> receivedDelta(epoch, nReceived))
+          "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics
         lake.commit(epoch, Nil, Set.empty, metrics)
         return BatchResult(epoch, skipped = false, metrics)
       }
@@ -280,7 +288,8 @@ object MergeApply {
         "events_received" -> receivedDelta(epoch, nReceived),
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
-        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
+        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
+        extraMetrics
 
       // the reduced change set in delta-row shape — the MoR commit itself, and
       // the CoW change sidecar when the table records a change feed
@@ -376,7 +385,8 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       naturalKeys: Seq[String],
-      onStats: () => (Long, Long)): BatchResult = {
+      onStats: () => (Long, Long),
+      extraMetrics: Map[String, Long]): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -404,12 +414,13 @@ object MergeApply {
         "events_received" -> receivedDelta(epoch, nReceived),
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
-        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L))
+        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
+        extraMetrics
 
       if (affected.isEmpty) {
         lake.commit(epoch, Nil, Set.empty,
           Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-            "events_received" -> receivedDelta(epoch, nReceived)))
+            "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics)
         return BatchResult(epoch, skipped = false, metrics)
       }
 

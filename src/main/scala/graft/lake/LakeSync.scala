@@ -1,0 +1,232 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.apply.MergeApply
+import graft.model.{CdcMode, ChangeEvent, JobConfig, MergeStrategy}
+
+/**
+ * Lake→lake incremental replication: mirror an upstream LWW lake table into a
+ * downstream one by following its change feed — the last stage of the CDC
+ * chain (database → lake → downstream lake), the lake-target sibling of
+ * `JdbcEndpoint.applyChanges` (reference analogue: the replication service's
+ * target-endpoint apply, `trempy/Endpoints/TargetEndpoint.py` — here the
+ * target is another table of this lake format instead of a database).
+ *
+ * Contract:
+ *   - **Bootstrap** (target absent): mirror the source's ENGINE state at one
+ *     snapshot — per-row `_lsn` and delete tombstones included
+ *     ([[LakeTable.readState]]) — as the target's full-load epoch. Mirroring
+ *     the public fold instead would silently diverge: the merge is
+ *     order-tolerant, so a later change window can carry an `_lsn` older than
+ *     what the snapshot already folded, and only the copied `_lsn`/tombstones
+ *     let the downstream merge reject it exactly like the source did.
+ *   - **Incremental**: each call syncs the window `(offset, head]` through
+ *     `changeLog` and applies it with the SAME order-tolerant LWW merge the
+ *     source used (`MergeApply.applyBatch`, mode=upsert) — so
+ *     `target.read == source.readVersion(head)` after every sync.
+ *   - **Exactly-once offset**: the synced-source-version cursor is a manifest
+ *     METRIC ([[LakeSync.OFFSET_METRIC]], advanced by `head - from` deltas —
+ *     manifest metrics merge by sum) carried in the SAME atomic commit as the
+ *     window's data. A crash replays nothing (offset never recorded without
+ *     its data) and loses nothing (data never committed without the offset);
+ *     no sidecar offset file to drift.
+ *   - **Schema evolution follows the source**: the source's schema history is
+ *     diffed BY FIELD ID between the two window ends and replayed onto the
+ *     target as name-based add/rename/widen changes before the apply, so a
+ *     window spanning an evolution lands on the evolved schema. The replay is
+ *     idempotent (changes already present on the target are skipped), which
+ *     also covers a crash between evolve and commit.
+ *   - A `sync_source.json` marker binds the target to one upstream; syncing
+ *     from anywhere else (or into a table not created by sync) is refused.
+ *
+ * Scale shape: the window read is `changeLog` (driver cost O(fragments in
+ * window), no snapshot re-folds), the apply is the engine's own merge
+ * (map-side-combined per-key reduction, manifest-pruned base read, bucketed
+ * zero-shuffle MoR option via `merge = MergeOnRead`). Nothing here adds a
+ * driver-side loop or an extra shuffle over what a normal ingest epoch costs.
+ *
+ * Like the streaming ingest, sync assumes ONE active syncer per target at a
+ * time (it writes the target's next epoch directory before committing); the
+ * commit itself is CAS-protected, so a racing duplicate syncer can waste
+ * work but not corrupt state — maintenance jobs may run concurrently as
+ * usual.
+ */
+object LakeSync {
+
+  /** Cumulative manifest metric = the source snapshot version synced through
+    * (bootstrap records the snapshot it mirrored; each window adds its span). */
+  val OFFSET_METRIC = "synced_source_version"
+
+  final case class SyncResult(
+      fromVersion: Int,
+      toVersion: Int,
+      /** target epoch the window committed as (-2 when nothing to do) */
+      epoch: Long,
+      /** change rows applied (insert+update+delete winners) */
+      rows: Long,
+      bootstrapped: Boolean)
+
+  /**
+   * Sync `targetDir` up to `sourceDir`'s current head. Creates + bootstraps
+   * the target on first call; no-ops when already caught up. `merge`/`buckets`
+   * shape the TARGET table (downstream may run merge-on-read or a different
+   * bucket count than upstream — specs are independent).
+   */
+  def sync(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      merge: MergeStrategy = MergeStrategy.CopyOnWrite,
+      buckets: Option[Int] = None): SyncResult = {
+    val source = new LakeTable(sourceDir)
+    require(source.exists, s"source lake table at $sourceDir does not exist")
+    val sm = source.manifest
+    require(sm.tableMode == Manifest.LWW,
+      s"lake sync follows the row-level LWW change feed; source at $sourceDir " +
+        s"is tableMode=${sm.tableMode} (an SCD2 history table's change rows " +
+        "are version rows, not row states — replicate its LWW upstream instead)")
+    require(sm.keyCols.nonEmpty,
+      s"source at $sourceDir declares no merge keys; sync needs them")
+    val head = source.currentVersion
+
+    val target = new LakeTable(targetDir)
+    if (!target.exists) {
+      target.create(sm.currentSchema.sparkSchema, buckets.getOrElse(sm.buckets),
+        keyCols = sm.keyCols, tableMode = Manifest.LWW)
+      writeMarker(targetDir, sourceDir)
+    }
+    checkMarker(targetDir, sourceDir)
+
+    val offset = target.manifest.metrics.getOrElse(OFFSET_METRIC, 0L).toInt
+    if (offset == 0) bootstrap(spark, source, target, head)
+    else incremental(spark, source, target, offset, head, merge)
+  }
+
+  // ── bootstrap: mirror one engine snapshot as the full-load epoch ──
+  private def bootstrap(
+      spark: SparkSession, source: LakeTable, target: LakeTable,
+      head: Int): SyncResult = {
+    val epoch = -1L
+    // a target with data but no offset metric was not built by sync — a
+    // fresh create (or a crash before the bootstrap commit) has neither
+    require(!target.isCommitted(epoch),
+      s"target at ${target.dir} has a full load but no $OFFSET_METRIC cursor " +
+        "— not a sync-managed table; refusing to mix feeds")
+    val tm = target.manifest
+    val state = source.readState(spark, head)
+    state
+      .withColumn("_bucket", target.bucketExpr(tm.keyCols, tm.buckets))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite")
+      .options(target.bloomOptions(tm.keyCols))
+      .partitionBy("_bucket").parquet(target.dataDir(epoch))
+    val files = target.listEpochFiles(epoch, tm.currentSchemaId, Map.empty)
+    val rows = files.map(_.rows).sum
+    target.commit(epoch, files, (0 until tm.buckets).toSet,
+      Map("full_load_rows" -> rows, OFFSET_METRIC -> head.toLong))
+    SyncResult(0, head, epoch, rows, bootstrapped = true)
+  }
+
+  // ── incremental: evolve to the window's end schema, apply the change feed ──
+  private def incremental(
+      spark: SparkSession, source: LakeTable, target: LakeTable,
+      from: Int, head: Int, merge: MergeStrategy): SyncResult = {
+    require(from <= head,
+      s"sync cursor $from is ahead of source head $head — was the source " +
+        "rebuilt? (delete the target to re-bootstrap)")
+    if (from == head) return SyncResult(from, head, -2L, 0L, bootstrapped = false)
+
+    val diff = evolutionDiff(source.schemaAt(from), source.schemaAt(head))
+      .filter(applicable(target.manifest.currentSchema, _))
+    if (diff.nonEmpty) target.evolve(diff)
+
+    val changes = source.changeLog(spark, from, head)
+    val payload = changes.columns.filterNot(_.startsWith("_"))
+    val events = changes.select(
+      payload.map(col) :+
+        when(col("_deleted"), lit(ChangeEvent.DELETE))
+          .otherwise(lit(ChangeEvent.UPDATE)).as(ChangeEvent.OP) :+
+        col("_lsn").as(ChangeEvent.LSN) :+
+        lit(null).cast("timestamp").as(ChangeEvent.TS): _*)
+
+    val tm = target.manifest
+    val epoch = math.max(tm.epochWatermark, -1L) + 1
+    val cfg = JobConfig(mode = CdcMode.Upsert, keyCols = tm.keyCols,
+      merge = merge, buckets = tm.buckets)
+    val res = MergeApply.applyBatch(spark, target, events, epoch, cfg,
+      extraMetrics = Map(OFFSET_METRIC -> (head - from).toLong))
+    val rows = Seq("applied_inserts", "applied_updates", "applied_deletes")
+      .map(res.metrics.getOrElse(_, 0L)).sum
+    SyncResult(from, head, epoch, rows, bootstrapped = false)
+  }
+
+  // ── source schema history → target evolution ──
+
+  /** Field-id diff between two snapshots of ONE table's schema history: a
+    * field keeping its id across a rename/widen is the same column (the lake's
+    * schema-evolution invariant), so the diff is exact — no name heuristics. */
+  def evolutionDiff(from: GraftSchema, to: GraftSchema): Seq[SchemaChange] =
+    to.fields.flatMap { f =>
+      from.byId(f.id) match {
+        case None => Seq(AddColumn(f.name, f.dataType, f.nullable))
+        case Some(o) =>
+          (if (o.name != f.name) Seq(RenameColumn(o.name, f.name)) else Nil) ++
+            (if (o.dataType != f.dataType) Seq(WidenColumn(f.name, f.dataType))
+             else Nil)
+      }
+    }
+
+  /** Skip changes the target already has — makes the evolution replay
+    * idempotent (re-sync after a crash between evolve and commit). */
+  private def applicable(target: GraftSchema, ch: SchemaChange): Boolean = {
+    val names = target.fields.map(_.name).toSet
+    ch match {
+      case AddColumn(n, _, _)  => !names.contains(n)
+      case RenameColumn(f, t)  => names.contains(f) && !names.contains(t)
+      case WidenColumn(n, to)  =>
+        target.fields.find(_.name == n).exists(_.dataType != to)
+    }
+  }
+
+  // ── source-binding marker ──
+
+  private def markerPath(targetDir: String) =
+    Paths.get(targetDir, "sync_source.json")
+
+  private def writeMarker(targetDir: String, sourceDir: String): Unit = {
+    val tmp = Paths.get(targetDir, s".sync_source.json.tmp")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(
+      JObject("source_dir" -> JString(sourceDir)))).getBytes("UTF-8"))
+    Files.move(tmp, markerPath(targetDir), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def checkMarker(targetDir: String, sourceDir: String): Unit = {
+    val p = markerPath(targetDir)
+    if (!Files.exists(p)) {
+      // markerless (crash between create and marker write): only adoptable
+      // while the table has never committed ANYTHING — a table with data is
+      // some other feed's target, and bootstrapping over it would merge feeds
+      val t = new LakeTable(targetDir)
+      require(t.manifest.committedEpochCount == 0L,
+        s"target at $targetDir has no sync_source.json marker but already " +
+          "holds committed data — refusing to adopt it as a sync target")
+      writeMarker(targetDir, sourceDir)
+    } else {
+      val bound = (JsonMethods.parse(new String(
+        Files.readAllBytes(p), "UTF-8")) \ "source_dir") match {
+        case JString(s) => s
+        case _ => ""
+      }
+      require(bound == sourceDir,
+        s"target at $targetDir replicates $bound; refusing to sync from " +
+          s"$sourceDir (one upstream per target — epochs and the " +
+          s"$OFFSET_METRIC cursor belong to its feed)")
+    }
+  }
+}

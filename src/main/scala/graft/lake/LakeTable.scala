@@ -1101,6 +1101,24 @@ class LakeTable(val dir: String) {
     withoutTombstones(readResolved(spark, m, m.files))
   }
 
+  /** The table schema as of snapshot `version` (metadata time travel — used by
+    * consumers tracking the source's evolution, e.g. [[LakeSync]]'s field-id
+    * schema diff between two ends of a sync window). */
+  def schemaAt(version: Int): GraftSchema = resolve(version).currentSchema
+
+  /** Engine-facing state read at snapshot `version`: deltas resolved like
+    * [[readVersion]], but tombstones and the engine columns (`_lsn`,
+    * `_deleted`) stay visible. A mirror of the table (lake→lake sync
+    * bootstrap) must copy these, not the public fold: the merge is
+    * order-tolerant, so a later change window can carry an `_lsn` OLDER than
+    * what this snapshot already folded — a mirror that flattened `_lsn` (or
+    * dropped tombstones) would let such a stale change win downstream and
+    * silently diverge from the source. */
+  def readState(spark: SparkSession, version: Int): DataFrame = {
+    val m = resolve(version)
+    readResolved(spark, m, m.files)
+  }
+
   /**
    * Incremental change feed (CDC-out): every change row committed in the
    * snapshot window `(fromVersion, toVersion]` of a merge-on-read table — the

@@ -981,6 +981,41 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // lake → lake replication: ingest the feed into an UPSTREAM table
+    // (merge-on-read, so its deltas are the change feed), then LakeSync
+    // bootstraps + incrementally syncs a DOWNSTREAM mirror across two
+    // windows. The mirror's read must equal the LWW fold of the whole feed —
+    // the same oracle as the upsert pipeline — proving the full CDC chain
+    // (feed → lake → lake) is state-preserving including DELETE tombstones,
+    // out-of-order LSNs, and the exactly-once synced-version cursor.
+    "q_lake_sync" -> ((s, dir) => {
+      val root = tempRoot("graft-q-lakesync")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4,
+          merge = MergeStrategy.MergeOnRead),
+        maxFilesPerTrigger = 2)
+      val feed = feedFromEvents(s, dir)
+      val mid = feed.agg(percentile_approx(col("lsn"), lit(0.5), lit(100)))
+        .head().getLong(0)
+      // window 1 → ingest → bootstrap the mirror
+      ChangeFeed.writeFeed(feed.filter(col("lsn") <= mid), cfg.feedDir, nFiles = 2)
+      CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      val mirror = s"$root/mirror"
+      graft.lake.LakeSync.sync(s, cfg.tableDir, mirror)
+      // window 2 → ingest → incremental sync
+      ChangeFeed.writeFeed(feed.filter(col("lsn") > mid), cfg.feedDir,
+        nFiles = 2, append = true)
+      CdcRunner.runAvailableNow(s, cfg)
+      graft.lake.LakeSync.sync(s, cfg.tableDir, mirror)
+      new graft.lake.LakeTable(mirror).read(s)
+        .select(col("doc_id"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+          col("n_tok"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // the lake as PURE SQL: after a normal streaming ingest, the final read
     // goes through the graft_table table function — the surface a SQL-only
     // consumer (or `JobMain --op sql`) uses — and must fold to exactly the
@@ -1251,6 +1286,10 @@ object Queries {
 
     // the SQL surface reads what the Scala reader reads — same fold oracle
     "q_sql_surface" ->
+      lwwFoldSql,
+
+    // the downstream mirror equals the LWW fold of the whole feed
+    "q_lake_sync" ->
       lwwFoldSql,
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert

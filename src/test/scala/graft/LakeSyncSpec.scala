@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.apply.MergeApply
+import graft.feed.ChangeFeed
+import graft.lake.{AddColumn, LakeSync, LakeTable, RenameColumn}
+import graft.model._
+import graft.runner.{CdcRunner, RunnerConfig}
+
+/** Lake→lake replication: bootstrap fidelity, incremental convergence,
+  * exactly-once cursor, order-tolerance, schema following, feed binding. */
+class LakeSyncSpec extends SparkSpec {
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def morCfg(root: String, buckets: Int = 4): RunnerConfig =
+    RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = buckets,
+        merge = MergeStrategy.MergeOnRead))
+
+  test("bootstrap mirrors engine state; windows converge; cursor is exactly-once") {
+    val root = tmpDir("graft-lakesync")
+    val cfg = morCfg(root)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 600, nDocs = 90))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 300), cfg.feedDir, nFiles = 2)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, source, ChangeFeed.seedSnapshot(spark, 30), cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+
+    val targetDir = s"$root/mirror"
+    val r1 = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(r1.bootstrapped && r1.toVersion == source.currentVersion)
+    val target = new LakeTable(targetDir)
+    // public fold equal AND engine state equal (per-row _lsn + tombstones
+    // copied — the order-tolerance shield)
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    assert(sortedRows(target.readState(spark, target.currentVersion)) ==
+      sortedRows(source.readState(spark, source.currentVersion)))
+    assert(target.manifest.metrics(LakeSync.OFFSET_METRIC) == r1.toVersion.toLong)
+
+    // second window (includes DELETE winners) applied incrementally
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 300), cfg.feedDir,
+      nFiles = 2, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val r2 = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(!r2.bootstrapped && r2.rows > 0 && r2.fromVersion == r1.toVersion)
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    assert(target.manifest.metrics(LakeSync.OFFSET_METRIC) ==
+      source.currentVersion.toLong)
+
+    // caught up → no-op, cursor unmoved (idempotent re-run)
+    val r3 = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(r3.rows == 0 && r3.epoch == -2L)
+    assert(target.manifest.metrics(LakeSync.OFFSET_METRIC) ==
+      source.currentVersion.toLong)
+  }
+
+  test("a late lower-LSN change cannot regress the mirror") {
+    import spark.implicits._
+    val root = tmpDir("graft-lakesync-ooo")
+    val sourceDir = s"$root/table"
+    def ev(doc: String, toks: Seq[Int], lsn: Long, op: String) =
+      (doc, toks, toks.size, "web", op, lsn)
+    def frame(rows: Seq[(String, Seq[Int], Int, String, String, Long)]) =
+      rows.toDF("doc_id", "tokens", "n_tok", "source", "op", "lsn")
+        .withColumn("ts", lit(null).cast("timestamp"))
+    val cfg = JobConfig(mode = CdcMode.Upsert, buckets = 2,
+      merge = MergeStrategy.MergeOnRead)
+    val source = new LakeTable(sourceDir)
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      frame(Seq(ev("d1", Seq(1), 100L, "INSERT"))).schema
+        .filterNot(f => Set("op", "lsn", "ts").contains(f.name))
+        // toDF infers array<int> with containsNull=false; parquet reads come
+        // back nullable — normalize so the merge's align-cast is a no-op
+        .map(f => f.copy(dataType = f.dataType match {
+          case org.apache.spark.sql.types.ArrayType(t, _) =>
+            org.apache.spark.sql.types.ArrayType(t, containsNull = true)
+          case t => t
+        })) ++ Seq(
+        org.apache.spark.sql.types.StructField("_lsn",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_deleted",
+          org.apache.spark.sql.types.BooleanType)))
+    source.create(tableSchema, buckets = 2, keyCols = Seq("doc_id"))
+
+    // epoch 0: d1 at lsn=100 (value A) — then bootstrap the mirror
+    MergeApply.applyBatch(spark, source,
+      frame(Seq(ev("d1", Seq(1, 2, 3), 100L, "INSERT"),
+        ev("d2", Seq(9), 50L, "INSERT"))), 0L, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, sourceDir, targetDir)
+
+    // epoch 1: an OUT-OF-ORDER older change for d1 (lsn=5, value B) and a
+    // genuinely newer one for d2 — the source's LWW keeps d1=A, updates d2
+    MergeApply.applyBatch(spark, source,
+      frame(Seq(ev("d1", Seq(7, 7), 5L, "UPDATE"),
+        ev("d2", Seq(8, 8), 60L, "UPDATE"))), 1L, cfg)
+    LakeSync.sync(spark, sourceDir, targetDir)
+
+    val target = new LakeTable(targetDir)
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    val d1 = target.read(spark).filter(col("doc_id") === "d1")
+      .select("tokens").as[Seq[Int]].head()
+    assert(d1 == Seq(1, 2, 3), "the stale lsn=5 update must lose downstream too")
+  }
+
+  test("schema evolution inside a sync window follows the source") {
+    import spark.implicits._
+    val root = tmpDir("graft-lakesync-evo")
+    val cfg = morCfg(root)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40))
+    ChangeFeed.writeFeed(feed, cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+
+    // source evolves: rename a payload column + add one, then more ingest
+    source.evolve(Seq(RenameColumn("source", "origin"),
+      AddColumn("lang", org.apache.spark.sql.types.StringType)))
+    val extra = Seq(("doc-evo", Seq(1, 2), 2, "wiki", "en", "INSERT", 100000L))
+      .toDF("doc_id", "tokens", "n_tok", "origin", "lang", "op", "lsn")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    MergeApply.applyBatch(spark, source, extra,
+      epoch = source.manifest.epochWatermark + 1,
+      cfg = cfg.job.copy(keyCols = Seq("doc_id")))
+
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+    val target = new LakeTable(targetDir)
+    assert(target.read(spark).columns.contains("origin") &&
+      target.read(spark).columns.contains("lang") &&
+      !target.read(spark).columns.contains("source"))
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    // idempotent evolution replay: syncing again (no new data) is a no-op
+    val again = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(again.rows == 0)
+  }
+
+  test("feed binding: foreign sources and non-sync targets are refused") {
+    val root = tmpDir("graft-lakesync-bind")
+    val cfgA = morCfg(s"$root/a")
+    val cfgB = morCfg(s"$root/b")
+    for (c <- Seq(cfgA, cfgB)) {
+      ChangeFeed.writeFeed(ChangeFeed.events(spark,
+        ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)), c.feedDir, nFiles = 1)
+      CdcRunner.ensureTable(spark, c)
+      CdcRunner.runAvailableNow(spark, c)
+    }
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfgA.tableDir, targetDir)
+    val e = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfgB.tableDir, targetDir))
+    assert(e.getMessage.contains("one upstream per target"))
+    // a table that was never sync-created (has its own data) is not adoptable
+    val e2 = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfgA.tableDir, cfgB.tableDir))
+    assert(e2.getMessage.contains("refusing to adopt"))
+  }
+
+  test("CoW source without a recorded change feed fails loudly, not empty") {
+    val root = tmpDir("graft-lakesync-cow")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2)) // CoW, changeFeed off
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 100), cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir) // bootstrap: fine (snapshot)
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 100), cfg.feedDir,
+      nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val e = intercept[IllegalStateException](
+      LakeSync.sync(spark, cfg.tableDir, targetDir))
+    assert(e.getMessage.contains("change"), e.getMessage)
+  }
+
+  test("scd2 sources are refused (no row-level feed contract)") {
+    val root = tmpDir("graft-lakesync-scd2")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Scd2, buckets = 2))
+    ChangeFeed.writeFeed(ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)), cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val e = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, s"$root/mirror"))
+    assert(e.getMessage.contains("LWW change feed"))
+  }
+}

@@ -158,6 +158,38 @@ class OpsMainSpec extends SparkSpec {
       JobMain.runOp(spark, Seq("--op", "change_log") ++ tbl))
   }
 
+  test("lake_sync verb: bootstrap + incremental lake-to-lake mirror from the CLI") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-opsmain-lakesync")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2,
+        merge = MergeStrategy.MergeOnRead))
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 60))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 150), cfg.feedDir, nFiles = 1)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val mirror = s"$root/mirror"
+    def run() = JobMain.runOp(spark,
+      Seq("--op", "lake_sync", "--in", cfg.tableDir, "--table", mirror)).head()
+
+    val r1 = run()
+    assert(r1.getAs[Boolean]("bootstrapped") &&
+      r1.getAs[Int]("to_version") == lake.currentVersion)
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 150), cfg.feedDir,
+      nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val r2 = run()
+    assert(!r2.getAs[Boolean]("bootstrapped") && r2.getAs[Long]("rows") > 0)
+    val target = new graft.lake.LakeTable(mirror)
+    assert(target.read(spark).collect().map(_.toString).sorted
+      .sameElements(lake.read(spark).collect().map(_.toString).sorted))
+    // caught up → no-op report
+    assert(run().getAs[Long]("rows") == 0L)
+  }
+
   test("sql verb: free-form SQL over the lake TVFs from the CLI") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
