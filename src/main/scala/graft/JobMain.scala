@@ -224,15 +224,18 @@ object JobMain {
           .toDF("from_version", "to_version", "keys", "target_table")
       case "quarantine_replay" =>
         // the merge config is re-derived from the table's own manifest (mode,
-        // keys, scd columns); only the merge strategy — not recorded per
-        // table — comes from config (default copy_on_write)
+        // keys, scd columns, delta history): a merge-on-read table drained
+        // with a copy-on-write default would commit a sidecar-less BASE
+        // epoch that wedges every changeLog window spanning it — the default
+        // follows the table's storage evidence (deltaHistory is sticky, so a
+        // momentarily fully-compacted MoR table still defaults right)
         val m = lake.manifest
         val epoch = c.lngOpt("epoch").getOrElse(throw new IllegalArgumentException(
           "--op quarantine_replay needs config {\"epoch\": N}"))
         val cfg = JobConfig(
           mode = if (m.tableMode == graft.lake.Manifest.SCD2) CdcMode.Scd2
                  else CdcMode.Upsert,
-          merge = MergeStrategy.parse(c.str("merge", "copy_on_write")),
+          merge = MergeStrategy.parse(c.str("merge", m.defaultMergeStrategy)),
           keyCols = m.keyCols,
           scdCols = m.scdCols match {
             case Seq(s, e, cur) => ScdCols(s, e, cur)

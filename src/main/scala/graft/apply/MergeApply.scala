@@ -512,6 +512,6 @@ object MergeApply {
       .options(lake.bloomOptions(m.keyCols))
       .partitionBy("_bucket")
       .parquet(lake.dataDir(epoch))
-    lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty, kind)
+    lake.listEpochFiles(epoch, m, Map.empty, kind)
   }
 }

@@ -93,7 +93,11 @@ object LakeSync {
         "are version rows, not row states — replicate its LWW upstream instead)")
     require(sm.keyCols.nonEmpty,
       s"source at $sourceDir declares no merge keys; sync needs them")
-    val head = source.currentVersion
+    // the window head IS sm's version: a separate currentVersion probe could
+    // see a commit (e.g. an evolve) that landed after the manifest read, and
+    // bootstrap would then mirror head's data under sm's older schema with
+    // the cursor already past the evolution — silent permanent divergence
+    val head = sm.version
 
     val target = new LakeTable(targetDir)
     if (!target.exists) {
@@ -126,7 +130,7 @@ object LakeSync {
       .write.mode("overwrite")
       .options(target.bloomOptions(tm.keyCols))
       .partitionBy("_bucket").parquet(target.dataDir(epoch))
-    val files = target.listEpochFiles(epoch, tm.currentSchemaId, Map.empty)
+    val files = target.listEpochFiles(epoch, tm, Map.empty)
     val rows = files.map(_.rows).sum
     target.commit(epoch, files, (0 until tm.buckets).toSet,
       Map("full_load_rows" -> rows, OFFSET_METRIC -> head.toLong))
@@ -142,8 +146,8 @@ object LakeSync {
         "rebuilt? (delete the target to re-bootstrap)")
     if (from == head) return SyncResult(from, head, -2L, 0L, bootstrapped = false)
 
-    val diff = evolutionDiff(source.schemaAt(from), source.schemaAt(head))
-      .filter(applicable(target.manifest.currentSchema, _))
+    val diff = applicable(target.manifest.currentSchema,
+      evolutionDiff(source.schemaAt(from), source.schemaAt(head)))
     if (diff.nonEmpty) target.evolve(diff)
 
     val changes = source.changeLog(spark, from, head)
@@ -183,15 +187,35 @@ object LakeSync {
     }
 
   /** Skip changes the target already has — makes the evolution replay
-    * idempotent (re-sync after a crash between evolve and commit). */
-  private def applicable(target: GraftSchema, ch: SchemaChange): Boolean = {
-    val names = target.fields.map(_.name).toSet
-    ch match {
-      case AddColumn(n, _, _)  => !names.contains(n)
-      case RenameColumn(f, t)  => names.contains(f) && !names.contains(t)
-      case WidenColumn(n, to)  =>
-        target.fields.find(_.name == n).exists(_.dataType != to)
+    * idempotent (re-sync after a crash between evolve and commit). Each
+    * change is judged against the schema AS TRANSFORMED by the preceding
+    * retained ones, not the starting schema: one window's diff can contain
+    * interdependent changes (rename a→b, then add a NEW column a) where the
+    * later change only becomes applicable once the earlier one lands —
+    * filtering all of them against the pre-evolution names would silently
+    * drop the add and diverge the mirror forever. */
+  private def applicable(target: GraftSchema, chs: Seq[SchemaChange]): Seq[SchemaChange] = {
+    var fields = target.fields.map(f => f.name -> f.dataType)
+    val out = Seq.newBuilder[SchemaChange]
+    chs.foreach { ch =>
+      val names = fields.map(_._1).toSet
+      val keep = ch match {
+        case AddColumn(n, _, _) => !names.contains(n)
+        case RenameColumn(f, t) => names.contains(f) && !names.contains(t)
+        case WidenColumn(n, to) => fields.find(_._1 == n).exists(_._2 != to)
+      }
+      if (keep) {
+        out += ch
+        fields = ch match {
+          case AddColumn(n, dt, _) => fields :+ (n -> dt)
+          case RenameColumn(f, t)  => fields.map { case (n, dt) =>
+            (if (n == f) t else n) -> dt }
+          case WidenColumn(n, to)  => fields.map { case (c, dt) =>
+            c -> (if (c == n) to else dt) }
+        }
+      }
     }
+    out.result()
   }
 
   // ── source-binding marker ──

@@ -182,6 +182,12 @@ final case class Manifest(
     /** wall-clock commit time (ms) — metadata only (age-based vacuum
       * retention); never feeds data or replay decisions */
     committedAtMs: Long = 0L,
+    /** sticky: some commit in this table's history added DELTA files. Unlike
+      * [[hasDeltas]] it survives compaction, so maintenance entry points can
+      * default their merge strategy to the table's actual storage mode — a
+      * copy-on-write default on a (momentarily fully-folded) merge-on-read
+      * table would commit a sidecar-less base epoch that wedges changeLog. */
+    deltaHistory: Boolean = false,
     /** the streaming/maintenance epoch whose commit produced THIS version
       * ([[Manifest.NoEpoch]] for metadata-only versions) — lets changeLog map
       * a snapshot window back to the epochs whose change sidecars it spans. */
@@ -189,6 +195,12 @@ final case class Manifest(
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
+  /** The storage mode a maintenance writer (quarantine drain) should commit
+    * under when none is configured: merge-on-read iff the table's history
+    * shows delta commits — live ([[hasDeltas]]) or compacted-away
+    * ([[deltaHistory]]). Canonical [[graft.model.MergeStrategy]] spelling. */
+  def defaultMergeStrategy: String =
+    if (deltaHistory || hasDeltas) "merge_on_read" else "copy_on_write"
   def isCommittedEpoch(e: Long): Boolean =
     (e >= 0 && e <= epochWatermark) || recentEpochs.contains(e)
   def committedEpochCount: Long =
@@ -270,6 +282,7 @@ object ManifestJson {
       "table_mode" -> JString(m.tableMode),
       "scd_cols" -> JArray(m.scdCols.toList.map(JString(_))),
       "committed_at_ms" -> JLong(m.committedAtMs),
+      "delta_history" -> JBool(m.deltaHistory),
       "epoch" -> JLong(m.epoch)
     )
     JsonMethods.pretty(JsonMethods.render(j))
@@ -321,6 +334,7 @@ object ManifestJson {
         case _ => Nil
       },
       committedAtMs = (j \ "committed_at_ms").extractOrElse[Long](0L),
+      deltaHistory = (j \ "delta_history").extractOrElse[Boolean](false),
       epoch = (j \ "epoch").extractOrElse[Long](Manifest.NoEpoch))
   }
 }
@@ -400,10 +414,17 @@ class LakeTable(val dir: String) {
     * would wedge every changeLog window spanning it. */
   def recordsChangeFeed: Boolean = {
     val root = Paths.get(dir, "changes")
-    Files.isDirectory(root) && scala.util.Using.resource(Files.list(root)) { ls =>
-      ls.iterator().asScala.exists(_.getFileName.toString.startsWith("epoch="))
-    }
+    // the `_feed` marker is the durable half: vacuum GCs pruned epochs'
+    // sidecar DIRS, so an aggressively-vacuumed feed-recording table can have
+    // zero epoch= children left — keying off those alone would flip this to
+    // false and let the next maintenance commit wedge the feed it guards
+    Files.isDirectory(root) && (Files.exists(root.resolve(FEED_MARKER)) ||
+      scala.util.Using.resource(Files.list(root)) { ls =>
+        ls.iterator().asScala.exists(_.getFileName.toString.startsWith("epoch="))
+      })
   }
+
+  private val FEED_MARKER = "_feed"
 
   /** Persist one CoW epoch's change set ([[changesDir]]). Overwrite keeps a
     * retried epoch idempotent; the `_meta.json` records the writer schema id
@@ -413,6 +434,8 @@ class LakeTable(val dir: String) {
     changes.write.mode("overwrite").parquet(changesDir(epoch))
     Files.writeString(Paths.get(changesDir(epoch), "_meta.json"),
       s"""{"schema_id":$schemaId}""")
+    // durable feed marker (see recordsChangeFeed) — outlives vacuumed epochs
+    Files.writeString(Paths.get(dir, "changes", FEED_MARKER), "")
   }
 
   private def changeSetFiles(epoch: Long): Seq[DataFile] = {
@@ -727,6 +750,7 @@ class LakeTable(val dir: String) {
           files = liveFiles,
           fragments = if (consolidate) Seq(fragName) else evolved.fragments :+ fragName,
           metrics = mergedMetrics,
+          deltaHistory = evolved.deltaHistory || newFiles.exists(_.isDelta),
           epoch = epoch)
         writeManifest(m, Some((fragName, fragment)))
         writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
@@ -1353,7 +1377,7 @@ class LakeTable(val dir: String) {
       .options(bloomOptions(m.keyCols))
       .partitionBy("_bucket")
       .parquet(dataDir(epoch))
-    val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    val files = listEpochFiles(epoch, m, Map.empty)
     // replace the full current-spec closure of every rewritten group
     val replaced = (0 until m.buckets).filter(b => oversized.contains(b % gran)).toSet
     // compaction also folds the fragment list down to one (manifest rewrite);
@@ -1400,7 +1424,7 @@ class LakeTable(val dir: String) {
       .options(bloomOptions(m.keyCols))
       .partitionBy("_bucket")
       .parquet(dataDir(epoch))
-    val files = listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    val files = listEpochFiles(epoch, m, Map.empty)
     val replaced = (0 until m.buckets).filter(b => staleGroups.contains(b % gran)).toSet
     // pin the snapshot the rewrite read: an interleaved merge into one of the
     // migrating groups must surface as ConcurrentCommitException, not be
@@ -1530,7 +1554,11 @@ class LakeTable(val dir: String) {
       ManifestJson.read(new String(Files.readAllBytes(manifestPath(v)))).fragments
     }.toSet
     def fragSeq(name: String): Int =
-      scala.util.Try(name.stripPrefix("mf-").take(6).toInt).getOrElse(Int.MaxValue)
+      // digits up to the nonce separator, NOT a fixed width: seq 1,000,000+
+      // renders 7 digits, and a truncated parse would misread an in-flight
+      // commit's fragment as ancient and sweep a future winner's file
+      scala.util.Try(name.stripPrefix("mf-").takeWhile(_.isDigit).toInt)
+        .getOrElse(Int.MaxValue)
     scala.util.Using.resource(Files.list(manifestsDir)) { ls =>
       ls.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("mf-") &&
@@ -1591,8 +1619,15 @@ class LakeTable(val dir: String) {
 
   /** List data files physically present under a just-written epoch dir, with bucket
     * parsed from the `_bucket=K` partition dirs. Retried epochs overwrite the same
-    * dir, so file sets stay idempotent per (epoch, partition). */
-  def listEpochFiles(epoch: Long, schemaId: Int, rowsByBucket: Map[Int, Long],
+    * dir, so file sets stay idempotent per (epoch, partition).
+    *
+    * `m` MUST be the manifest the rows were BUCKETED under, not a fresh head
+    * read: an external rescale landing between the write and this listing
+    * would otherwise record the new bucket count as these files' spec while
+    * their rows hash under the old one — and a pure-addition (delta) commit
+    * bypasses the rebase guard's spec check, so nothing downstream would
+    * catch the mismatch before reads silently lose rows. */
+  def listEpochFiles(epoch: Long, m: Manifest, rowsByBucket: Map[Int, Long],
       kind: String = DataFile.BASE): Seq[DataFile] = {
     val root = Paths.get(dataDir(epoch))
     if (!Files.exists(root)) return Nil
@@ -1600,16 +1635,12 @@ class LakeTable(val dir: String) {
     // no data scan): exact row count + leading-merge-key min/max when the key
     // is string- or integral-typed — consumed by lookup*'s intra-bucket pruning
     val (statsKeys, writeSpec) =
-      if (!exists) (Seq.empty[(String, DataType)], 0)
-      else {
-        val m = manifest
-        (m.keyCols
-          .flatMap(k => m.currentSchema.byName(k))
-          .collect {
-            case f if f.dataType == StringType || f.dataType == LongType ||
-              f.dataType == IntegerType => (f.name, f.dataType)
-          }, m.buckets)
-      }
+      (m.keyCols
+        .flatMap(k => m.currentSchema.byName(k))
+        .collect {
+          case f if f.dataType == StringType || f.dataType == LongType ||
+            f.dataType == IntegerType => (f.name, f.dataType)
+        }, m.buckets)
     val listed = scala.util.Using.resource(Files.walk(root)) { walk =>
       walk.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
@@ -1618,7 +1649,7 @@ class LakeTable(val dir: String) {
             case s if s.startsWith("_bucket=") => s.substring("_bucket=".length).toInt
             case _ => -1
           }
-          DataFile(p.toString, bucket, schemaId, rowsByBucket.getOrElse(bucket, -1L),
+          DataFile(p.toString, bucket, m.currentSchemaId, rowsByBucket.getOrElse(bucket, -1L),
             kind, spec = writeSpec, bytes = Files.size(p))
         }.toSeq
     }

@@ -142,7 +142,7 @@ object CdcRunner {
       .write.mode("overwrite")
       .options(lake.bloomOptions(m.keyCols))
       .partitionBy("_bucket").parquet(lake.dataDir(epoch))
-    val files = lake.listEpochFiles(epoch, m.currentSchemaId, Map.empty)
+    val files = lake.listEpochFiles(epoch, m, Map.empty)
     // exact loaded-row count comes free from the parquet footers
     lake.commit(epoch, files, (0 until m.buckets).toSet,
       Map("full_load_rows" -> files.map(_.rows).sum))
@@ -245,10 +245,14 @@ object CdcRunner {
         deferOnConflict("auto-rescale")(
           lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
             maxGroups = cfg.autoRescaleMaxGroups): Unit)
-    } else if (cfg.autoRescaleBytesPerBucket > 0 && epoch >= 0) {
+    } else if (cfg.autoCompactEveryEpochs == 0 &&
+        cfg.autoRescaleBytesPerBucket > 0 && epoch >= 0) {
       // the rescale policy must not be silently inert when auto-compaction is
       // off: with no compact cadence to ride, check every epoch — below the
-      // threshold it is driver-side metadata arithmetic on the cached fold
+      // threshold it is driver-side metadata arithmetic on the cached fold.
+      // (With auto-compaction ON this branch must stay dead on non-tick
+      // epochs, or a mid-migration table pays a physical splitBuckets rewrite
+      // in-line with EVERY epoch instead of one bounded step per tick.)
       deferOnConflict("auto-rescale")(
         lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
           maxGroups = cfg.autoRescaleMaxGroups): Unit)

@@ -120,7 +120,9 @@ object MultiTableRunner {
    */
   def processBatch(spark: SparkSession, jobs: Seq[TableJob],
       schemaRegistry: Map[Int, Seq[graft.lake.SchemaChange]] = Map.empty,
-      autoCompactEveryEpochs: Int = 0, autoCompactMaxDeltaFiles: Int = 8)(
+      autoCompactEveryEpochs: Int = 0, autoCompactMaxDeltaFiles: Int = 8,
+      autoRescaleBytesPerBucket: Long = 0L,
+      autoRescaleMaxGroups: Int = 4)(
       batch: DataFrame, epoch: Long): Unit = {
     import scala.collection.parallel.CollectionConverters._
     def applyOne(tj: TableJob): Unit = {
@@ -132,17 +134,29 @@ object MultiTableRunner {
       CdcRunner.applySchemaRegistry(tj.lake, schemaRegistry, sub)
       MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job)
       // settings-driven maintenance cadence, per table (same contract as the
-      // single-table runner's autoCompactEveryEpochs)
-      if (autoCompactEveryEpochs > 0 && epoch >= 0 &&
-          (epoch + 1) % autoCompactEveryEpochs == 0) {
-        // best-effort like the single-table runner: an external maintenance
-        // job winning the rebase race defers this tick, not the stream
-        try tj.lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit
-        catch {
+      // single-table runner: compact on the tick, rescale-check rides the
+      // tick — or every epoch when no compact cadence is configured)
+      // best-effort like the single-table runner: an external maintenance
+      // job winning the rebase race defers this tick, not the stream
+      def deferOnConflict(what: String)(op: => Unit): Unit =
+        try op catch {
           case e: graft.lake.ConcurrentCommitException =>
-            System.err.println(s"[graft] auto-compact(${tj.rules.tableName}) " +
+            System.err.println(s"[graft] $what(${tj.rules.tableName}) " +
               s"deferred to next tick: ${e.getMessage}")
         }
+      if (autoCompactEveryEpochs > 0 && epoch >= 0 &&
+          (epoch + 1) % autoCompactEveryEpochs == 0) {
+        deferOnConflict("auto-compact")(
+          tj.lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit)
+        if (autoRescaleBytesPerBucket > 0)
+          deferOnConflict("auto-rescale")(
+            tj.lake.autoRescale(spark, autoRescaleBytesPerBucket,
+              maxGroups = autoRescaleMaxGroups): Unit)
+      } else if (autoCompactEveryEpochs == 0 &&
+          autoRescaleBytesPerBucket > 0 && epoch >= 0) {
+        deferOnConflict("auto-rescale")(
+          tj.lake.autoRescale(spark, autoRescaleBytesPerBucket,
+            maxGroups = autoRescaleMaxGroups): Unit)
       }
     }
     val cache = jobs.size > 1
@@ -171,7 +185,8 @@ object MultiTableRunner {
       .queryName(s"graft-multi-${java.util.UUID.randomUUID().toString.take(8)}")
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(processBatch(spark, jobs, cfg.settings.schemaRegistry,
-        cfg.settings.autoCompactEveryEpochs, cfg.settings.autoCompactMaxDeltaFiles) _)
+        cfg.settings.autoCompactEveryEpochs, cfg.settings.autoCompactMaxDeltaFiles,
+        cfg.settings.autoRescaleBytesPerBucket, cfg.settings.autoRescaleMaxGroups) _)
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(
        Trigger.ProcessingTime(s"${cfg.settings.intervalSeconds} seconds"))).start()

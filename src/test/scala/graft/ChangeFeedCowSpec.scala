@@ -107,6 +107,13 @@ class ChangeFeedCowSpec extends SparkSpec {
     assert((0L until lastEpoch).forall(e =>
       !new java.io.File(lake.changesDir(e)).isDirectory),
       "pruned epochs' sidecars are gone")
+    // durable feed identity: even with EVERY epoch sidecar gone (a kept
+    // window of maintenance-only commits), the table still identifies as
+    // feed-recording via the _feed marker — keying off surviving epoch dirs
+    // alone would flip the quarantine-drain default to sidecar-less commits
+    // (the exact wedge recordsChangeFeed exists to prevent)
+    CdcRunner.deleteRecursively(new java.io.File(lake.changesDir(lastEpoch)))
+    assert(lake.recordsChangeFeed, "the _feed marker outlives vacuumed sidecars")
   }
 
   test("maintenance inside the window leaves the CoW feed exact: compaction " +

@@ -140,6 +140,41 @@ class LakeSyncSpec extends SparkSpec {
     assert(again.rows == 0)
   }
 
+  test("interdependent evolution in one window: rename a→b plus add a NEW a") {
+    import spark.implicits._
+    val root = tmpDir("graft-lakesync-evo2")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)), cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+
+    // one sync window spans BOTH: the old `source` column renamed away, and
+    // a brand-new column REUSING the name `source` — the add is applicable
+    // only once the rename has landed, so a filter judging every change
+    // against the pre-evolution target schema would silently drop it
+    source.evolve(Seq(RenameColumn("source", "origin")))
+    source.evolve(Seq(AddColumn("source", org.apache.spark.sql.types.StringType)))
+    val extra = Seq(("doc-evo2", Seq(4, 5), 2, "wiki", "crawl-7", "INSERT", 200000L))
+      .toDF("doc_id", "tokens", "n_tok", "origin", "source", "op", "lsn")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    MergeApply.applyBatch(spark, source, extra,
+      epoch = source.manifest.epochWatermark + 1,
+      cfg = cfg.job.copy(keyCols = Seq("doc_id")))
+
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+    val target = new LakeTable(targetDir)
+    val cols = target.read(spark).columns.toSet
+    assert(cols.contains("origin") && cols.contains("source"),
+      s"mirror must carry BOTH the renamed and the re-added column: $cols")
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    assert(target.read(spark).filter(col("doc_id") === "doc-evo2")
+      .select("source").as[String].head() == "crawl-7",
+      "the new column's values must survive the mirror's align-to-schema")
+  }
+
   test("feed binding: foreign sources and non-sync targets are refused") {
     val root = tmpDir("graft-lakesync-bind")
     val cfgA = morCfg(s"$root/a")

@@ -488,7 +488,9 @@ class MaintenanceSpec extends SparkSpec {
     val wallS = (System.nanoTime() - t0) / 1e9
     assert(cl.count() == n.toLong,
       "every delta committed inside the window, exactly once")
-    assert(wallS < 30.0, // measured ~5 s alone; headroom for suite-load GC
+    assert(wallS < 120.0, // measured ~5 s alone; the bound guards the
+      // O(window × files) re-fold regression (minutes), so it is sized for
+      // co-tenant noise windows (3× wall inflation observed), not a quiet box
       s"fragment-diff changeLog planned a 1200-version window in $wallS s")
     info(f"changeLog(1, ${lake.currentVersion}) driver wall: $wallS%.2f s for $n fragments")
   }

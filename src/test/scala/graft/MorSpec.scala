@@ -66,6 +66,24 @@ class MorSpec extends SparkSpec {
     assert(rawRows == expected.size, s"raw=$rawRows visible=${expected.size}")
   }
 
+  test("deltaHistory is sticky through a full fold: a fully-compacted MoR " +
+    "table still defaults maintenance writers to delta commits") {
+    val root = tmpDir("graft-mor-sticky")
+    val (lake, _) = runPipeline(MergeStrategy.MergeOnRead, root)
+    assert(lake.manifest.defaultMergeStrategy == "merge_on_read")
+    val compacted = lake.compact(spark,
+      maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+    // the live evidence is gone, the history is not — a quarantine drain
+    // defaulting from hasDeltas alone would commit a sidecar-less BASE epoch
+    // here and wedge every changeLog window spanning it
+    assert(!compacted.hasDeltas && compacted.deltaHistory)
+    assert(compacted.defaultMergeStrategy == "merge_on_read")
+    // and a table that never committed deltas stays copy_on_write
+    val (cow, _) = runPipeline(MergeStrategy.CopyOnWrite, tmpDir("graft-mor-sticky-cow"))
+    assert(!cow.manifest.deltaHistory &&
+      cow.manifest.defaultMergeStrategy == "copy_on_write")
+  }
+
   test("auto-compaction cadence folds deltas in-line with the stream") {
     val root = tmpDir("graft-mor-auto")
     val cfg = RunnerConfig(

@@ -197,6 +197,42 @@ class MultiTableSpec extends SparkSpec {
     assert(new java.io.File(s"$root/lake/hr.employee_f/manifests").exists())
   }
 
+  test("auto-rescale policy fires on the multi-table path (same contract as " +
+    "the single-table runner)") {
+    val root = tmpDir("graft-multi-rescale")
+    val settings = TaskSettings.parse(settingsJson)
+    val payloads = Map(
+      "hr.employee" -> TablePayload(StructType(Seq(
+        StructField("emp_id", StringType), StructField("name", StringType),
+        StructField("gender", StringType))), Seq("emp_id")),
+      "hr.department" -> TablePayload(StructType(Seq(
+        StructField("dept_id", StringType), StructField("dept_name", StringType))),
+        Seq("dept_id")))
+    val cfg = Config(
+      feedDir = s"$root/feed", lakeRoot = s"$root/lake",
+      checkpointDir = s"$root/cp", settings = settings, payloads = payloads,
+      buckets = 4, maxFilesPerTrigger = 8)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "hr", "employee",
+        "e1", "ada", "F", null, null),
+      Row(2L, 2L, ts(2), "INSERT", 1, "hr", "department",
+        null, null, null, "d1", "research"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultiTableRunner.feedSchema(cfg))
+    val jobs = MultiTableRunner.ensureTables(spark, cfg)
+    // 1-byte/bucket threshold: ANY live data crosses it, so the policy —
+    // when actually invoked — doubles each table's bucket count. Before the
+    // fix this batch left both tables at 4 buckets with no error (the knobs
+    // were parsed and plumbed but processBatch never called autoRescale).
+    MultiTableRunner.processBatch(spark, jobs,
+      autoRescaleBytesPerBucket = 1L)(df, 0L)
+    jobs.foreach { j =>
+      assert(j.lake.manifest.buckets == 8,
+        s"${j.targetId}: expected a 4→8 auto-rescale, got ${j.lake.manifest.buckets}")
+    }
+  }
+
   test("equal-priority tables apply concurrently with identical results") {
     val root = tmpDir("graft-multi-par")
     // same task, both tables in one priority class → parallel group

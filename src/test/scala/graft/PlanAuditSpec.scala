@@ -111,7 +111,12 @@ class PlanAuditSpec extends SparkSpec {
     val reading = lake.read(spark)
     val rdd = reading.queryExecution.toRdd
     val planWallS = (System.nanoTime() - t0) / 1e9
-    assert(planWallS < 60.0, s"plan build took $planWallS s for ${deltaBuckets.size} buckets")
+    // bound sized to the FAILURE MODE (quadratic Catalyst work over a
+    // left-deep 300-relation union chain: many minutes), not to a quiet box:
+    // the same plan built in <15 s idle has been observed at ~170 s under
+    // full-suite co-tenant load, and a wall this test can only fail in a
+    // noise window protects nothing
+    assert(planWallS < 240.0, s"plan build took $planWallS s for ${deltaBuckets.size} buckets")
     assert(!hasShuffle(rdd), "tree-union path is still zero-shuffle")
     val treeState = reading.collect().map(_.toString).sorted
     // beyond the cap: the union moves BELOW Catalyst (per-group plans
@@ -123,7 +128,7 @@ class PlanAuditSpec extends SparkSpec {
       val fb = lake.read(spark)
       val fbRdd = fb.queryExecution.toRdd
       val fbWallS = (System.nanoTime() - t1) / 1e9
-      assert(fbWallS < 60.0, s"RDD-union plan build took $fbWallS s")
+      assert(fbWallS < 240.0, s"RDD-union plan build took $fbWallS s")
       assert(!hasShuffle(fbRdd), "RDD-layer union is zero-shuffle too")
       assert(fb.collect().map(_.toString).sorted.sameElements(treeState),
         "RDD-union resolution == tree-union resolution")
