@@ -46,6 +46,10 @@ import graft.runner._
  * //   vacuum            {keep_versions, keep_committed_since_ms}
  * //   rescale           {buckets}               // default: 2× current
  * //   split_buckets     {max_groups}            // bounded migration step
+ * //   rewrite_manifests {}                      // fold fragment list to one
+ * //   remove_orphans    {older_than_ms}         // GC crashed-epoch files
+ * //   delivery_gap      {schema_name, table_name} // + --in <feedDir>:
+ * //                     producer page manifests vs events_received audit
  * //   reconcile         {}                      // lineage-vs-manifest audit
  * //   quarantine_list   {epoch?}                // browse rows + reasons
  * //   quarantine_replay {epoch, attempt?, merge?} // re-drive one epoch's DLX
@@ -95,10 +99,19 @@ object JobMain {
     }
   }
 
+  /** `--config <json>` → [[OpConf]] (empty object when the flag is absent). */
+  private def opConf(args: Seq[String]): OpConf =
+    new OpConf(optArg(args, "--config") match {
+      case Some(p) => JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+      case None => JObject()
+    })
+
   /** Ops that act on a lake table (`--table <lakeDir>`) instead of a parquet
     * input — the maintenance/DLX lifecycle verbs plus the read-side pair a
     * downstream consumer needs (snapshot read + incremental change feed). */
   private val maintenanceOps = Set("compact", "vacuum", "rescale", "split_buckets",
+    "rewrite_manifests", "remove_orphans", "delivery_gap",
     "reconcile", "quarantine_list", "quarantine_replay", "quarantine_clear",
     "read", "change_log", "jdbc_apply")
 
@@ -116,11 +129,7 @@ object JobMain {
     val tableDir = opt("--table").getOrElse(throw new IllegalArgumentException(
       s"--op $op needs --table <lakeDir>"))
     val lake = new graft.lake.LakeTable(tableDir)
-    val c = new OpConf(opt("--config") match {
-      case Some(p) => JsonMethods.parse(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
-      case None => JObject()
-    })
+    val c = opConf(args)
     def manifestReport(m: graft.lake.Manifest) =
       Seq((m.version, m.buckets, m.files.size, m.files.count(_.isDelta),
         m.files.map(_.spec).distinct.sorted.mkString(","), m.committedEpochCount))
@@ -142,6 +151,33 @@ object JobMain {
       case "split_buckets" =>
         manifestReport(lake.splitBuckets(spark,
           maxGroups = c.int("max_groups", Int.MaxValue)))
+      case "rewrite_manifests" =>
+        // fold the fragment list to one without touching data — bounds
+        // reader-side fold cost between compactions (metadata-only commit)
+        manifestReport(lake.rewriteManifests())
+      case "remove_orphans" =>
+        // GC data files no kept snapshot references (crashed epochs). The
+        // age horizon is MANDATORY: an in-flight epoch write is also
+        // unreferenced until its commit, so the caller must assert a horizon
+        // comfortably above the longest epoch write
+        val horizon = c.lngOpt("older_than_ms").getOrElse(
+          throw new IllegalArgumentException(
+            "--op remove_orphans needs config {\"older_than_ms\": N} — the " +
+              "safety horizon above your longest epoch write (e.g. 86400000)"))
+        lake.removeOrphans(horizon).toDF("deleted_path")
+      case "delivery_gap" =>
+        // producer-vs-consumer audit: summed page manifests on the bus minus
+        // the table's cumulative events_received — a page dropped in transit
+        // (invisible to consumer-side lineage) surfaces as a positive gap
+        val feedDir = opt("--in").getOrElse(throw new IllegalArgumentException(
+          "--op delivery_gap needs --in <feedDir> (the envelope bus)"))
+        val sn = c.str("schema_name", "")
+        val tn = c.str("table_name", "")
+        require(sn.nonEmpty && tn.nonEmpty, "--op delivery_gap needs config " +
+          """{"schema_name": "s", "table_name": "t"} (the published table id)""")
+        val gap = graft.feed.EnvelopeSource.deliveryGap(lake, feedDir, sn, tn)
+        Seq((gap.isDefined, gap.getOrElse(-1L), gap.contains(0L)))
+          .toDF("producer_manifests_found", "gap_events", "clean")
       case "reconcile" =>
         val r = lake.reconcile()
         Seq((r.ok, r.missingLineage.mkString(","),
@@ -284,11 +320,7 @@ object JobMain {
         "--op lake_sync needs --in <sourceLakeDir>"))
       val tgt = opt("--table").getOrElse(throw new IllegalArgumentException(
         "--op lake_sync needs --table <targetLakeDir>"))
-      val c = new OpConf(opt("--config") match {
-        case Some(p) => JsonMethods.parse(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
-        case None => JObject()
-      })
+      val c = opConf(args)
       val merge = c.str("merge", "cow") match {
         case "mor" => graft.model.MergeStrategy.MergeOnRead
         case _     => graft.model.MergeStrategy.CopyOnWrite
@@ -303,11 +335,7 @@ object JobMain {
       s"--op $op needs --in <parquet>"))
     val df = spark.read.parquet(in)
     val queries = opt("--queries").map(spark.read.parquet).getOrElse(df)
-    val c = new OpConf(opt("--config") match {
-      case Some(p) => JsonMethods.parse(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
-      case None => JObject()
-    })
+    val c = opConf(args)
     import graft.ops._
     val textCol = c.str("text_col", "text")
     val idCol = c.str("id_col", "doc_id")
@@ -342,7 +370,8 @@ object JobMain {
         s"unknown --op '$other' (dedup_exact | dedup_minhash | dedup_simhash | " +
           "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
           "multimodal_features; maintenance, with --table: compact | vacuum | " +
-          "rescale | split_buckets | reconcile | quarantine_list | " +
+          "rescale | split_buckets | rewrite_manifests | remove_orphans | " +
+          "delivery_gap | reconcile | quarantine_list | " +
           "quarantine_replay | read | change_log | jdbc_apply | lake_sync | sql)")
     }
   }

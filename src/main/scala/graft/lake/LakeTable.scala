@@ -483,9 +483,9 @@ class LakeTable(val dir: String) {
   def clearQuarantine(epoch: Long): Seq[String] = {
     val root = Paths.get(quarantineDir(epoch))
     if (!Files.isDirectory(root)) return Nil
-    val deleted = scala.util.Using.resource(Files.walk(root))(_.iterator().asScala.toSeq)
-      .reverse.filter(Files.deleteIfExists(_)).map(_.toString)
-    deleted
+    scala.util.Using.resource(Files.walk(root))(_.iterator().asScala.toSeq)
+      .reverse.flatMap(p =>
+        if (Files.deleteIfExists(p)) Some(p.toString) else None)
   }
 
   /** Browse the dead-letter table: quarantined rows + `_error_reason` +
@@ -772,8 +772,9 @@ class LakeTable(val dir: String) {
         "so ANY interleaved commit invalidates it")
     if (!Files.exists(manifestPath(readV)))
       fail("the base snapshot no longer exists (vacuumed)")
+    lazy val base = readMeta(readV)
     if (replacedBuckets.nonEmpty) {
-      if (cur.buckets != readMeta(readV).buckets)
+      if (cur.buckets != base.buckets)
         fail("the bucket spec changed under it (concurrent rescale)")
       // the exact staleness test: the live file set of the buckets this commit
       // REWRITES must be byte-identical between base and head — fold the base
@@ -783,11 +784,11 @@ class LakeTable(val dir: String) {
           val fr = readFragmentFile(n)
           fs.filterNot(_.replacedBy(fr.replacedBuckets)) ++ fr.added
         }.filter(_.replacedBy(replacedBuckets)).map(_.path).toSet
-      if (liveIn(readMeta(readV).fragments) !=
+      if (liveIn(base.fragments) !=
           cur.files.filter(_.replacedBy(replacedBuckets)).map(_.path).toSet)
         fail("the bucket(s) this commit rewrites changed under it")
     }
-    if (changes.nonEmpty && cur.currentSchemaId != readMeta(readV).currentSchemaId)
+    if (changes.nonEmpty && cur.currentSchemaId != base.currentSchemaId)
       fail("the schema evolved concurrently with this commit's own evolution")
   }
 

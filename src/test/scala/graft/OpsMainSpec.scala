@@ -66,8 +66,9 @@ class OpsMainSpec extends SparkSpec {
     assert(self.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
   }
 
-  test("maintenance verbs (compact | vacuum | rescale | split_buckets | reconcile) " +
-    "from the CLI == direct API effects") {
+  test("maintenance verbs (compact | vacuum | rescale | split_buckets | " +
+    "rewrite_manifests | remove_orphans | reconcile) from the CLI == direct " +
+    "API effects") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
     import graft.feed.ChangeFeed
@@ -111,6 +112,34 @@ class OpsMainSpec extends SparkSpec {
     // reconcile: clean audit
     val aRep = JobMain.runOp(spark, Seq("--op", "reconcile") ++ tbl).head()
     assert(aRep.getAs[Boolean]("ok"), s"audit: $aRep")
+
+    // rewrite_manifests: fragment list (grown by the split commits above)
+    // folds to one, reads intact
+    assert(lake.manifest.fragments.size > 1, "fixture: several fragments to fold")
+    val mRep = JobMain.runOp(spark, Seq("--op", "rewrite_manifests") ++ tbl).head()
+    assert(lake.manifest.fragments.size == 1, "fragment list folded to one")
+    assert(mRep.getAs[Int]("version") == lake.currentVersion)
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+
+    // remove_orphans: a planted unreferenced file is swept (horizon 0 for the
+    // test — production passes hours), referenced files untouched
+    val orphan = java.nio.file.Paths.get(lake.dataDir(9999L), "_bucket=0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-orphan.parquet"), "x")
+    // push the mtime safely past the cutoff (mtime == cutoff at ms precision
+    // would not satisfy the strict < of the age guard)
+    assert(orphan.resolve("part-orphan.parquet").toFile
+      .setLastModified(System.currentTimeMillis() - 60000))
+    val oConf = writeConfig("""{"older_than_ms": 0}""")
+    val oRep = JobMain.runOp(spark,
+      Seq("--op", "remove_orphans", "--config", oConf) ++ tbl)
+    assert(oRep.collect().map(_.getString(0)).exists(_.contains("part-orphan")),
+      "the planted orphan is swept")
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+    // the horizon is mandatory — a sweep without one could eat an in-flight epoch
+    val oe = intercept[IllegalArgumentException](
+      JobMain.runOp(spark, Seq("--op", "remove_orphans") ++ tbl))
+    assert(oe.getMessage.contains("older_than_ms"))
 
     // --table missing fails loudly
     val e = intercept[IllegalArgumentException](

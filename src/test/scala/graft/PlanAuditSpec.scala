@@ -111,12 +111,23 @@ class PlanAuditSpec extends SparkSpec {
     val reading = lake.read(spark)
     val rdd = reading.queryExecution.toRdd
     val planWallS = (System.nanoTime() - t0) / 1e9
-    // bound sized to the FAILURE MODE (quadratic Catalyst work over a
-    // left-deep 300-relation union chain: many minutes), not to a quiet box:
-    // the same plan built in <15 s idle has been observed at ~170 s under
-    // full-suite co-tenant load, and a wall this test can only fail in a
-    // noise window protects nothing
-    assert(planWallS < 240.0, s"plan build took $planWallS s for ${deltaBuckets.size} buckets")
+    info(f"tree-union plan build: $planWallS%.1f s for ${deltaBuckets.size} buckets")
+    // The regression this guards against is a LEFT-DEEP union chain over
+    // ~320 relations (quadratic Catalyst traversals). That shape is asserted
+    // STRUCTURALLY — plan depth O(log branches), not O(branches) — because it
+    // is deterministic: an absolute wall flapped 17× between an idle box
+    // (<15 s) and the tail of the full suite under an aged shared session
+    // (167-257 s), where a bound tight enough to catch the quadratic shape is
+    // loose enough to pass it and vice versa. The wall stays only as a
+    // generous backstop for non-shape pathologies.
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    val d = depth(reading.queryExecution.analyzed)
+    assert(d <= 64,
+      s"analyzed plan depth $d for ${deltaBuckets.size} delta-bearing buckets — " +
+        "a left-deep union chain would be ~320 deep; the balanced tree is ~9 + " +
+        "the per-group subtree")
+    assert(planWallS < 600.0, s"plan build took $planWallS s for ${deltaBuckets.size} buckets")
     assert(!hasShuffle(rdd), "tree-union path is still zero-shuffle")
     val treeState = reading.collect().map(_.toString).sorted
     // beyond the cap: the union moves BELOW Catalyst (per-group plans
@@ -128,7 +139,11 @@ class PlanAuditSpec extends SparkSpec {
       val fb = lake.read(spark)
       val fbRdd = fb.queryExecution.toRdd
       val fbWallS = (System.nanoTime() - t1) / 1e9
-      assert(fbWallS < 240.0, s"RDD-union plan build took $fbWallS s")
+      info(f"RDD-union plan build: $fbWallS%.1f s")
+      // beyond the cap the per-group plans are tiny and the union is below
+      // Catalyst entirely — same generous backstop, shape asserted by the
+      // zero-shuffle + equality checks below
+      assert(fbWallS < 600.0, s"RDD-union plan build took $fbWallS s")
       assert(!hasShuffle(fbRdd), "RDD-layer union is zero-shuffle too")
       assert(fb.collect().map(_.toString).sorted.sameElements(treeState),
         "RDD-union resolution == tree-union resolution")

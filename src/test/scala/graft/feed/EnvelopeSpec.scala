@@ -146,6 +146,13 @@ class EnvelopeSpec extends SparkSpec {
     val lakeA = run(busA, s"$rootA/table", s"$rootA/cp")
     assert(lakeA.manifest.metrics("events_received") == 400L)
     assert(EnvelopeSource.deliveryGap(lakeA, busA, "corpus", "documents").contains(0L))
+    // the same audit from the no-code CLI verb
+    val gapConf = java.nio.file.Files.createTempFile("graft-gap", ".json")
+    java.nio.file.Files.writeString(gapConf,
+      """{"schema_name": "corpus", "table_name": "documents"}""")
+    val gapRow = graft.JobMain.runOp(spark, Seq("--op", "delivery_gap",
+      "--table", s"$rootA/table", "--in", busA, "--config", gapConf.toString)).head()
+    assert(gapRow.getAs[Boolean]("clean") && gapRow.getAs[Long]("gap_events") == 0L)
     // cross-publish LSN ordering: each writeFeed advances the capture second,
     // so the second publish's packed LSNs rank AFTER the first's — a collision
     // (same created_at, page numbering restarting at 0) would make later
