@@ -146,8 +146,9 @@ object LakeSync {
         "rebuilt? (delete the target to re-bootstrap)")
     if (from == head) return SyncResult(from, head, -2L, 0L, bootstrapped = false)
 
-    val diff = applicable(target.manifest.currentSchema,
-      evolutionDiff(source.schemaAt(from), source.schemaAt(head)))
+    val headSchema = source.schemaAt(head)
+    val diff = applicable(target.manifest.currentSchema, headSchema,
+      evolutionDiff(source.schemaAt(from), headSchema))
     if (diff.nonEmpty) target.evolve(diff)
 
     val changes = source.changeLog(spark, from, head)
@@ -186,35 +187,71 @@ object LakeSync {
       }
     }
 
-  /** Skip changes the target already has — makes the evolution replay
-    * idempotent (re-sync after a crash between evolve and commit). Each
-    * change is judged against the schema AS TRANSFORMED by the preceding
-    * retained ones, not the starting schema: one window's diff can contain
-    * interdependent changes (rename a→b, then add a NEW column a) where the
-    * later change only becomes applicable once the earlier one lands —
-    * filtering all of them against the pre-evolution names would silently
-    * drop the add and diverge the mirror forever. */
-  private def applicable(target: GraftSchema, chs: Seq[SchemaChange]): Seq[SchemaChange] = {
+  /** Order the window's changes so each applies cleanly, skipping those the
+    * target already has — makes the evolution replay idempotent (re-sync
+    * after a crash between evolve and commit). Two subtleties, both of which
+    * silently diverge the mirror if mishandled:
+    *
+    *   - INTERDEPENDENCE: one window's diff can hold changes where a later
+    *     one only becomes applicable once an earlier one lands (rename a→b,
+    *     then add a NEW column a), so each change is judged against the
+    *     schema AS TRANSFORMED by the changes retained before it.
+    *   - ORDER: [[evolutionDiff]] emits in field-POSITION order, not the
+    *     temporal order the source applied them — rename b→c then a→b
+    *     arrives as [a→b, b→c], where a→b looks like a name conflict on the
+    *     first pass. Blocked changes are retried on the next pass of the
+    *     fixpoint below; "already applied" is decided against the WINDOW-END
+    *     schema as a whole (target == head → nothing to do), never per
+    *     change — a per-change check cannot tell a satisfied rename from a
+    *     blocked one when names are reused. A residue that never unblocks
+    *     without reaching the head schema (a circular swap the target cannot
+    *     express either) fails loudly instead of half-applying.
+    */
+  private def applicable(target: GraftSchema, head: GraftSchema,
+      chs: Seq[SchemaChange]): Seq[SchemaChange] = {
+    val goal = head.fields.map(f => f.name -> f.dataType).toSet
     var fields = target.fields.map(f => f.name -> f.dataType)
+    def reachedGoal = fields.toSet == goal
+    // idempotent fast path: the whole window already replayed (a crash
+    // between evolve and the cursor commit) — `evolve` is atomic, so "fully
+    // applied" and "not applied" are the only persisted states per call
+    if (reachedGoal) return Nil
+    def names = fields.map(_._1).toSet
+    def applies(ch: SchemaChange): Boolean = ch match {
+      case AddColumn(n, _, _) => !names.contains(n)
+      case RenameColumn(f, t) => names.contains(f) && !names.contains(t)
+      case WidenColumn(n, to) => fields.find(_._1 == n).exists(_._2 != to)
+    }
     val out = Seq.newBuilder[SchemaChange]
-    chs.foreach { ch =>
-      val names = fields.map(_._1).toSet
-      val keep = ch match {
-        case AddColumn(n, _, _) => !names.contains(n)
-        case RenameColumn(f, t) => names.contains(f) && !names.contains(t)
-        case WidenColumn(n, to) => fields.find(_._1 == n).exists(_._2 != to)
-      }
-      if (keep) {
-        out += ch
-        fields = ch match {
-          case AddColumn(n, dt, _) => fields :+ (n -> dt)
-          case RenameColumn(f, t)  => fields.map { case (n, dt) =>
-            (if (n == f) t else n) -> dt }
-          case WidenColumn(n, to)  => fields.map { case (c, dt) =>
-            c -> (if (c == n) to else dt) }
+    var pending = chs
+    var progress = true
+    while (pending.nonEmpty && progress && !reachedGoal) {
+      progress = false
+      pending = pending.flatMap { ch =>
+        if (!applies(ch)) Some(ch) // blocked or stale — retry next pass
+        else {
+          out += ch
+          fields = ch match {
+            case AddColumn(n, dt, _) => fields :+ (n -> dt)
+            case RenameColumn(f, t)  => fields.map { case (n, dt) =>
+              (if (n == f) t else n) -> dt }
+            case WidenColumn(n, to)  => fields.map { case (c, dt) =>
+              c -> (if (c == n) to else dt) }
+          }
+          progress = true
+          None
         }
       }
     }
+    // a residue is fine ONLY if the target reached the window-end schema
+    // (stale entries from a partially-replayed window whose remainder another
+    // pick already subsumed); a blocked residue short of the goal would
+    // half-apply the evolution — fail loudly instead
+    require(pending.isEmpty || reachedGoal,
+      s"sync cannot order the window's schema changes onto the target: " +
+        s"${pending.mkString(", ")} remain blocked by name conflicts after a " +
+        "fixpoint (e.g. a circular rename swap) — evolve the target manually, " +
+        "or re-bootstrap the mirror")
     out.result()
   }
 

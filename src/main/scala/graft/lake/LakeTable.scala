@@ -418,10 +418,18 @@ class LakeTable(val dir: String) {
     // sidecar DIRS, so an aggressively-vacuumed feed-recording table can have
     // zero epoch= children left — keying off those alone would flip this to
     // false and let the next maintenance commit wedge the feed it guards
-    Files.isDirectory(root) && (Files.exists(root.resolve(FEED_MARKER)) ||
-      scala.util.Using.resource(Files.list(root)) { ls =>
-        ls.iterator().asScala.exists(_.getFileName.toString.startsWith("epoch="))
-      })
+    if (!Files.isDirectory(root)) return false
+    if (Files.exists(root.resolve(FEED_MARKER))) return true
+    val hasEpochDirs = scala.util.Using.resource(Files.list(root)) { ls =>
+      ls.iterator().asScala.exists(_.getFileName.toString.startsWith("epoch="))
+    }
+    // backfill for tables whose sidecars predate the marker: persist the
+    // identity now, while the epoch-dir evidence still exists (best-effort —
+    // a read-only mount just answers from the dirs again next time)
+    if (hasEpochDirs)
+      try Files.writeString(root.resolve(FEED_MARKER), ""): Unit
+      catch { case _: java.io.IOException => () }
+    hasEpochDirs
   }
 
   private val FEED_MARKER = "_feed"
@@ -750,7 +758,12 @@ class LakeTable(val dir: String) {
           files = liveFiles,
           fragments = if (consolidate) Seq(fragName) else evolved.fragments :+ fragName,
           metrics = mergedMetrics,
-          deltaHistory = evolved.deltaHistory || newFiles.exists(_.isDelta),
+          // also fold the LIVE file set: a table written before this field
+          // existed reads deltaHistory=false, and its next commit of any
+          // kind (including the compaction that would erase the evidence —
+          // `evolved.files` is the pre-replacement set) backfills it here
+          deltaHistory = evolved.deltaHistory || newFiles.exists(_.isDelta) ||
+            evolved.files.exists(_.isDelta),
           epoch = epoch)
         writeManifest(m, Some((fragName, fragment)))
         writeLineage(epoch, newFiles, replacedBuckets, metricsDelta)
@@ -865,6 +878,11 @@ class LakeTable(val dir: String) {
   /** Fold the fragment list into one fragment without touching data files —
     * bounds reader-side fold cost between compactions. */
   def rewriteManifests(): Manifest = this.synchronized {
+    // no-op when already folded (like compact/splitBuckets): a cron'd
+    // invocation on a quiet table must not mint metadata-only versions
+    // that push real snapshots out of vacuum's keepVersions window
+    val cur = manifest
+    if (cur.fragments.size <= 1) return cur
     retryingCommit("rewriteManifests") {
       val old = manifest
       val newVersion = old.version + 1

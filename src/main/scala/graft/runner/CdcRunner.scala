@@ -225,37 +225,49 @@ object CdcRunner {
     if (lake.isCommitted(epoch)) return
     applySchemaRegistry(lake, cfg.schemaRegistry, batch)
     MergeApply.applyBatch(spark, lake, batch, epoch, cfg.job)
-    // scheduled maintenance: fold deltas / compact small files in-line with the
-    // stream (snapshot-isolated; epoch-count cadence keeps read cost bounded)
-    // Maintenance is best-effort: losing a rebase race to an EXTERNAL
-    // maintenance job (JobMain --op compact/split_buckets beside the stream)
-    // must defer this tick, not fail the stream — the data commit above
-    // already landed, and the next cadence tick redoes the work from the
-    // fresh head. Data commits themselves never swallow this exception.
+    maintenanceTick(spark, lake, epoch, cfg.autoCompactEveryEpochs,
+      cfg.autoCompactMaxDeltaFiles, cfg.autoRescaleBytesPerBucket,
+      cfg.autoRescaleMaxGroups)
+  }
+
+  /**
+   * Scheduled in-stream maintenance — ONE definition shared by the single-
+   * and multi-table runners (a second hand-kept copy is how the multi-table
+   * path once lost the rescale policy entirely): fold deltas / compact small
+   * files on the epoch-count cadence tick, with the rescale-policy check
+   * riding the same tick — or running every epoch when no compact cadence is
+   * configured (below the threshold it is driver-side metadata arithmetic on
+   * the cached fold; with a cadence it must NOT run on non-tick epochs, or a
+   * mid-migration table pays a physical splitBuckets rewrite in-line with
+   * EVERY epoch instead of one bounded step per tick).
+   *
+   * Best-effort: losing a rebase race to an EXTERNAL maintenance job
+   * (JobMain --op compact/split_buckets beside the stream) defers this tick,
+   * never fails the stream — the data commit already landed, and the next
+   * tick redoes the work from the fresh head. Data commits themselves never
+   * swallow this exception.
+   */
+  def maintenanceTick(spark: SparkSession, lake: LakeTable, epoch: Long,
+      autoCompactEveryEpochs: Int, autoCompactMaxDeltaFiles: Int,
+      autoRescaleBytesPerBucket: Long, autoRescaleMaxGroups: Int,
+      label: String = ""): Unit = {
+    if (epoch < 0) return
     def deferOnConflict(what: String)(op: => Unit): Unit =
       try op catch {
         case e: graft.lake.ConcurrentCommitException =>
-          System.err.println(s"[graft] $what deferred to next tick: ${e.getMessage}")
+          System.err.println(s"[graft] $what$label deferred to next tick: ${e.getMessage}")
       }
-    if (cfg.autoCompactEveryEpochs > 0 && epoch >= 0 &&
-        (epoch + 1) % cfg.autoCompactEveryEpochs == 0) {
+    if (autoCompactEveryEpochs > 0 && (epoch + 1) % autoCompactEveryEpochs == 0) {
       deferOnConflict("auto-compact")(
-        lake.compact(spark, maxDeltaFiles = cfg.autoCompactMaxDeltaFiles): Unit)
-      if (cfg.autoRescaleBytesPerBucket > 0)
+        lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit)
+      if (autoRescaleBytesPerBucket > 0)
         deferOnConflict("auto-rescale")(
-          lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
-            maxGroups = cfg.autoRescaleMaxGroups): Unit)
-    } else if (cfg.autoCompactEveryEpochs == 0 &&
-        cfg.autoRescaleBytesPerBucket > 0 && epoch >= 0) {
-      // the rescale policy must not be silently inert when auto-compaction is
-      // off: with no compact cadence to ride, check every epoch — below the
-      // threshold it is driver-side metadata arithmetic on the cached fold.
-      // (With auto-compaction ON this branch must stay dead on non-tick
-      // epochs, or a mid-migration table pays a physical splitBuckets rewrite
-      // in-line with EVERY epoch instead of one bounded step per tick.)
+          lake.autoRescale(spark, autoRescaleBytesPerBucket,
+            maxGroups = autoRescaleMaxGroups): Unit)
+    } else if (autoCompactEveryEpochs == 0 && autoRescaleBytesPerBucket > 0) {
       deferOnConflict("auto-rescale")(
-        lake.autoRescale(spark, cfg.autoRescaleBytesPerBucket,
-          maxGroups = cfg.autoRescaleMaxGroups): Unit)
+        lake.autoRescale(spark, autoRescaleBytesPerBucket,
+          maxGroups = autoRescaleMaxGroups): Unit)
     }
   }
 

@@ -133,31 +133,13 @@ object MultiTableRunner {
         .select(cols.map(col): _*)
       CdcRunner.applySchemaRegistry(tj.lake, schemaRegistry, sub)
       MergeApply.applyBatch(spark, tj.lake, sub, epoch, tj.job)
-      // settings-driven maintenance cadence, per table (same contract as the
-      // single-table runner: compact on the tick, rescale-check rides the
-      // tick — or every epoch when no compact cadence is configured)
-      // best-effort like the single-table runner: an external maintenance
-      // job winning the rebase race defers this tick, not the stream
-      def deferOnConflict(what: String)(op: => Unit): Unit =
-        try op catch {
-          case e: graft.lake.ConcurrentCommitException =>
-            System.err.println(s"[graft] $what(${tj.rules.tableName}) " +
-              s"deferred to next tick: ${e.getMessage}")
-        }
-      if (autoCompactEveryEpochs > 0 && epoch >= 0 &&
-          (epoch + 1) % autoCompactEveryEpochs == 0) {
-        deferOnConflict("auto-compact")(
-          tj.lake.compact(spark, maxDeltaFiles = autoCompactMaxDeltaFiles): Unit)
-        if (autoRescaleBytesPerBucket > 0)
-          deferOnConflict("auto-rescale")(
-            tj.lake.autoRescale(spark, autoRescaleBytesPerBucket,
-              maxGroups = autoRescaleMaxGroups): Unit)
-      } else if (autoCompactEveryEpochs == 0 &&
-          autoRescaleBytesPerBucket > 0 && epoch >= 0) {
-        deferOnConflict("auto-rescale")(
-          tj.lake.autoRescale(spark, autoRescaleBytesPerBucket,
-            maxGroups = autoRescaleMaxGroups): Unit)
-      }
+      // settings-driven maintenance cadence, per table — the single-table
+      // runner's tick logic verbatim (ONE definition: a drifting second copy
+      // is how this path once lost the rescale policy entirely)
+      CdcRunner.maintenanceTick(spark, tj.lake, epoch,
+        autoCompactEveryEpochs, autoCompactMaxDeltaFiles,
+        autoRescaleBytesPerBucket, autoRescaleMaxGroups,
+        label = s"(${tj.rules.tableName})")
     }
     val cache = jobs.size > 1
     if (cache) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

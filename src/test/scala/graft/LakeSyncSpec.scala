@@ -175,6 +175,44 @@ class LakeSyncSpec extends SparkSpec {
       "the new column's values must survive the mirror's align-to-schema")
   }
 
+  test("rename chain in one window: field-position order ≠ temporal order " +
+    "(the fixpoint re-orders; a blocked rename is NOT 'already applied')") {
+    import spark.implicits._
+    val root = tmpDir("graft-lakesync-evo3")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)), cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+
+    // temporal order frees the name first: source→origin, THEN n_tok→source.
+    // evolutionDiff emits by field POSITION (n_tok precedes source), so the
+    // sync sees [n_tok→source (blocked: name taken), source→origin] — a
+    // single-pass filter that treats "blocked" as "already applied" silently
+    // drops the first rename and the mirror loses the column forever
+    source.evolve(Seq(RenameColumn("source", "origin")))
+    source.evolve(Seq(RenameColumn("n_tok", "source")))
+    val extra = Seq(("doc-evo3", Seq(7, 8, 9), "wiki", 3, "INSERT", 300000L))
+      .toDF("doc_id", "tokens", "origin", "source", "op", "lsn")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    MergeApply.applyBatch(spark, source, extra,
+      epoch = source.manifest.epochWatermark + 1,
+      cfg = cfg.job.copy(keyCols = Seq("doc_id")))
+
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+    val target = new LakeTable(targetDir)
+    val cols = target.read(spark).columns.toSet
+    assert(Set("doc_id", "tokens", "origin", "source").subsetOf(cols) &&
+      !cols.contains("n_tok"),
+      s"both renames land despite the position-order conflict: $cols")
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    assert(target.read(spark).filter(col("doc_id") === "doc-evo3")
+      .select("source").as[Int].head() == 3,
+      "the re-used name carries the RENAMED column's values, not the old one's")
+  }
+
   test("feed binding: foreign sources and non-sync targets are refused") {
     val root = tmpDir("graft-lakesync-bind")
     val cfgA = morCfg(s"$root/a")
