@@ -87,6 +87,7 @@ object JobMain {
     def int(k: String, d: Int): Int = (j \ k).extractOpt[Int].getOrElse(d)
     def dbl(k: String, d: Double): Double = (j \ k).extractOpt[Double].getOrElse(d)
     def bool(k: String, d: Boolean): Boolean = (j \ k).extractOpt[Boolean].getOrElse(d)
+    def boolOpt(k: String): Option[Boolean] = (j \ k).extractOpt[Boolean]
     def lng(k: String, d: Long): Long = (j \ k).extractOpt[Long].getOrElse(d)
     def lngOpt(k: String): Option[Long] = (j \ k).extractOpt[Long]
     def strSeq(k: String): Seq[String] = (j \ k) match {
@@ -215,6 +216,14 @@ object JobMain {
         // full-loaded table synced from version 1 would silently miss every
         // row the snapshot alone contributed (guarded below).
         import org.apache.spark.sql.functions.col
+        // same guard LakeSync.sync enforces: an SCD2 table's change rows are
+        // VERSION rows — collapsing them per natural key would silently write
+        // "latest version per key" to the target instead of the history
+        require(lake.manifest.tableMode != graft.lake.Manifest.SCD2,
+          "jdbc_apply follows the row-level LWW change feed; this table is " +
+            "tableMode=scd2, whose change rows are version rows, not row " +
+            "states — export the history with --op read + a bulk load, or " +
+            "sync the LWW table upstream of it instead")
         val url = c.str("url", "")
         require(url.nonEmpty, "--op jdbc_apply needs config {\"url\": \"jdbc:...\"}")
         val conn = graft.feed.JdbcEndpoint.Conn(url, c.strMap("properties"))
@@ -321,12 +330,13 @@ object JobMain {
       val tgt = opt("--table").getOrElse(throw new IllegalArgumentException(
         "--op lake_sync needs --table <targetLakeDir>"))
       val c = opConf(args)
-      val merge = c.str("merge", "cow") match {
-        case "mor" => graft.model.MergeStrategy.MergeOnRead
-        case _     => graft.model.MergeStrategy.CopyOnWrite
-      }
+      // MergeStrategy.parse, not a hand-rolled match: a fallback-to-CoW
+      // default would silently map the canonical "merge_on_read" spelling
+      // (and any typo) to a copy-on-write mirror
+      val merge = graft.model.MergeStrategy.parse(c.str("merge", "cow"))
       val r = graft.lake.LakeSync.sync(spark, src, tgt, merge,
-        buckets = c.lngOpt("buckets").map(_.toInt))
+        buckets = c.lngOpt("buckets").map(_.toInt),
+        changeFeed = c.boolOpt("change_feed"))
       return Seq((r.fromVersion, r.toVersion, r.epoch, r.rows, r.bootstrapped))
         .toDF("from_version", "to_version", "epoch", "rows", "bootstrapped")
     }

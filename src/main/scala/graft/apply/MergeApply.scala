@@ -273,9 +273,30 @@ object MergeApply {
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
       val (nQuarantined, nReceived) = onStats()
 
+      // the reduced change set in delta-row shape — the MoR commit itself, and
+      // the CoW change sidecar when the table records a change feed
+      def deltaRows = {
+        val cOp = col(ChangeEvent.OP)
+        reduced.select(
+          (payloadCols.map { c =>
+            if (keys.contains(c)) col(c)
+            else when(cOp === ChangeEvent.DELETE, lit(null)).otherwise(col(c)).as(c)
+          } :+
+            col(ChangeEvent.LSN).as("_lsn") :+
+            (cOp === ChangeEvent.DELETE).as("_deleted") :+
+            col("_bucket")): _*)
+      }
+
       if (affected.isEmpty) {
         // an empty reduction still commits (and still carries extraMetrics):
-        // a sync window whose changes all reduce away must advance its cursor
+        // a sync window whose changes all reduce away must advance its cursor.
+        // A feed-recording CoW table still writes its (empty) sidecar — the
+        // durable `changes/_feed` marker must exist from the FIRST
+        // feed-enabled epoch, or an all-quarantined first batch leaves
+        // recordsChangeFeed false and the later drain defaults to a
+        // sidecar-less commit that wedges every changeLog window spanning it
+        if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
+          lake.writeChangeSet(deltaRows.drop("_bucket"), epoch, m.currentSchemaId)
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
           "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics
         lake.commit(epoch, Nil, Set.empty, metrics)
@@ -290,20 +311,6 @@ object MergeApply {
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
         extraMetrics
-
-      // the reduced change set in delta-row shape — the MoR commit itself, and
-      // the CoW change sidecar when the table records a change feed
-      def deltaRows = {
-        val cOp = col(ChangeEvent.OP)
-        reduced.select(
-          (payloadCols.map { c =>
-            if (keys.contains(c)) col(c)
-            else when(cOp === ChangeEvent.DELETE, lit(null)).otherwise(col(c)).as(c)
-          } :+
-            col(ChangeEvent.LSN).as("_lsn") :+
-            (cOp === ChangeEvent.DELETE).as("_deleted") :+
-            col("_bucket")): _*)
-      }
 
       // ── merge-on-read: the reduced change set IS the commit — per-bucket
       // delta files, no base read, no join, no bucket rewrite. O(batch) bytes
@@ -417,15 +424,8 @@ object MergeApply {
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
         extraMetrics
 
-      if (affected.isEmpty) {
-        lake.commit(epoch, Nil, Set.empty,
-          Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-            "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics)
-        return BatchResult(epoch, skipped = false, metrics)
-      }
-
       // incoming events as version rows; DELETEs become hidden marker rows
-      val evRows = withBucket.select(
+      def evRows = withBucket.select(
         (payloadCols.map(col) :+
           col(ChangeEvent.TS).cast(TimestampType).as(scd.startDate) :+
           lit(null).cast(TimestampType).as(scd.endDate) :+
@@ -433,6 +433,18 @@ object MergeApply {
           col(ChangeEvent.LSN).as("_lsn") :+
           (col(ChangeEvent.OP) === ChangeEvent.DELETE).as("_deleted") :+
           col("_bucket")): _*)
+
+      if (affected.isEmpty) {
+        // like applyLww: a feed-recording CoW table writes its (empty)
+        // sidecar even on an empty batch, so `changes/_feed` exists from the
+        // first feed-enabled epoch (all-quarantined first batch included)
+        if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
+          lake.writeChangeSet(evRows.drop("_bucket"), epoch, m.currentSchemaId)
+        lake.commit(epoch, Nil, Set.empty,
+          Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
+            "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics)
+        return BatchResult(epoch, skipped = false, metrics)
+      }
 
       // merge-on-read: the version rows themselves are the commit — the chain
       // (end_date/current) is rebuilt at read time / folded by compaction,

@@ -76,14 +76,21 @@ object LakeSync {
    * Sync `targetDir` up to `sourceDir`'s current head. Creates + bootstraps
    * the target on first call; no-ops when already caught up. `merge`/`buckets`
    * shape the TARGET table (downstream may run merge-on-read or a different
-   * bucket count than upstream — specs are independent).
+   * bucket count than upstream — specs are independent). `changeFeed` controls
+   * whether the MIRROR records its own CDC-out: it defaults ON for
+   * copy-on-write targets — a mirror exists to be consumed, and a CoW mirror
+   * without sidecars is a change-feed dead end (chaining lake_sync off it, or
+   * `changeLog` over it, would fail on the first incremental window with a
+   * remedy this surface would otherwise not expose). Merge-on-read targets
+   * need no sidecars (their delta files ARE the feed).
    */
   def sync(
       spark: SparkSession,
       sourceDir: String,
       targetDir: String,
       merge: MergeStrategy = MergeStrategy.CopyOnWrite,
-      buckets: Option[Int] = None): SyncResult = {
+      buckets: Option[Int] = None,
+      changeFeed: Option[Boolean] = None): SyncResult = {
     val source = new LakeTable(sourceDir)
     require(source.exists, s"source lake table at $sourceDir does not exist")
     val sm = source.manifest
@@ -107,9 +114,10 @@ object LakeSync {
     }
     checkMarker(targetDir, sourceDir)
 
+    val feed = changeFeed.getOrElse(merge == MergeStrategy.CopyOnWrite)
     val offset = target.manifest.metrics.getOrElse(OFFSET_METRIC, 0L).toInt
     if (offset == 0) bootstrap(spark, source, target, head)
-    else incremental(spark, source, target, offset, head, merge)
+    else incremental(spark, source, target, offset, head, merge, feed)
   }
 
   // ── bootstrap: mirror one engine snapshot as the full-load epoch ──
@@ -122,6 +130,28 @@ object LakeSync {
     require(!target.isCommitted(epoch),
       s"target at ${target.dir} has a full load but no $OFFSET_METRIC cursor " +
         "— not a sync-managed table; refusing to mix feeds")
+    // crash-retry across a source evolution: call 1's `create` captured an
+    // older source schema and crashed before this commit; the retry's cursor
+    // will start PAST the evolution, so the AddColumn/rename/widen would
+    // never replay through a later window — the mirror would silently lack
+    // the column forever. The target holds no data yet (guarded above), so
+    // replay the source's evolution onto its schema now: locate the history
+    // schema `create` captured (exact field-id diff from there), bring the
+    // target to the bootstrap head's schema, THEN mirror.
+    def shape(s: GraftSchema) = s.fields.map(f => (f.name, f.dataType))
+    val headSchema = source.schemaAt(head)
+    if (shape(target.manifest.currentSchema) != shape(headSchema)) {
+      val tgtSchema = target.manifest.currentSchema
+      val createdFrom = source.schemaHistoryAt(head)
+        .find(s => shape(s) == shape(tgtSchema))
+        .getOrElse(throw new IllegalStateException(
+          s"sync bootstrap: target schema at ${target.dir} matches no schema " +
+            s"in the source's history — not a sync-created table (or the " +
+            "source was rebuilt); delete the target to re-bootstrap"))
+      val diff = applicable(tgtSchema, headSchema,
+        evolutionDiff(createdFrom, headSchema))
+      if (diff.nonEmpty) target.evolve(diff)
+    }
     val tm = target.manifest
     val state = source.readState(spark, head)
     state
@@ -140,7 +170,8 @@ object LakeSync {
   // ── incremental: evolve to the window's end schema, apply the change feed ──
   private def incremental(
       spark: SparkSession, source: LakeTable, target: LakeTable,
-      from: Int, head: Int, merge: MergeStrategy): SyncResult = {
+      from: Int, head: Int, merge: MergeStrategy,
+      changeFeed: Boolean): SyncResult = {
     require(from <= head,
       s"sync cursor $from is ahead of source head $head — was the source " +
         "rebuilt? (delete the target to re-bootstrap)")
@@ -163,7 +194,7 @@ object LakeSync {
     val tm = target.manifest
     val epoch = math.max(tm.epochWatermark, -1L) + 1
     val cfg = JobConfig(mode = CdcMode.Upsert, keyCols = tm.keyCols,
-      merge = merge, buckets = tm.buckets)
+      merge = merge, buckets = tm.buckets, changeFeed = changeFeed)
     val res = MergeApply.applyBatch(spark, target, events, epoch, cfg,
       extraMetrics = Map(OFFSET_METRIC -> (head - from).toLong))
     val rows = Seq("applied_inserts", "applied_updates", "applied_deletes")

@@ -1149,6 +1149,12 @@ class LakeTable(val dir: String) {
     * schema diff between two ends of a sync window). */
   def schemaAt(version: Int): GraftSchema = resolve(version).currentSchema
 
+  /** The full schema history as of snapshot `version` (every schema id the
+    * table has carried up to that point). [[LakeSync]] uses it to locate the
+    * source schema a crashed bootstrap's `create` captured, so the retry can
+    * replay the evolutions the cursor is about to skip past. */
+  def schemaHistoryAt(version: Int): Seq[GraftSchema] = resolve(version).schemas
+
   /** Engine-facing state read at snapshot `version`: deltas resolved like
     * [[readVersion]], but tombstones and the engine columns (`_lsn`,
     * `_deleted`) stay visible. A mirror of the table (lake→lake sync
@@ -1478,10 +1484,25 @@ class LakeTable(val dir: String) {
     }.sum
     if (liveBytes / m.buckets <= bytesPerBucket) m
     else {
-      rescale(m.buckets * factor)
+      rescaleToAtLeast(m.buckets * factor)
       splitBuckets(spark, maxGroups)
     }
   }
+
+  /** [[rescale]], tolerating a concurrent rescale that already met the goal:
+    * the policy path computes its target from a manifest read that an
+    * external `JobMain --op rescale` (or a lost CAS race re-evaluated against
+    * the fresh head) can make stale, and `rescale`'s must-grow guard would
+    * then throw IllegalArgumentException — a USER-ERROR shape the runner's
+    * defer-on-conflict deliberately does not catch, so it would kill the
+    * stream over a policy whose goal the other writer already achieved. */
+  private[graft] def rescaleToAtLeast(desired: Int): Unit =
+    try { rescale(desired); () }
+    catch {
+      case e: IllegalArgumentException =>
+        // re-check AFTER the failure: only a genuinely-met goal is benign
+        if (manifest.buckets < desired) throw e
+    }
 
   /**
    * Physical GC: delete data files referenced only by snapshots older than the

@@ -202,6 +202,38 @@ class ChangeFeedCowSpec extends SparkSpec {
     assert(lake.changeLog(spark, vBad, lake.currentVersion).count() >= 1)
   }
 
+  test("an ALL-quarantined FIRST batch still plants the durable feed marker, " +
+    "so the later drain defaults right and nothing wedges") {
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-cfcow-allbad")
+    val cfg = mkCfg(root, "t",
+      JobConfig(mode = CdcMode.Upsert, buckets = 2, changeFeed = true))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // EVERY row invalid → the epoch commits empty; before the fix the sidecar
+    // write was skipped with it, recordsChangeFeed stayed false, and the
+    // drain below committed a sidecar-less CoW epoch that wedged the feed
+    val poison = Seq(
+      Row(1L, 1L, ts(1), "FROB", 1, "k1", Seq(1, 2), Int.box(2), "web"),
+      Row(2L, 1L, ts(2), "FROB", 1, "k2", Seq(3), Int.box(1), "web"))
+    val res = graft.apply.MergeApply.applyBatch(spark, lake,
+      spark.createDataFrame(spark.sparkContext.parallelize(poison, 2),
+        ChangeEvent.schema()), 0L, cfg.job)
+    assert(res.metrics("events_quarantined") == 2L)
+    assert(lake.read(spark).count() == 0)
+    assert(lake.recordsChangeFeed,
+      "the feed identity must exist from the FIRST feed-enabled epoch")
+    val vMark = lake.currentVersion
+    // the CLI-shaped drain (default change_feed derived from the table)
+    val confP = java.nio.file.Files.createTempFile("graft-allbad", ".json")
+    java.nio.file.Files.writeString(confP, """{"epoch": 0}""")
+    graft.JobMain.runOp(spark, Seq("--op", "quarantine_replay",
+      "--table", cfg.tableDir, "--config", confP.toString))
+    // rows were unfixable → re-quarantined, but whatever the drain committed
+    // carries its sidecar: the window over it serves instead of throwing
+    assert(lake.changeLog(spark, vMark, lake.currentVersion).count() == 0L)
+  }
+
   test("SCD2 CoW sidecar: version rows served, equal to the MoR delta feed") {
     val root = tmpDir("graft-cfcow-scd2")
     val cow = mkCfg(root, "cow",

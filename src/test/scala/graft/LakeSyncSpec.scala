@@ -253,6 +253,73 @@ class LakeSyncSpec extends SparkSpec {
     assert(e.getMessage.contains("change"), e.getMessage)
   }
 
+  test("bootstrap crash-retry across a source evolution replays the missed " +
+    "schema changes (the cursor starts PAST the evolution)") {
+    import spark.implicits._
+    val root = tmpDir("graft-lakesync-bootevo")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)), cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+
+    // simulate call 1 crashing BETWEEN create+marker and the bootstrap
+    // commit: the target exists at the pre-evolution schema, cursor unset
+    val targetDir = s"$root/mirror"
+    val target = new LakeTable(targetDir)
+    target.create(source.manifest.currentSchema.sparkSchema, buckets = 4,
+      keyCols = source.manifest.keyCols, tableMode = graft.lake.Manifest.LWW)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(targetDir, "sync_source.json"),
+      s"""{"source_dir":"${cfg.tableDir}"}""")
+
+    // the source evolves AFTER the crash and ingests rows with the new column
+    source.evolve(Seq(AddColumn("lang", org.apache.spark.sql.types.StringType)))
+    val extra = Seq(("doc-boot", Seq(1, 2), 2, "web", "en", "INSERT", 500000L))
+      .toDF("doc_id", "tokens", "n_tok", "source", "lang", "op", "lsn")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    MergeApply.applyBatch(spark, source, extra,
+      epoch = source.manifest.epochWatermark + 1,
+      cfg = cfg.job.copy(keyCols = Seq("doc_id")))
+
+    // the retried bootstrap sets the cursor past the evolution, so no later
+    // window would ever replay the AddColumn — it must land NOW, or the
+    // mirror silently lacks the column forever
+    val r = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(r.bootstrapped)
+    assert(target.read(spark).columns.contains("lang"))
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    assert(target.read(spark).filter(col("doc_id") === "doc-boot")
+      .select("lang").as[String].head() == "en")
+  }
+
+  test("a default CoW mirror records its OWN change feed — chaining " +
+    "lake_sync off the mirror works") {
+    val root = tmpDir("graft-lakesync-chain")
+    val cfg = morCfg(root)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 60))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 150), cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val m1 = s"$root/m1"
+    val m2 = s"$root/m2"
+    LakeSync.sync(spark, cfg.tableDir, m1) // CoW target by default
+    LakeSync.sync(spark, m1, m2)           // chained mirror of the mirror
+
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 150), cfg.feedDir,
+      nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // m1's incremental window is a CoW commit — without the default sidecar
+    // this second hop would throw "no recorded change set" (a CDC-out dead
+    // end the sync surface could not remedy)
+    LakeSync.sync(spark, cfg.tableDir, m1)
+    LakeSync.sync(spark, m1, m2)
+    assert(new LakeTable(m1).recordsChangeFeed,
+      "a CoW mirror records sidecars unless explicitly disabled")
+    assert(sortedRows(new LakeTable(m2).read(spark)) ==
+      sortedRows(source.read(spark)))
+  }
+
   test("scd2 sources are refused (no row-level feed contract)") {
     val root = tmpDir("graft-lakesync-scd2")
     val cfg = RunnerConfig(

@@ -376,6 +376,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
   }
 
+  test("rescaleToAtLeast tolerates a concurrent rescale that met the goal; " +
+    "a genuinely unreachable goal still throws") {
+    val root = tmpDir("graft-maint-rescaletol")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 50), cfg)
+    // an "external" writer rescales first (the race's end state: the policy
+    // computed desired=8 from a stale 4-bucket manifest)
+    lake.rescale(8)
+    // the stale policy's rescale(8) must NOT kill the caller — the goal is
+    // met; before the fix this threw IllegalArgumentException, an exception
+    // shape the runner's defer-on-conflict deliberately does not catch
+    lake.rescaleToAtLeast(8)
+    assert(lake.manifest.buckets == 8)
+    // and it still grows when genuinely below the goal
+    lake.rescaleToAtLeast(16)
+    assert(lake.manifest.buckets == 16)
+    // a real user error (not a met goal) keeps throwing loudly
+    intercept[IllegalArgumentException](lake.rescaleToAtLeast(24))
+  }
+
   test("cdc_settings auto-rescale: threshold crossed mid-stream converges, " +
     "reads equal a policy-free twin throughout") {
     val root = tmpDir("graft-maint-autorescale-stream")

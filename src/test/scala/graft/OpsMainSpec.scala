@@ -219,6 +219,63 @@ class OpsMainSpec extends SparkSpec {
     assert(run().getAs[Long]("rows") == 0L)
   }
 
+  test("lake_sync verb honors the canonical merge_on_read spelling and " +
+    "rejects typos (no silent CoW fallback)") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-opsmain-lakesync-mor")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2,
+        merge = MergeStrategy.MergeOnRead))
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 100), cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val mirror = s"$root/mirror"
+    def run(conf: String) = {
+      val p = java.nio.file.Files.createTempFile("graft-lakesync-conf", ".json")
+      java.nio.file.Files.writeString(p, conf)
+      JobMain.runOp(spark, Seq("--op", "lake_sync",
+        "--in", cfg.tableDir, "--table", mirror, "--config", p.toString))
+    }
+    run("""{"merge": "merge_on_read"}""")
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 100), cfg.feedDir,
+      nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    run("""{"merge": "merge_on_read"}""")
+    // an incremental window on a merge-on-read mirror commits DELTA files —
+    // the old hand-rolled `case "mor"` match silently built CoW here
+    assert(new graft.lake.LakeTable(mirror).manifest.files.exists(_.isDelta),
+      "canonical spelling must build a merge-on-read mirror")
+    intercept[IllegalArgumentException](run("""{"merge": "mergeonread"}"""))
+  }
+
+  test("jdbc_apply refuses an scd2 table: version rows are not row states") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import graft.feed.ChangeFeed
+    val root = tmpDir("graft-opsmain-jdbc-scd2")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Scd2, buckets = 2,
+        merge = MergeStrategy.MergeOnRead))
+    ChangeFeed.writeFeed(ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)), cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // collapsing SCD2 version rows per natural key would write "latest
+    // version per key" to the JDBC target instead of the history — refused
+    // before any connection is attempted
+    val confP = java.nio.file.Files.createTempFile("graft-jdbc-scd2", ".json")
+    java.nio.file.Files.writeString(confP, """{"from": 1}""")
+    val e = intercept[IllegalArgumentException](JobMain.runOp(spark,
+      Seq("--op", "jdbc_apply", "--table", cfg.tableDir,
+        "--config", confP.toString)))
+    assert(e.getMessage.contains("version rows"), e.getMessage)
+  }
+
   test("sql verb: free-form SQL over the lake TVFs from the CLI") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
