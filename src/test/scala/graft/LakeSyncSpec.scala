@@ -320,6 +320,81 @@ class LakeSyncSpec extends SparkSpec {
       sortedRows(source.read(spark)))
   }
 
+  test("PROPERTY: bootstrap crash-retry reaches the head schema under ANY " +
+    "evolution history (adds, rename chains, name reuse, widens) at any " +
+    "crash point — or fails loudly; never silent divergence") {
+    import org.apache.spark.sql.types._
+    val types = Seq(IntegerType, LongType, StringType)
+    def shapeSet(m: graft.lake.Manifest) =
+      m.currentSchema.fields.map(f => (f.name, f.dataType)).toSet
+    var loud = 0
+    (0 until 12).foreach { trial =>
+      val rnd = new scala.util.Random(4242L + trial)
+      val root = tmpDir(s"graft-lakesync-prop")
+      val source = new LakeTable(s"$root/src")
+      source.create(StructType(Seq(
+        StructField("doc_id", StringType),
+        StructField("c0", IntegerType),
+        StructField("c1", StringType),
+        StructField("_lsn", LongType),
+        StructField("_deleted", BooleanType))),
+        buckets = 2, keyCols = Seq("doc_id"), tableMode = graft.lake.Manifest.LWW)
+      def payload = source.manifest.currentSchema.fields
+        .filterNot(f => f.name == "doc_id" || f.name.startsWith("_"))
+      val nSteps = rnd.nextInt(7)
+      val crashAt = rnd.nextInt(nSteps + 1)
+      var crashSchema: StructType = null
+      if (crashAt == 0) crashSchema = source.manifest.currentSchema.sparkSchema
+      var freed = Vector.empty[String] // names a rename vacated — reuse stress
+      (1 to nSteps).foreach { i =>
+        val cols = payload
+        val op: graft.lake.SchemaChange = rnd.nextInt(3) match {
+          case 0 =>
+            val n = if (freed.nonEmpty && rnd.nextBoolean()) {
+              val x = freed(rnd.nextInt(freed.size)); freed = freed.filterNot(_ == x); x
+            } else s"n$i"
+            AddColumn(n, types(rnd.nextInt(types.size)))
+          case 1 =>
+            val from = cols(rnd.nextInt(cols.size)).name
+            val to = if (freed.nonEmpty && rnd.nextBoolean()) {
+              val x = freed(rnd.nextInt(freed.size)); freed = freed.filterNot(_ == x); x
+            } else s"r$i"
+            freed = freed :+ from
+            RenameColumn(from, to)
+          case _ =>
+            cols.find(_.dataType == IntegerType) match {
+              case Some(f) => graft.lake.WidenColumn(f.name, LongType)
+              case None    => AddColumn(s"n$i", types(rnd.nextInt(types.size)))
+            }
+        }
+        source.evolve(Seq(op))
+        if (crashAt == i) crashSchema = source.manifest.currentSchema.sparkSchema
+      }
+      // simulate the crashed first call: created + marked, nothing committed
+      val targetDir = s"$root/mirror"
+      val target = new LakeTable(targetDir)
+      target.create(crashSchema, buckets = 2, keyCols = Seq("doc_id"),
+        tableMode = graft.lake.Manifest.LWW)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(targetDir, "sync_source.json"),
+        s"""{"source_dir":"$root/src"}""")
+      scala.util.Try(LakeSync.sync(spark, s"$root/src", targetDir)) match {
+        case scala.util.Success(r) =>
+          assert(r.bootstrapped, s"trial $trial: expected a bootstrap")
+          assert(shapeSet(target.manifest) == shapeSet(source.manifest),
+            s"trial $trial (crash@$crashAt/$nSteps): silent schema divergence")
+        case scala.util.Failure(e) =>
+          // a circular rename swap the fixpoint cannot order fails LOUDLY
+          // with the re-bootstrap remedy — the one acceptable non-success
+          assert(e.isInstanceOf[IllegalStateException] ||
+            e.isInstanceOf[IllegalArgumentException],
+            s"trial $trial: unexpected ${e.getClass}: ${e.getMessage}")
+          loud += 1
+      }
+    }
+    assert(loud <= 3, s"loud failures should be the rare swap cases, got $loud/12")
+  }
+
   test("scd2 sources are refused (no row-level feed contract)") {
     val root = tmpDir("graft-lakesync-scd2")
     val cfg = RunnerConfig(
