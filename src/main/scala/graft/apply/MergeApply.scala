@@ -93,9 +93,6 @@ object MergeApply {
     }
   }
 
-  private val envelope = Seq(ChangeEvent.LSN, ChangeEvent.TXN_ID, ChangeEvent.TS,
-    ChangeEvent.OP, ChangeEvent.SCHEMA_VER)
-
   /** Deterministic per-batch "now" (replaces the reference's wall-clock NOW(),
     * SURVEY §7.4.3): derived from the epoch so replay is byte-stable. */
   def batchTimestamp(epoch: Long): Column =
@@ -334,42 +331,94 @@ object MergeApply {
 
       // ── copy-on-write: manifest-pruned base read — only affected buckets
       // (closure-expanded: after a rescale a coarser pre-split file covers
-      // sibling buckets too, which must be read and rewritten together) ──
-      val affectedC = lake.bucketClosure(m, affected)
-      val base = lake.readBuckets(spark, affectedC)
+      // sibling buckets too, which must be read and rewritten together).
+      // OPTIMISTIC AND PINNED: the base is read at the SAME snapshot the
+      // commit declares as its readVersion, so a concurrent DATA commit into
+      // an overlapping bucket (a quarantine drain, a maintenance rewrite,
+      // another sync job from a second JVM) raises ConcurrentCommitException
+      // instead of being silently folded over — the loop then recomputes the
+      // whole merge from the fresh head and retries (bounded), exactly the
+      // published lake formats' optimistic write loop. ──
+      def cowAttempt(mAt: Manifest): BatchResult = {
+        val affectedC = lake.bucketClosure(mAt, affected)
+        val base = lake.readBuckets(spark, affectedC, Some(mAt))
 
-      // ── full-outer merge on the key; AQE broadcasts the reduced side when small ──
-      // True last-writer-wins: the change side wins only if its LSN is newer than
-      // the row's stored _lsn, so re-ordered/re-delivered batches cannot regress
-      // the table to an older version (order-tolerant upsert).
-      val cPrefix = "_c_"
-      val changeSide = reduced.select(
-        keys.map(col) ++
-          (Seq(ChangeEvent.OP, ChangeEvent.LSN) ++ nonKeyPayload)
-            .map(c => col(c).as(cPrefix + c)): _*)
-      val joined = base.join(changeSide, keys, "full_outer")
-      val cOp = col(cPrefix + ChangeEvent.OP)
-      val cLsn = col(cPrefix + ChangeEvent.LSN)
-      val changeWins = cOp.isNotNull && (col("_lsn").isNull || cLsn > col("_lsn"))
-      // DELETEs leave a tombstone row (_deleted=true) instead of vanishing, so
-      // an out-of-order older INSERT loses the LSN comparison and cannot
-      // resurrect the key. Public reads filter tombstones (LakeTable.read);
-      // compaction/vacuum carry them until GC'd.
-      val merged = joined
-        .select((payloadCols.map { c =>
-          if (keys.contains(c)) col(c)
-          else when(changeWins, col(cPrefix + c)).otherwise(col(c)).as(c)
-        } :+
-          when(changeWins, cLsn).otherwise(col("_lsn")).as("_lsn") :+
-          when(changeWins, cOp === ChangeEvent.DELETE)
-            .otherwise(coalesce(col("_deleted"), lit(false))).as("_deleted")): _*)
-        .withColumn("_bucket", lake.bucketExpr(keys, buckets))
+        // ── full-outer merge on the key; AQE broadcasts the reduced side when small ──
+        // True last-writer-wins: the change side wins only if its LSN is newer than
+        // the row's stored _lsn, so re-ordered/re-delivered batches cannot regress
+        // the table to an older version (order-tolerant upsert).
+        val cPrefix = "_c_"
+        val changeSide = reduced.select(
+          keys.map(col) ++
+            (Seq(ChangeEvent.OP, ChangeEvent.LSN) ++ nonKeyPayload)
+              .map(c => col(c).as(cPrefix + c)): _*)
+        val joined = base.join(changeSide, keys, "full_outer")
+        val cOp = col(cPrefix + ChangeEvent.OP)
+        val cLsn = col(cPrefix + ChangeEvent.LSN)
+        val changeWins = cOp.isNotNull && (col("_lsn").isNull || cLsn > col("_lsn"))
+        // DELETEs leave a tombstone row (_deleted=true) instead of vanishing, so
+        // an out-of-order older INSERT loses the LSN comparison and cannot
+        // resurrect the key. Public reads filter tombstones (LakeTable.read);
+        // compaction/vacuum carry them until GC'd.
+        val merged = joined
+          .select((payloadCols.map { c =>
+            if (keys.contains(c)) col(c)
+            else when(changeWins, col(cPrefix + c)).otherwise(col(c)).as(c)
+          } :+
+            when(changeWins, cLsn).otherwise(col("_lsn")).as("_lsn") :+
+            when(changeWins, cOp === ChangeEvent.DELETE)
+              .otherwise(coalesce(col("_deleted"), lit(false))).as("_deleted")): _*)
+          .withColumn("_bucket", lake.bucketExpr(keys, buckets))
 
-      val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, m))
-      timed("commit")(lake.commit(epoch, files, affectedC, baseMetrics))
-      BatchResult(epoch, skipped = false, baseMetrics)
+        val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, mAt))
+        beforeCowCommit()
+        timed("commit")(lake.commit(epoch, files, affectedC, baseMetrics,
+          readVersion = Some(mAt.version)))
+        BatchResult(epoch, skipped = false, baseMetrics)
+      }
+      retryCow(lake, m, epoch)(cowAttempt)
     } finally reduced.unpersist()
   }
+
+  /** Bounded optimistic retry around one pinned CoW merge attempt: on
+    * [[graft.lake.ConcurrentCommitException]] the attempt is recomputed from
+    * the fresh head — UNLESS the conflict changed something the cached
+    * reduction itself depends on (bucket spec, schema), where a retry would
+    * mis-bucket or mis-name the rows; those rethrow and the stream replays
+    * the batch from the checkpoint against the new table shape. */
+  private def retryCow(lake: LakeTable, m0: Manifest, epoch: Long)(
+      attempt: Manifest => BatchResult): BatchResult = {
+    var mAt = m0
+    var tries = 0
+    while (true) {
+      try return attempt(mAt)
+      catch {
+        case e: graft.lake.ConcurrentCommitException =>
+          tries += 1
+          if (tries > 3) throw e
+          val fresh = lake.manifest
+          if (fresh.buckets != m0.buckets)
+            throw new graft.lake.ConcurrentCommitException(
+              s"commit(epoch=$epoch): a concurrent rescale changed the bucket " +
+                s"spec ${m0.buckets} -> ${fresh.buckets} mid-batch; the batch " +
+                s"reduction is bucketed at the old spec — replay the batch " +
+                s"(cause: ${e.getMessage})")
+          if (fresh.currentSchemaId != m0.currentSchemaId)
+            throw new graft.lake.ConcurrentCommitException(
+              s"commit(epoch=$epoch): the schema evolved concurrently " +
+                s"(id ${m0.currentSchemaId} -> ${fresh.currentSchemaId}) " +
+                s"mid-batch; the merge frame carries the old column set — " +
+                s"replay the batch (cause: ${e.getMessage})")
+          mAt = fresh
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Test seam: runs after a CoW attempt's files are written, right before
+    * its pinned commit — specs use it to interleave a conflicting external
+    * commit deterministically. No-op in production. */
+  private[graft] var beforeCowCommit: () => Unit = () => ()
 
   /**
    * SCD2 mode: every change produces/closes a version row
@@ -463,27 +512,34 @@ object MergeApply {
         timed("change-sidecar")(
           lake.writeChangeSet(evRows.drop("_bucket"), epoch, m.currentSchemaId))
 
-      val affectedC = lake.bucketClosure(m, affected)
-      val base = lake.readBuckets(spark, affectedC)
-        .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
+      // pinned optimistic CoW, same loop as applyLww: base read, rewrite and
+      // commit all speak the one snapshot `mAt` declares as readVersion
+      def cowAttempt(mAt: Manifest): BatchResult = {
+        val affectedC = lake.bucketClosure(mAt, affected)
+        val base = lake.readBuckets(spark, affectedC, Some(mAt))
+          .withColumn("_bucket", lake.bucketExpr(naturalKeys, buckets))
 
-      // rebuild every affected key's chain from ALL its versions, LSN-ordered;
-      // dropDuplicates tolerates upstream at-least-once re-delivery
-      val all = base.unionByName(evRows)
-        .dropDuplicates(naturalKeys :+ "_lsn")
-      val w = Window.partitionBy(naturalKeys.map(col): _*).orderBy(col("_lsn"))
-      val nextStart = lead(col(scd.startDate), 1).over(w)
-      // current = no next ROW (marker lead), matching the bucket-local fold:
-      // a null next-start must not leave two current versions of one key
-      val hasNext = lead(lit(1), 1).over(w).isNotNull
-      val rebuilt = all
-        .withColumn(scd.endDate, nextStart)
-        .withColumn(scd.current,
-          when(!hasNext && !col("_deleted"), lit(1)).otherwise(lit(0)))
+        // rebuild every affected key's chain from ALL its versions, LSN-ordered;
+        // dropDuplicates tolerates upstream at-least-once re-delivery
+        val all = base.unionByName(evRows)
+          .dropDuplicates(naturalKeys :+ "_lsn")
+        val w = Window.partitionBy(naturalKeys.map(col): _*).orderBy(col("_lsn"))
+        val nextStart = lead(col(scd.startDate), 1).over(w)
+        // current = no next ROW (marker lead), matching the bucket-local fold:
+        // a null next-start must not leave two current versions of one key
+        val hasNext = lead(lit(1), 1).over(w).isNotNull
+        val rebuilt = all
+          .withColumn(scd.endDate, nextStart)
+          .withColumn(scd.current,
+            when(!hasNext && !col("_deleted"), lit(1)).otherwise(lit(0)))
 
-      val files = writeEpoch(spark, lake, rebuilt, epoch, m)
-      lake.commit(epoch, files, affectedC, metrics)
-      BatchResult(epoch, skipped = false, metrics)
+        val files = writeEpoch(spark, lake, rebuilt, epoch, mAt)
+        beforeCowCommit()
+        lake.commit(epoch, files, affectedC, metrics,
+          readVersion = Some(mAt.version))
+        BatchResult(epoch, skipped = false, metrics)
+      }
+      retryCow(lake, m, epoch)(cowAttempt)
     } finally withBucket.unpersist()
   }
 
@@ -501,7 +557,7 @@ object MergeApply {
     * key), plus `_lsn` for scd2 version rows so one hot key's version HISTORY
     * — many rows, same key — spreads across salt tasks too. */
   private val WRITE_SALT = 4
-  private def writeEpoch(
+  private[graft] def writeEpoch(
       spark: SparkSession,
       lake: LakeTable,
       merged: DataFrame,

@@ -161,7 +161,11 @@ object LakeSync {
       .options(target.bloomOptions(tm.keyCols))
       .partitionBy("_bucket").parquet(target.dataDir(epoch))
     val files = target.listEpochFiles(epoch, tm, Map.empty)
-    val rows = files.map(_.rows).sum
+    // a footer-stat failure leaves rows = -1; recount rather than report a
+    // corrupted bootstrap row metric (same guard as CdcRunner.fullLoad)
+    val rows =
+      if (files.forall(_.rows >= 0)) files.map(_.rows).sum
+      else spark.read.parquet(target.dataDir(epoch)).count()
     target.commit(epoch, files, (0 until tm.buckets).toSet,
       Map("full_load_rows" -> rows, OFFSET_METRIC -> head.toLong))
     SyncResult(0, head, epoch, rows, bootstrapped = true)

@@ -1243,8 +1243,14 @@ class LakeTable(val dir: String) {
     * covering any requested bucket included. Tombstones kept (engine-facing
     * read used by the merge — which must pass a [[bucketClosure]]-expanded set
     * so the rows a coarser file carries for sibling buckets are not lost). */
-  def readBuckets(spark: SparkSession, buckets: Set[Int]): DataFrame = {
-    val m = manifest
+  def readBuckets(spark: SparkSession, buckets: Set[Int],
+      at: Option[Manifest] = None): DataFrame = {
+    // `at` pins the read to the snapshot a CoW merge computed its inputs
+    // from — the same manifest its commit passes as readVersion, so the
+    // files it folds and the files its commit declares replaced are ONE set
+    // (an unpinned head re-read here could silently fold a concurrent
+    // writer's files into a commit that doesn't admit replacing them)
+    val m = at.getOrElse(manifest)
     readResolved(spark, m,
       m.files.filter(f => buckets.exists(b => b % f.spec == f.bucket)))
   }
@@ -1629,9 +1635,29 @@ class LakeTable(val dir: String) {
       if (!Files.exists(manifestPath(v))) Nil
       else resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
     }.toSet
-    val dataRoot = Paths.get(dir, "data").toAbsolutePath
-    if (!Files.isDirectory(dataRoot)) return Nil
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
+    // crash-orphaned manifest temp files: a committer that died between
+    // Files.write(tmp) and the link/rename leaves `.…​.tmp-…` litter nothing
+    // references and no other pass sweeps (vacuum matches only mf-*.json) —
+    // at streaming crash-restart cadence the manifests dir would grow
+    // unboundedly. Every manifest-dir writer uses the dot-prefixed ".tmp-"
+    // naming, and the age cutoff keeps in-flight commits' temps safe.
+    if (Files.isDirectory(manifestsDir)) {
+      scala.util.Using.resource(Files.list(manifestsDir)) { ls =>
+        ls.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(".") && n.contains(".tmp-")
+          }
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq
+      }.foreach { p =>
+        if (Files.deleteIfExists(p)) deleted += p.toString
+      }
+    }
+    val dataRoot = Paths.get(dir, "data").toAbsolutePath
+    if (!Files.isDirectory(dataRoot)) return deleted.toSeq
     val emptied = scala.collection.mutable.LinkedHashSet.empty[Path]
     scala.util.Using.resource(Files.walk(dataRoot)) { walk =>
       walk.iterator().asScala

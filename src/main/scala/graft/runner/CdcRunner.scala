@@ -138,14 +138,19 @@ object CdcRunner {
           .withColumn("_deleted", lit(false))
       case _ => snapshot.withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
     }).withColumn("_bucket", lake.bucketExpr(keys, m.buckets))
-    withBucket.repartition(col("_bucket"))
-      .write.mode("overwrite")
-      .options(lake.bloomOptions(m.keyCols))
-      .partitionBy("_bucket").parquet(lake.dataDir(epoch))
-    val files = lake.listEpochFiles(epoch, m, Map.empty)
-    // exact loaded-row count comes free from the parquet footers
+    // the shared salted epoch writer, not a hand-rolled repartition(bucket):
+    // the full load is the largest single write of the table's life, and a
+    // plain bucket-keyed shuffle turns a hot bucket into one straggler task
+    // (the exact problem writeEpoch's (bucket, salt) key documents)
+    val files = MergeApply.writeEpoch(spark, lake, withBucket, epoch, m)
+    // exact loaded-row count comes free from the parquet footers; a footer
+    // read failure leaves the -1 sentinel — recount rather than sum it into
+    // a corrupted audit metric reconcile() would then treat as ground truth
+    val loaded =
+      if (files.forall(_.rows >= 0)) files.map(_.rows).sum
+      else spark.read.parquet(lake.dataDir(epoch)).count()
     lake.commit(epoch, files, (0 until m.buckets).toSet,
-      Map("full_load_rows" -> files.map(_.rows).sum))
+      Map("full_load_rows" -> loaded))
   }
 
   /** Schema registry: evolve the lake schema for EVERY registry version up to
@@ -160,12 +165,35 @@ object CdcRunner {
   def applySchemaRegistry(
       lake: LakeTable, registry: Map[Int, Seq[SchemaChange]], batch: DataFrame): Unit = {
     if (registry.isEmpty) return
+    // null-tolerant: a malformed feed file can carry null schema_ver (file
+    // sources don't enforce nullable=false) — such rows evolve nothing here
+    // and fall through to the merge, whose invariants quarantine them;
+    // getInt on the null would instead NPE and wedge the stream on replay
     val vers = batch.select(ChangeEvent.SCHEMA_VER).distinct()
-      .collect().map(_.getInt(0))
+      .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     if (vers.isEmpty) return
     val maxVer = vers.max
     registry.toSeq.sortBy(_._1).filter(_._1 <= maxVer)
-      .foreach { case (_, changes) => evolvePending(lake, changes) }
+      .foreach { case (ver, changes) =>
+        // a FIXED-schema (parquet) feed cannot express a rename mid-stream:
+        // the contract is a stream restart with the evolved payload schema
+        // (MultiTableSpec's schema_versions e2e). A v2-marked batch still
+        // carrying the OLD column shape means the feed was not evolved —
+        // evolving the lake anyway would null-fill the renamed column (and a
+        // renamed MERGE KEY would break the merge) silently from here on
+        changes.foreach {
+          case graft.lake.RenameColumn(f, t)
+              if batch.columns.contains(f) && !batch.columns.contains(t) =>
+            throw new IllegalArgumentException(
+              s"schema_versions[$ver] renames '$f' -> '$t' but this batch " +
+                "still carries the old column shape — restart the stream " +
+                "with the evolved payload schema, or use a wire-format " +
+                "source (wal/envelope) whose versioned parse folds renames " +
+                "per row without a restart")
+          case _ => ()
+        }
+        evolvePending(lake, changes)
+      }
   }
 
   private def evolvePending(lake: LakeTable, changes: Seq[SchemaChange]): Unit = {
@@ -388,7 +416,14 @@ object CdcRunner {
       brokers: String, topic: String,
       schemaName: String, tableName: String,
       startingOffsets: String = "earliest",
-      availableNow: Boolean = true, intervalSeconds: Int = 5): StreamingQuery = {
+      availableNow: Boolean = true, intervalSeconds: Int = 5,
+      /** per-trigger record bound (one record = one envelope page of ≤ 1024
+        * ops) — the batch_cdc_size analogue the file sources get from
+        * maxFilesPerTrigger. Without it, a first run against an existing
+        * topic with startingOffsets=earliest admits the WHOLE backlog as one
+        * micro-batch whose merge must succeed atomically or replay from
+        * zero. ≤ 0 disables (explicitly unbounded). */
+      maxOffsetsPerTrigger: Long = 10000L): StreamingQuery = {
     require(kafkaConnectorPresent,
       "startFromKafka needs the spark-sql-kafka-0-10 connector on the classpath " +
         "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)")
@@ -396,12 +431,14 @@ object CdcRunner {
     val lake = ensureTable(spark, cfg)
     applyRegistryEagerly(lake, cfg.schemaRegistry)
     val runCfg = wireRuntimeCfg(cfg)
-    val stream = spark.readStream
+    val stream0 = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-      .load()
+    val stream = (if (maxOffsetsPerTrigger > 0)
+      stream0.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    else stream0).load()
     val qName = s"graft-kafka-${java.util.UUID.randomUUID().toString.take(8)}"
     registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream

@@ -48,6 +48,54 @@ class EvolutionSpec extends SparkSpec {
     assert(lake.read(spark).filter(col("origin2").isNotNull).count() > 0)
   }
 
+  test("registry rename against a batch still carrying the OLD column shape " +
+    "fails loudly (fixed-schema feeds need a restart, not silent null-fill)") {
+    val root = tmpDir("graft-evo-oldshape")
+    val registry = Map(2 -> Seq(RenameColumn("source", "origin")))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      schemaRegistry = registry)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    // v2-marked events that still carry `source` — the feed contract was NOT
+    // evolved; before the guard this evolved the lake and every later batch
+    // silently null-filled `origin` (a renamed KEY would instead wedge)
+    val stale = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 10, nDocs = 5, schemaVer = 2))
+    val e = intercept[IllegalArgumentException](
+      CdcRunner.applySchemaRegistry(lake, registry, stale))
+    assert(e.getMessage.contains("old column shape"), e.getMessage)
+    assert(lake.manifest.currentSchema.byName("source").isDefined,
+      "the lake must NOT evolve on the refused batch")
+  }
+
+  test("null schema_ver rows evolve nothing and do not crash the registry scan") {
+    val root = tmpDir("graft-evo-nullver")
+    val registry = Map(2 -> Seq(AddColumn("lang", StringType)))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      schemaRegistry = registry)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val v0 = lake.currentVersion
+    // a malformed feed file can carry null schema_ver (file sources do not
+    // enforce nullable=false) — the old getInt(0) NPE'd inside foreachBatch
+    // and wedged the stream on every replay of the same file
+    val nullVer = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 6, nDocs = 3))
+      .withColumn(ChangeEvent.SCHEMA_VER,
+        lit(null).cast(IntegerType))
+    CdcRunner.applySchemaRegistry(lake, registry, nullVer) // must not throw
+    assert(lake.currentVersion == v0, "nothing to evolve from null versions")
+    // mixed: one real v2 row alongside nulls still applies v2
+    val mixed = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 6, nDocs = 3))
+      .withColumn(ChangeEvent.SCHEMA_VER,
+        when(col(ChangeEvent.LSN) % 2 === 0, lit(2)).otherwise(lit(null)))
+    CdcRunner.applySchemaRegistry(lake, registry, mixed)
+    assert(lake.manifest.currentSchema.byName("lang").isDefined)
+  }
+
   test("fullLoad runs the table's filter+transform rules (renamed/created " +
     "columns land under the table schema's names)") {
     val root = tmpDir("graft-evo-flrules")

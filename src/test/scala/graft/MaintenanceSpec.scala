@@ -376,6 +376,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
   }
 
+  test("removeOrphans sweeps crash-orphaned manifest temp files; fresh temps " +
+    "and real manifests survive") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("graft-maint-mftmp")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 10), cfg)
+    val mdir = Paths.get(cfg.tableDir, "manifests")
+    // a committer that died between Files.write(tmp) and the link/rename
+    val stale = mdir.resolve(".v99.json.tmp-111")
+    Files.writeString(stale, "{}")
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 86400 * 1000))
+    val fresh = mdir.resolve("._current.tmp-222") // an in-flight commit's temp
+    Files.writeString(fresh, "5")
+    val deleted = lake.removeOrphans(olderThanMs = 3600L * 1000)
+    assert(deleted.exists(_.endsWith(".v99.json.tmp-111")), deleted.mkString(","))
+    assert(!Files.exists(stale) && Files.exists(fresh),
+      "age cutoff keeps in-flight temps")
+    assert(Files.exists(mdir.resolve("v000001.json")), "real manifests untouched")
+    assert(lake.read(spark).count() == 10, "table unaffected")
+    Files.delete(fresh): Unit
+  }
+
   test("rescaleToAtLeast tolerates a concurrent rescale that met the goal; " +
     "a genuinely unreachable goal still throws") {
     val root = tmpDir("graft-maint-rescaletol")

@@ -54,6 +54,48 @@ class MultiWriterSpec extends SparkSpec {
       Paths.get(dir, "manifests", f"v$v%06d.json")), s"v$v exists"))
   }
 
+  test("pinned CoW merge: a data commit interleaved mid-merge is retried " +
+    "over, not silently overwritten (the drain-vs-stream lost-update window)") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-mw-pinned")
+    val job = JobConfig(mode = CdcMode.Upsert, buckets = 1)
+    val lake = CdcRunner.ensureTable(spark, RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table",
+      checkpointDir = s"$root/cp", job = job))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def ev(lsn: Long, key: String, v: Int) =
+      Row(lsn, 1L, ts(lsn), "INSERT", 1, key, Seq(v), Int.box(1), "web")
+    def frame(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), ChangeEvent.schema())
+
+    // the external writer (a quarantine drain, a second sync job) slips its
+    // commit between the stream's pinned base read and its commit —
+    // deterministically, via the test seam; self-clears so the inner
+    // applyBatch (and the outer retry) see a no-op
+    var fired = 0
+    graft.apply.MergeApply.beforeCowCommit = () => {
+      graft.apply.MergeApply.beforeCowCommit = () => ()
+      fired += 1
+      graft.apply.MergeApply.applyBatch(spark, lake,
+        frame(Seq(ev(500L, "drained", 9))), 7777L, job): Unit
+    }
+    try
+      graft.apply.MergeApply.applyBatch(spark, lake,
+        frame(Seq(ev(100L, "k1", 1), ev(101L, "k2", 2))), 0L, job): Unit
+    finally graft.apply.MergeApply.beforeCowCommit = () => ()
+
+    assert(fired == 1)
+    assert(lake.isCommitted(0L) && lake.isCommitted(7777L))
+    val keys = lake.read(spark).select("doc_id").collect().map(_.getString(0)).sorted
+    // before the pinning, epoch 0's unpinned commit replaced bucket 0 with a
+    // merge computed from the PRE-7777 base — the drained row vanished and
+    // re-running the drain was a no-op (its epoch already committed)
+    assert(keys.sameElements(Array("drained", "k1", "k2")),
+      s"no lost update across the interleave: ${keys.mkString(",")}")
+  }
+
   test("rebase guard: disjoint-bucket commit attaches; overlapping one is refused") {
     val dir = tmpDir("graft-mw-rebase") + "/t"
     val a = mkTable(dir)
