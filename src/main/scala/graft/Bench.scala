@@ -315,7 +315,15 @@ object Bench {
     val pairsJson = pairs.map { case (lo, hi) =>
       f"""{"sec_lo":$lo%.2f,"sec_hi":$hi%.2f,"eff":${effOf((lo, hi))}%.3f}"""
     }.mkString("[", ",", "]")
+    // warm_sec is the NOISE CANARY: the warm-up runs identical untimed work
+    // every bench invocation (restore + one full CoW pass at max cores), so
+    // its wall calibrates the host window the run landed in — quiet-window
+    // history sits near 110 s at the standard 32M/64-bucket shape; a reader
+    // comparing throughput-shaped numbers across runs should scale their
+    // expectations by this before suspecting the engine (the sandwich-paired
+    // scaling pairs need no such correction — that is their whole design)
     val cdc = f"""{"events":$nEvents,"cores_hi":$scaleHi,"cores_lo":$scaleLo,""" +
+      f""""warm_sec":$tWarm%.2f,""" +
       f""""sec_hi":$tHi%.2f,"sec_lo":$tLo%.2f,""" +
       f""""events_per_sec_hi":${epsHi.toLong},"events_per_sec_lo":${epsLo.toLong},""" +
       f""""scaling_efficiency":$efficiency%.3f,""" +
