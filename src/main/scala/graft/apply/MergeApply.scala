@@ -287,13 +287,16 @@ object MergeApply {
       if (affected.isEmpty) {
         // an empty reduction still commits (and still carries extraMetrics):
         // a sync window whose changes all reduce away must advance its cursor.
-        // A feed-recording CoW table still writes its (empty) sidecar — the
-        // durable `changes/_feed` marker must exist from the FIRST
-        // feed-enabled epoch, or an all-quarantined first batch leaves
-        // recordsChangeFeed false and the later drain defaults to a
-        // sidecar-less commit that wedges every changeLog window spanning it
+        // A feed-recording CoW table still plants the durable `changes/_feed`
+        // marker — it must exist from the FIRST feed-enabled epoch, or an
+        // all-quarantined first batch leaves recordsChangeFeed false and the
+        // later drain defaults to a sidecar-less commit that wedges every
+        // changeLog window spanning it. Marker only, no sidecar: changeLog
+        // never demands a sidecar from a file-less commit, so writing an
+        // empty one per no-change window would be a recurring Spark job
+        // bought for nothing
         if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
-          lake.writeChangeSet(deltaRows.drop("_bucket"), epoch, m.currentSchemaId)
+          lake.enableChangeFeed()
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
           "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics
         lake.commit(epoch, Nil, Set.empty, metrics)
@@ -484,11 +487,11 @@ object MergeApply {
           col("_bucket")): _*)
 
       if (affected.isEmpty) {
-        // like applyLww: a feed-recording CoW table writes its (empty)
-        // sidecar even on an empty batch, so `changes/_feed` exists from the
-        // first feed-enabled epoch (all-quarantined first batch included)
+        // like applyLww: a feed-recording CoW table plants the durable
+        // `changes/_feed` marker on an empty batch (all-quarantined first
+        // batch included) — marker only, no per-window sidecar write job
         if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
-          lake.writeChangeSet(evRows.drop("_bucket"), epoch, m.currentSchemaId)
+          lake.enableChangeFeed()
         lake.commit(epoch, Nil, Set.empty,
           Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
             "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics)

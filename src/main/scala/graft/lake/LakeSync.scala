@@ -82,7 +82,9 @@ object LakeSync {
    * without sidecars is a change-feed dead end (chaining lake_sync off it, or
    * `changeLog` over it, would fail on the first incremental window with a
    * remedy this surface would otherwise not expose). Merge-on-read targets
-   * need no sidecars (their delta files ARE the feed).
+   * need no sidecars (their delta files ARE the feed). The resolved identity
+   * is PINNED on the table at creation (durable `changes/_feed` marker) and
+   * wins over later calls' arguments — see [[resolveFeed]].
    */
   def sync(
       spark: SparkSession,
@@ -111,13 +113,51 @@ object LakeSync {
       target.create(sm.currentSchema.sparkSchema, buckets.getOrElse(sm.buckets),
         keyCols = sm.keyCols, tableMode = Manifest.LWW)
       writeMarker(targetDir, sourceDir)
+      // pin the mirror's change-feed identity AT CREATION (durable marker),
+      // not per call: re-deriving it from each call's arguments lets config
+      // drift (a later cron invocation omitting the flag, or flipping the
+      // default via `merge`) mix sidecar-less and sidecar-bearing CoW epochs
+      // in one history — every changeLog window spanning a sidecar-less
+      // non-empty CoW epoch then throws, permanently (the missing sidecars
+      // can never be recreated)
+      if (changeFeed.getOrElse(merge == MergeStrategy.CopyOnWrite))
+        target.enableChangeFeed()
     }
     checkMarker(targetDir, sourceDir)
 
-    val feed = changeFeed.getOrElse(merge == MergeStrategy.CopyOnWrite)
+    val feed = resolveFeed(target, merge, changeFeed)
     val offset = target.manifest.metrics.getOrElse(OFFSET_METRIC, 0L).toInt
     if (offset == 0) bootstrap(spark, source, target, head)
     else incremental(spark, source, target, offset, head, merge, feed)
+  }
+
+  /** The mirror's effective change-feed flag: the table's own durable
+    * identity wins over this call's arguments. Turning the feed OFF on a
+    * feed-recording table, or ON after sidecar-less change windows already
+    * committed, are both refused loudly — either would wedge changeLog
+    * windows, the first kind from this call forward, the second kind
+    * retroactively (and unrepairably). */
+  private def resolveFeed(target: LakeTable, merge: MergeStrategy,
+      changeFeed: Option[Boolean]): Boolean = {
+    val pinned = target.recordsChangeFeed
+    val wantOn = changeFeed.getOrElse(merge == MergeStrategy.CopyOnWrite)
+    if (pinned) {
+      require(changeFeed.forall(identity) || merge == MergeStrategy.MergeOnRead,
+        s"mirror at ${target.dir} records a change feed (pinned at " +
+          "bootstrap); change_feed=false would commit sidecar-less CoW " +
+          "epochs that wedge every changeLog window spanning them — drop " +
+          "the flag, or re-bootstrap a feedless mirror")
+      true
+    } else if (wantOn) {
+      val tm = target.manifest
+      require(tm.epochWatermark < 0 && !tm.recentEpochs.exists(_ >= 0),
+        s"mirror at ${target.dir} has already committed change windows " +
+          "WITHOUT a feed; enabling change_feed now cannot backfill their " +
+          "missing sidecars — changeLog windows spanning them would wedge. " +
+          "Re-bootstrap the mirror to record a feed from epoch 0")
+      target.enableChangeFeed()
+      true
+    } else false
   }
 
   // ── bootstrap: mirror one engine snapshot as the full-load epoch ──
@@ -153,14 +193,13 @@ object LakeSync {
       if (diff.nonEmpty) target.evolve(diff)
     }
     val tm = target.manifest
+    // salted bucket write (MergeApply.writeEpoch) — the mirror's largest-ever
+    // write must not serialize a hot (zipf) bucket into one straggler task,
+    // the same fix CdcRunner.fullLoad got; a plain repartition(_bucket) also
+    // idles cores whenever buckets ≲ shuffle partitions (Poisson collisions)
     val state = source.readState(spark, head)
-    state
       .withColumn("_bucket", target.bucketExpr(tm.keyCols, tm.buckets))
-      .repartition(col("_bucket"))
-      .write.mode("overwrite")
-      .options(target.bloomOptions(tm.keyCols))
-      .partitionBy("_bucket").parquet(target.dataDir(epoch))
-    val files = target.listEpochFiles(epoch, tm, Map.empty)
+    val files = MergeApply.writeEpoch(spark, target, state, epoch, tm)
     // a footer-stat failure leaves rows = -1; recount rather than report a
     // corrupted bootstrap row metric (same guard as CdcRunner.fullLoad)
     val rows =

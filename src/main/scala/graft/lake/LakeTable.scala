@@ -344,6 +344,10 @@ object LakeTable {
     * would dominate the metadata pass (XML resource loading). */
   lazy val sharedHadoopConf = new org.apache.hadoop.conf.Configuration()
 
+  /** Manifest-metrics key: highest schema-registry version already applied
+    * to this table (see [[LakeTable.evolveRegistry]]). */
+  val RegistryVerMetric = "registry_applied_ver"
+
   /** Cap on per-group scan branches in a merge-on-read read plan. Below it,
     * each delta-bearing group is its own coalesced branch (zero shuffle);
     * above it, the read falls back to one scan + one Exchange on the group id
@@ -433,6 +437,22 @@ class LakeTable(val dir: String) {
   }
 
   private val FEED_MARKER = "_feed"
+
+  /** Pin the table's change-feed identity durably (see [[recordsChangeFeed]])
+    * without writing a sidecar. Two users: writers that decide the identity
+    * at TABLE CREATION, before any epoch exists (LakeSync pins its mirror
+    * here so the flag cannot drift across sync calls); and empty-batch
+    * commits, which need the marker from the first feed-enabled epoch but
+    * never a sidecar ([[changeLog]] only demands one from epochs that
+    * committed base files). Idempotent and cheap — two filesystem metadata
+    * ops, no Spark job. */
+  def enableChangeFeed(): Unit = {
+    val marker = Paths.get(dir, "changes", FEED_MARKER)
+    if (!Files.exists(marker)) {
+      Files.createDirectories(marker.getParent)
+      Files.writeString(marker, ""): Unit
+    }
+  }
 
   /** Persist one CoW epoch's change set ([[changesDir]]). Overwrite keeps a
     * retried epoch idempotent; the `_meta.json` records the writer schema id
@@ -815,6 +835,40 @@ class LakeTable(val dir: String) {
         epoch = Manifest.NoEpoch)
       writeManifest(m, None)
       m
+    }
+  }
+
+  /** Schema evolution attributed to a schema-registry version: applies the
+    * version's still-pending changes and advances the persisted
+    * `registry_applied_ver` watermark in the SAME commit. Version-based
+    * idempotence survives what name-presence alone cannot: a rename chain
+    * that reuses an earlier name (v2 a→b, v3 b→a) makes v2 look pending
+    * again forever once v3 lands — a per-batch registry replay would then
+    * churn two evolution commits per batch and a restart-shape guard would
+    * false-positive on the legitimately-final column set. The watermark read
+    * and the pending filter both run inside the commit retry, so a lost
+    * version race recomputes against the fresh head. No-op (no new manifest
+    * version) when the watermark already covers `ver`. */
+  def evolveRegistry(ver: Int, changes: Seq[SchemaChange]): Manifest = this.synchronized {
+    retryingCommit(s"evolveRegistry($ver)") {
+      val old = manifest
+      if (old.metrics.getOrElse(LakeTable.RegistryVerMetric, 0L) >= ver) old
+      else {
+        val cur = old.currentSchema
+        // name-based pending filter kept as the pre-watermark-table safety
+        // net: a table evolved by an older build has no watermark recorded,
+        // and re-applying an already-applied change would throw
+        val pending = changes.filter {
+          case AddColumn(n, _, _) => cur.byName(n).isEmpty
+          case RenameColumn(f, t) => cur.byName(f).isDefined && cur.byName(t).isEmpty
+          case WidenColumn(n, to) => cur.byName(n).exists(_.dataType != to)
+        }
+        val evolved = if (pending.isEmpty) old else applySchemaChanges(old, pending)
+        val m = evolved.copy(version = old.version + 1, epoch = Manifest.NoEpoch,
+          metrics = old.metrics.updated(LakeTable.RegistryVerMetric, ver.toLong))
+        writeManifest(m, None)
+        m
+      }
     }
   }
 
@@ -1636,24 +1690,28 @@ class LakeTable(val dir: String) {
       else resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
     }.toSet
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
-    // crash-orphaned manifest temp files: a committer that died between
+    // crash-orphaned temp files: a committer that died between
     // Files.write(tmp) and the link/rename leaves `.…​.tmp-…` litter nothing
     // references and no other pass sweeps (vacuum matches only mf-*.json) —
-    // at streaming crash-restart cadence the manifests dir would grow
-    // unboundedly. Every manifest-dir writer uses the dot-prefixed ".tmp-"
-    // naming, and the age cutoff keeps in-flight commits' temps safe.
-    if (Files.isDirectory(manifestsDir)) {
-      scala.util.Using.resource(Files.list(manifestsDir)) { ls =>
-        ls.iterator().asScala
-          .filter(p => Files.isRegularFile(p))
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith(".") && n.contains(".tmp-")
-          }
-          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-          .toSeq
-      }.foreach { p =>
-        if (Files.deleteIfExists(p)) deleted += p.toString
+    // at streaming crash-restart cadence those dirs would grow unboundedly.
+    // Every metadata writer uses the dot-prefixed ".tmp-" naming; the age
+    // cutoff keeps in-flight commits' temps safe. Both metadata dirs have
+    // the same crash window: manifests/ (snapshot, fragment, _current) and
+    // lineage/ (writeLineage's per-epoch record).
+    Seq(manifestsDir, Paths.get(dir, "lineage")).foreach { metaDir =>
+      if (Files.isDirectory(metaDir)) {
+        scala.util.Using.resource(Files.list(metaDir)) { ls =>
+          ls.iterator().asScala
+            .filter(p => Files.isRegularFile(p))
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith(".") && n.contains(".tmp-")
+            }
+            .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+            .toSeq
+        }.foreach { p =>
+          if (Files.deleteIfExists(p)) deleted += p.toString
+        }
       }
     }
     val dataRoot = Paths.get(dir, "data").toAbsolutePath

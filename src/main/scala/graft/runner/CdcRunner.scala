@@ -154,14 +154,15 @@ object CdcRunner {
   }
 
   /** Schema registry: evolve the lake schema for EVERY registry version up to
-    * the highest schema_ver present in this batch (idempotent —
-    * already-applied changes are filtered). Applying all ≤ max, not just the
-    * versions literally present, matters when a stream starts after upstream
-    * already advanced: a batch of only-v3 events must still apply v2 first,
-    * or a v3 change chained on v2 (e.g. a rename of a v2-renamed column)
-    * silently filters out in evolvePending and the column's values are lost
-    * to null-fill. Shared by the single-table foreachBatch and the
-    * multi-table router. */
+    * the highest schema_ver present in this batch. Idempotent by the table's
+    * persisted `registry_applied_ver` watermark ([[LakeTable.evolveRegistry]])
+    * — NOT by column-name presence, which breaks under name-reusing rename
+    * chains. Applying all ≤ max, not just the versions literally present,
+    * matters when a stream starts after upstream already advanced: a batch of
+    * only-v3 events must still apply v2 first, or a v3 change chained on v2
+    * (e.g. a rename of a v2-renamed column) silently filters out and the
+    * column's values are lost to null-fill. Shared by the single-table
+    * foreachBatch and the multi-table router. */
   def applySchemaRegistry(
       lake: LakeTable, registry: Map[Int, Seq[SchemaChange]], batch: DataFrame): Unit = {
     if (registry.isEmpty) return
@@ -173,17 +174,27 @@ object CdcRunner {
       .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     if (vers.isEmpty) return
     val maxVer = vers.max
-    registry.toSeq.sortBy(_._1).filter(_._1 <= maxVer)
+    // watermark-gated: versions the table already recorded as applied are
+    // skipped OUTRIGHT (guard included) — re-running the old-shape guard on
+    // an applied version false-positives forever when a later version
+    // renames a column back to an earlier name (v2 a→b, v3 b→a leaves the
+    // final feed legitimately carrying 'a'), wedging a correct stream
+    val applied = lake.manifest.metrics.getOrElse(LakeTable.RegistryVerMetric, 0L)
+    registry.toSeq.sortBy(_._1).filter(v => v._1 > applied && v._1 <= maxVer)
       .foreach { case (ver, changes) =>
         // a FIXED-schema (parquet) feed cannot express a rename mid-stream:
         // the contract is a stream restart with the evolved payload schema
         // (MultiTableSpec's schema_versions e2e). A v2-marked batch still
         // carrying the OLD column shape means the feed was not evolved —
         // evolving the lake anyway would null-fill the renamed column (and a
-        // renamed MERGE KEY would break the merge) silently from here on
+        // renamed MERGE KEY would break the merge) silently from here on.
+        // Exception: when a LATER version ≤ maxVer renames something INTO
+        // this name, the batch's column is the evolved final shape of a
+        // name-reusing chain, not the stale pre-rename shape
         changes.foreach {
           case graft.lake.RenameColumn(f, t)
-              if batch.columns.contains(f) && !batch.columns.contains(t) =>
+              if batch.columns.contains(f) && !batch.columns.contains(t) &&
+                !renamedIntoLater(registry, ver, maxVer, f) =>
             throw new IllegalArgumentException(
               s"schema_versions[$ver] renames '$f' -> '$t' but this batch " +
                 "still carries the old column shape — restart the stream " +
@@ -192,19 +203,21 @@ object CdcRunner {
                 "per row without a restart")
           case _ => ()
         }
-        evolvePending(lake, changes)
+        lake.evolveRegistry(ver, changes)
       }
   }
 
-  private def evolvePending(lake: LakeTable, changes: Seq[SchemaChange]): Unit = {
-    val cur = lake.manifest.currentSchema
-    val pending = changes.filter {
-      case AddColumn(n, _, _)   => cur.byName(n).isEmpty
-      case RenameColumn(f, t)   => cur.byName(f).isDefined && cur.byName(t).isEmpty
-      case WidenColumn(n, to)   => cur.byName(n).exists(_.dataType != to)
+  /** True when a registry version in (ver, maxVer] renames some column INTO
+    * `name` — a batch carrying `name` is then the final shape of a
+    * name-reusing rename chain, not a stale pre-`ver` shape. */
+  private def renamedIntoLater(registry: Map[Int, Seq[SchemaChange]],
+      ver: Int, maxVer: Int, name: String): Boolean =
+    registry.exists { case (v, cs) =>
+      v > ver && v <= maxVer && cs.exists {
+        case graft.lake.RenameColumn(_, t) => t == name
+        case _ => false
+      }
     }
-    if (pending.nonEmpty) lake.evolve(pending): Unit
-  }
 
   /** Wire-format streams with a registry parse EVERY row to the LATEST payload
     * shape (parseVersioned folds rename chains and casts widened fields), so
@@ -218,10 +231,12 @@ object CdcRunner {
     * for per-row detection, and a narrow lake column would truncate them.)
     * Idempotent (already-applied changes filter out). */
   def applyRegistryEagerly(
-      lake: LakeTable, registry: Map[Int, Seq[SchemaChange]]): Unit =
-    registry.toSeq.sortBy(_._1).foreach { case (_, changes) =>
-      evolvePending(lake, changes)
+      lake: LakeTable, registry: Map[Int, Seq[SchemaChange]]): Unit = {
+    val applied = lake.manifest.metrics.getOrElse(LakeTable.RegistryVerMetric, 0L)
+    registry.toSeq.sortBy(_._1).filter(_._1 > applied).foreach {
+      case (ver, changes) => lake.evolveRegistry(ver, changes)
     }
+  }
 
   /** Merge-key names after the registry's renames: the versioned wire parse
     * folds every row to the LATEST column names, so a registry that renames a

@@ -69,6 +69,38 @@ class EvolutionSpec extends SparkSpec {
       "the lake must NOT evolve on the refused batch")
   }
 
+  test("name-reusing rename chain (v2 a→b, v3 b→a): a restarted stream at the " +
+    "final shape neither wedges on the old-shape guard nor churns evolution " +
+    "commits per batch") {
+    val root = tmpDir("graft-evo-reuse")
+    // v3 renames `origin` BACK to `source` — the final feed legitimately
+    // carries `source`, the exact shape the v2 guard used to read as stale
+    // (and the name-presence pending filter used to re-apply forever)
+    val registry = Map(
+      2 -> Seq(RenameColumn("source", "origin")),
+      3 -> Seq(RenameColumn("origin", "source")))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      schemaRegistry = registry)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val batch = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 10, nDocs = 5, schemaVer = 3))
+    CdcRunner.applySchemaRegistry(lake, registry, batch) // old guard threw here
+    val names = lake.manifest.currentSchema.fields.map(_.name)
+    assert(names.contains("source") && !names.contains("origin"), names.mkString(","))
+    assert(lake.manifest.metrics(LakeTable.RegistryVerMetric) == 3L,
+      "watermark persisted in the manifest")
+    val v = lake.currentVersion
+    // replay on the next batch: the watermark makes it a pure no-op — the
+    // pre-watermark code re-applied a→b→a (two evolution commits) per batch
+    CdcRunner.applySchemaRegistry(lake, registry, batch)
+    assert(lake.currentVersion == v, "no per-batch evolution churn")
+    // and the batch merges under the final (reused) name
+    graft.apply.MergeApply.applyBatch(spark, lake, batch, 0L, cfg.job)
+    assert(lake.read(spark).filter(col("source").isNotNull).count() > 0)
+  }
+
   test("null schema_ver rows evolve nothing and do not crash the registry scan") {
     val root = tmpDir("graft-evo-nullver")
     val registry = Map(2 -> Seq(AddColumn("lang", StringType)))

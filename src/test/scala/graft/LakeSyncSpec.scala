@@ -320,6 +320,48 @@ class LakeSyncSpec extends SparkSpec {
       sortedRows(source.read(spark)))
   }
 
+  test("mirror change-feed identity is PINNED at creation — later calls' " +
+    "arguments cannot drift it in either direction") {
+    val root = tmpDir("graft-lakesync-pin")
+    val cfg = morCfg(root)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 60))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 100), cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+
+    // ON-pinned mirror: the marker is durable from CREATION, before any
+    // window — a crash-vacuumed or not-yet-synced mirror still knows
+    val on = s"$root/on"
+    LakeSync.sync(spark, cfg.tableDir, on) // default CoW → feed ON
+    assert(new LakeTable(on).recordsChangeFeed, "pinned at creation")
+    // explicit off on the pinned-ON mirror is refused loudly — honoring it
+    // would commit sidecar-less CoW epochs that wedge changeLog forever
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 100 && col("lsn") <= 200),
+      cfg.feedDir, nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val e1 = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, on, changeFeed = Some(false)))
+    assert(e1.getMessage.contains("pinned"), e1.getMessage)
+    // dropping the flag (cron config drift) keeps recording — window applies
+    val onTable = new LakeTable(on)
+    val vBefore = onTable.currentVersion
+    LakeSync.sync(spark, cfg.tableDir, on)
+    assert(onTable.changeLog(spark, vBefore, onTable.currentVersion).count() > 0,
+      "the feed kept recording through the flag-less call")
+
+    // OFF-pinned mirror: once sidecar-less change windows committed, turning
+    // the feed ON cannot backfill them — refused with a re-bootstrap remedy
+    val off = s"$root/off"
+    LakeSync.sync(spark, cfg.tableDir, off, changeFeed = Some(false))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 200), cfg.feedDir,
+      nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    LakeSync.sync(spark, cfg.tableDir, off, changeFeed = Some(false)) // window, no sidecar
+    val e2 = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, off)) // drift: default would flip ON
+    assert(e2.getMessage.toLowerCase.contains("re-bootstrap"), e2.getMessage)
+  }
+
   test("PROPERTY: bootstrap crash-retry reaches the head schema under ANY " +
     "evolution history (adds, rename chains, name reuse, widens) at any " +
     "crash point — or fails loudly; never silent divergence") {

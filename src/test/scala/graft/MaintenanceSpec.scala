@@ -393,10 +393,20 @@ class MaintenanceSpec extends SparkSpec {
       System.currentTimeMillis() - 10L * 86400 * 1000))
     val fresh = mdir.resolve("._current.tmp-222") // an in-flight commit's temp
     Files.writeString(fresh, "5")
+    // writeLineage has the identical crash window (tmp written, ATOMIC_MOVE
+    // never ran) — its litter must be swept by the same pass, or lineage/
+    // grows unboundedly at streaming crash-restart cadence
+    val ldir = Paths.get(cfg.tableDir, "lineage")
+    val lstale = ldir.resolve(".epoch=7.tmp-333")
+    Files.writeString(lstale, "{}")
+    Files.setLastModifiedTime(lstale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 86400 * 1000))
     val deleted = lake.removeOrphans(olderThanMs = 3600L * 1000)
     assert(deleted.exists(_.endsWith(".v99.json.tmp-111")), deleted.mkString(","))
-    assert(!Files.exists(stale) && Files.exists(fresh),
+    assert(deleted.exists(_.endsWith(".epoch=7.tmp-333")), deleted.mkString(","))
+    assert(!Files.exists(stale) && !Files.exists(lstale) && Files.exists(fresh),
       "age cutoff keeps in-flight temps")
+    assert(Files.exists(ldir.resolve("epoch=-1.json")), "real lineage records untouched")
     assert(Files.exists(mdir.resolve("v000001.json")), "real manifests untouched")
     assert(lake.read(spark).count() == 10, "table unaffected")
     Files.delete(fresh): Unit
