@@ -463,8 +463,20 @@ object JobMain {
           CdcRunner.deleteRecursively(new java.io.File(lakeRoot))
           CdcRunner.deleteRecursively(new java.io.File(checkpointDir))
         }
-        val q = MultiTableRunner.start(spark, cfg, availableNow = !continuous)
-        q.awaitTermination()
+        val jobs = MultiTableRunner.ensureTables(spark, cfg)
+        // replication_type is honored like the single-table branch: the
+        // composite's full load commits for EVERY table before CDC starts
+        // (reference CompositeReplicationStrategy.py:8), and a pure
+        // full_load task never tails the feed
+        if (settings.replicationType.startsWith("full_load"))
+          opt("--snapshot").foreach { snap =>
+            MultiTableRunner.fullLoad(spark, jobs, spark.read.parquet(snap))
+          }
+        if (settings.replicationType != "full_load") {
+          val q = MultiTableRunner.startJobs(spark, cfg, jobs,
+            availableNow = !continuous)
+          q.awaitTermination()
+        }
       case _ =>
         // single-table: payload inferred from the feed files themselves.
         // Refuse a multi-table settings.json here — silently merging only

@@ -340,9 +340,21 @@ object EnvelopeSource {
     val colEntries = array(payloadCols.map { c =>
       val dt = events.schema(c).dataType
       val valueStr = dt match {
-        case ArrayType(_, _) =>
+        case ArrayType(et, _) =>
+          val elems = col(c).cast(ArrayType(StringType))
+          // string elements are PG-quoted (they may contain the separator,
+          // braces, quotes or backslashes — unquoted join silently corrupts
+          // ["a,b"] into two elements on parse); other element types render
+          // comma-free and join bare, like the reference's literals
+          val joined = et match {
+            case StringType => array_join(transform(elems, e => concat(
+              lit("\""),
+              replace(replace(e, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+              lit("\""))), ",")
+            case _ => array_join(elems, ",")
+          }
           when(col(c).isNull, lit(null).cast(StringType)).otherwise(concat(
-            lit("{"), array_join(col(c).cast(ArrayType(StringType)), ","), lit("}")))
+            lit("{"), joined, lit("}")))
         case _ => col(c).cast(StringType)
       }
       struct(lit(c).as("name"), lit(wireType(dt)).as("type"), valueStr.as("value"))

@@ -72,7 +72,9 @@ object JdbcEndpoint {
     case IntegerType    => "INTEGER"
     case LongType       => "BIGINT"
     case ShortType      => "SMALLINT"
-    case DoubleType     => "DOUBLE"
+    // "DOUBLE PRECISION", not "DOUBLE": PostgreSQL (the reference's target)
+    // has no bare DOUBLE type; Derby/H2 accept both spellings
+    case DoubleType     => "DOUBLE PRECISION"
     case FloatType      => "REAL"
     case BooleanType    => "BOOLEAN"
     case TimestampType  => "TIMESTAMP"
@@ -114,11 +116,31 @@ object JdbcEndpoint {
     try {
       // the DDL emits the table identifier unquoted, so the dialect folds it
       // (Derby/H2/Oracle: upper; Postgres: lower) — probe all three casings or
-      // a second call would see "not exists" and throw 'table already exists'
-      def found(name: String): Boolean = scala.util.Using.resource(
-        c.getMetaData.getTables(null, null, name, null))(_.next())
-      val exists = Seq(table, table.toUpperCase, table.toLowerCase)
-        .distinct.exists(found)
+      // a second call would see "not exists" and throw 'table already exists'.
+      // getTables takes PATTERNS: a schema-qualified "public.users" must split
+      // into (schemaPattern, tablePattern) — as a table pattern it matches
+      // nothing and every rerun re-issues CREATE TABLE — and LIKE wildcards
+      // in real names ('_' in my_data) must be escaped, or a different
+      // existing table (my1data) false-matches and creation is skipped
+      val md = c.getMetaData
+      val (schemaPart, namePart) = table.split("\\.", 2) match {
+        case Array(s, n) => (Option(s), n)
+        case _           => (None, table)
+      }
+      // the pattern narrows the listing; existence is decided by EXACT name
+      // equality on the result rows — drivers differ on escape handling, and
+      // trusting LIKE semantics lets '_' in a real name (MY_DATA) false-match
+      // a sibling (MY1DATA) and skip creation
+      def found(fold: String => String): Boolean = scala.util.Using.resource(
+        md.getTables(null, schemaPart.map(fold).orNull, fold(namePart), null)) { rs =>
+        var hit = false
+        while (!hit && rs.next())
+          hit = rs.getString("TABLE_NAME") == fold(namePart) &&
+            schemaPart.forall(s => fold(s) == rs.getString("TABLE_SCHEM"))
+        hit
+      }
+      val exists = Seq[String => String](identity, _.toUpperCase, _.toLowerCase)
+        .exists(found)
       if (!exists)
         scala.util.Using.resource(c.createStatement())(
           _.execute(createTableDdl(table, schema, keyCols, varcharLen)))

@@ -58,13 +58,24 @@ object WalParser {
     when(raw === "null" || raw.isNull, lit(null).cast(StringType)).otherwise(body)
   }
 
-  /** Cast a cleaned string to the payload type; PG array literal for arrays. */
+  /** Cast a cleaned string to the payload type; PG array literal for arrays.
+    * Elements may be PG-double-quoted (mandatory for strings containing the
+    * separator/braces/quotes; psycopg2 and [[graft.feed.EnvelopeSource
+    * .toMessages]] both emit that form) — a bare split(",") would silently
+    * change such an array's cardinality AND values. Quoted elements unescape
+    * `\"` and `\\` after the quotes strip. */
   private[feed] def castToken(s: Column, dt: DataType): Column = dt match {
-    case ArrayType(et, _) =>
+    case ArrayType(_, _) =>
       val inner = regexp_replace(s, "^\\{|\\}$", "")
+      val toks = regexp_extract_all(inner,
+        lit("\"(?:[^\"\\\\]|\\\\.)*\"|[^,]+"), lit(0))
+      val elems = transform(toks, t =>
+        when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
+          regexp_replace(t.substr(lit(2), length(t) - 2), "\\\\(.)", "$1"))
+          .otherwise(t))
       when(s.isNull, lit(null).cast(dt))
         .when(length(inner) === 0, array().cast(dt))
-        .otherwise(split(inner, ",").cast(ArrayType(StringType)).cast(dt))
+        .otherwise(elems.cast(dt))
     case _ => s.cast(dt)
   }
 
@@ -94,8 +105,12 @@ object WalParser {
     // committed transactions: xids that produced a COMMIT line
     val commits = raw.filter(col("data").startsWith("COMMIT"))
       .select(col("xid")).distinct()
+    // DML only: the `table ` prefix also matches non-DML slot lines (e.g.
+    // `table public.t: TRUNCATE: (no-flags)`), for which every LINE_RE group
+    // extracts as "" — the bare parse()/parseVersioned() would emit a phantom
+    // op="" row that the merge can only quarantine (or fail the batch on)
     val dml = raw
-      .filter(col("data").rlike("^table\\s"))
+      .filter(col("data").rlike("^table\\s+[^.]+\\.[^:]+:\\s+(INSERT|UPDATE|DELETE):"))
       .join(commits, Seq("xid"), "left_semi")
 
     val line = col("data")

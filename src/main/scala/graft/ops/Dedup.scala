@@ -163,6 +163,10 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, maxHamming: Int = 3, bits: Int = 32, bands: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"simhashNearDups: bands=$bands must divide bits=$bits — a silent " +
+        "truncation would exclude the top bits from banding and skew the " +
+        "(bands, rows) collision probability the caller asked for")
     val rows = bits / bands
     val mask = (1L << rows) - 1
     val sig = simhashSignatures(df, textCol, idCol, bits)

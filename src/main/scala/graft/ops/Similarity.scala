@@ -87,6 +87,10 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
       .map(normalize)
+    // before the Lloyd loop: an empty corpus would otherwise die inside the
+    // nearest-cells kernel with a bare unlabeled 'requirement failed'
+    require(cents.nonEmpty,
+      s"trainCentroids: corpus is empty — nothing to index (cells=$cells)")
     for (_ <- 0 until iters) {
       val dims = corpus
         .select(element_at(VectorOps.nearest_cells(col(vecCol), cents, 1), 1).as("cell"),
@@ -117,10 +121,15 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id",
       excludeSelf: Boolean = true): DataFrame = {
     val cents = trainCentroids(corpus, cells, iters, vecCol, idCol)
+    // a corpus smaller than `cells` trains fewer centroids than requested:
+    // clamp probes to what exists instead of dying on the kernel's bare
+    // `require(probes <= centroids)` (the empty case fails inside
+    // trainCentroids with the problem named)
+    val effProbes = math.min(probes, cents.length)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"),
       element_at(VectorOps.nearest_cells(col(vecCol), cents, 1), 1).as("cell"))
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
-      explode(VectorOps.nearest_cells(col(vecCol), cents, probes)).as("cell")))
+      explode(VectorOps.nearest_cells(col(vecCol), cents, effProbes)).as("cell")))
     val scored = c.join(q, Seq("cell")).filter(notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))

@@ -73,13 +73,18 @@ object FilterCompiler {
   /** Compile one filter rule to a Catalyst predicate. */
   def compile(f: FilterCfg, schema: StructType): Column = {
     val c = col(f.columnName)
-    def v = lit(f.value.getOrElse(
-      throw new IllegalArgumentException(s"filter ${f.filterType}: missing value")))
-    def lo = lit(f.lower.getOrElse(
-      throw new IllegalArgumentException(s"filter ${f.filterType}: missing lower")))
-    def hi = lit(f.upper.getOrElse(
-      throw new IllegalArgumentException(s"filter ${f.filterType}: missing upper")))
-    def dv = dateLit(f.value.get, requireDateCol(f, schema))
+    // every missing-operand path fails with the filter named — a bare
+    // None.get gives the operator no hint which settings.json rule is broken
+    def rawV = f.value.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.filterType}: missing value"))
+    def rawLo = f.lower.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.filterType}: missing lower"))
+    def rawHi = f.upper.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.filterType}: missing upper"))
+    def v = lit(rawV)
+    def lo = lit(rawLo)
+    def hi = lit(rawHi)
+    def dv = dateLit(rawV, requireDateCol(f, schema))
 
     f.filterType match {
       case "equals"                      => c === v
@@ -92,12 +97,12 @@ object FilterCompiler {
       case "not_in"                      => !c.isin(f.values: _*)
       case "is_null"                     => c.isNull
       case "is_not_null"                 => c.isNotNull
-      case "starts_with"                 => c.startsWith(f.value.get.toString)
-      case "ends_with"                   => c.endsWith(f.value.get.toString)
+      case "starts_with"                 => c.startsWith(rawV.toString)
+      case "ends_with"                   => c.endsWith(rawV.toString)
       // literal substring match — the reference's Polars str.contains is regex by
       // accident (Filter.py:388-422); we match the documented intent (SURVEY §2.2).
-      case "contains"                    => c.contains(f.value.get.toString)
-      case "not_contains"                => !c.contains(f.value.get.toString)
+      case "contains"                    => c.contains(rawV.toString)
+      case "not_contains"                => !c.contains(rawV.toString)
       case "between"                     => c.between(lo, hi)
       case "not_between"                 => !c.between(lo, hi)
       case "date_equals"                 => c === dv
@@ -108,10 +113,10 @@ object FilterCompiler {
       case "date_less_than_or_equal"     => c <= dv
       case "date_between" =>
         val dt = requireDateCol(f, schema)
-        c.between(dateLit(f.lower.get, dt), dateLit(f.upper.get, dt))
+        c.between(dateLit(rawLo, dt), dateLit(rawHi, dt))
       case "date_not_between" =>
         val dt = requireDateCol(f, schema)
-        !c.between(dateLit(f.lower.get, dt), dateLit(f.upper.get, dt))
+        !c.between(dateLit(rawLo, dt), dateLit(rawHi, dt))
       case other =>
         throw new IllegalArgumentException(s"unknown filter_type: $other")
     }

@@ -101,19 +101,35 @@ object TransformCompiler {
     val map = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
       'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS")
     val out = new StringBuilder
+    // literal runs must be QUOTED when they contain letters: an unquoted
+    // alphabetic literal (the ISO 'T' in %Y-%m-%dT%H:%M:%S, the 'days' in
+    // '%d days') is read as a pattern letter downstream — either an opaque
+    // 'Unknown pattern letter: T' crash on the first batch or a silently
+    // wrong format. Single quotes escape as '' per the pattern grammar.
+    val litBuf = new StringBuilder
+    def flushLit(): Unit = if (litBuf.nonEmpty) {
+      val s = litBuf.toString
+      if (s.exists(_.isLetter)) out ++= "'" + s.replace("'", "''") + "'"
+      else out ++= s.replace("'", "''")
+      litBuf.clear(): Unit
+    }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%') {
         require(i + 1 < fmt.length, s"format_date: dangling '%' in '$fmt'")
         val d = fmt.charAt(i + 1)
-        if (d == '%') out += '%'
-        else out ++= map.getOrElse(d, throw new IllegalArgumentException(
-          s"format_date: unsupported strftime directive '%$d' in '$fmt' " +
-            s"(supported: ${map.keys.toSeq.sorted.map("%" + _).mkString(" ")} %%)"))
+        if (d == '%') litBuf += '%'
+        else {
+          flushLit()
+          out ++= map.getOrElse(d, throw new IllegalArgumentException(
+            s"format_date: unsupported strftime directive '%$d' in '$fmt' " +
+              s"(supported: ${map.keys.toSeq.sorted.map("%" + _).mkString(" ")} %%)"))
+        }
         i += 2
-      } else { out += c; i += 1 }
+      } else { litBuf += c; i += 1 }
     }
+    flushLit()
     out.toString
   }
 

@@ -114,22 +114,25 @@ object CdcRunner {
     * without them, a renaming/creating transform would leave the written
     * columns named differently from the table schema and every such value
     * (including a renamed merge key) would read back NULL. */
-  def fullLoad(spark: SparkSession, lake: LakeTable, snapshot0: DataFrame, cfg: RunnerConfig): Unit = {
+  def fullLoad(spark: SparkSession, lake: LakeTable, snapshot0: DataFrame, cfg: RunnerConfig): Unit =
+    fullLoad(spark, lake, snapshot0, cfg.job)
+
+  def fullLoad(spark: SparkSession, lake: LakeTable, snapshot0: DataFrame, job: JobConfig): Unit = {
     val epoch = -1L
     if (lake.isCommitted(epoch)) return
     val m = lake.manifest
     import graft.rules.{FilterCompiler, TableSpec, TransformCompiler}
     val filtered =
-      if (cfg.job.filters.isEmpty) snapshot0
-      else snapshot0.filter(FilterCompiler.compileAll(cfg.job.filters, snapshot0.schema))
-    val compiled = TransformCompiler.compile(cfg.job.transforms,
-      TableSpec("lake", "t", cfg.job.keyCols), filtered.schema,
+      if (job.filters.isEmpty) snapshot0
+      else snapshot0.filter(FilterCompiler.compileAll(job.filters, snapshot0.schema))
+    val compiled = TransformCompiler.compile(job.transforms,
+      TableSpec("lake", "t", job.keyCols), filtered.schema,
       MergeApply.batchTimestamp(epoch))
     val snapshot = compiled.apply(filtered)
     val keys = compiled.outSpec.keyCols
-    val withBucket = (cfg.job.mode match {
+    val withBucket = (job.mode match {
       case CdcMode.Scd2 =>
-        val scd = cfg.job.scdCols
+        val scd = job.scdCols
         snapshot
           .withColumn(scd.startDate, MergeApply.batchTimestamp(epoch).cast("timestamp"))
           .withColumn(scd.endDate, lit(null).cast("timestamp"))
@@ -404,7 +407,7 @@ object CdcRunner {
             EnvelopeSource.parseVersionedForTable(raw, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(dropKeylessDeletes(events, runCfg.job.keyCols), epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
@@ -466,7 +469,7 @@ object CdcRunner {
             EnvelopeSource.parseVersionedForTable(value, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else EnvelopeSource.parseForTable(value, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(dropKeylessDeletes(events, runCfg.job.keyCols), epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
@@ -510,17 +513,23 @@ object CdcRunner {
             WalParser.parseVersionedForTable(raw, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
-        val events = parsed
-          // the reference drops DELETEs that carry no key at all
-          // ((no-tuple-data), CDCManager.py:305-307) — nothing to merge on;
-          // key names are post-registry-rename (the parse emits latest names)
-          .filter(runCfg.job.keyCols.map(col(_).isNotNull).reduce(_ && _) ||
-            col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
+        val events = dropKeylessDeletes(parsed, runCfg.job.keyCols)
         processBatch(spark, lake, runCfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
   }
+
+  /** The reference drops DELETEs that carry no key at all ((no-tuple-data),
+    * CDCManager.py:305-307) — nothing to merge on. Shared by ALL wire-format
+    * starters (wal/envelope/kafka): the envelope producer builds its
+    * operations from the same WAL events, so a key-less tombstone arrives on
+    * every wire; letting it reach the merge would commit a phantom null-key
+    * row into the lake (and its change feed). Key names are
+    * post-registry-rename — the wire parses emit latest names. */
+  private def dropKeylessDeletes(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) ||
+      col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // listFiles is null for a dir deleted concurrently (or an I/O error)

@@ -151,8 +151,40 @@ object MultiTableRunner {
     finally if (cache) { batch.unpersist(); () }
   }
 
+  /** Route a multi-table SNAPSHOT (rows carry schema_name/table_name plus the
+    * union payload, like the feed minus the envelope) into each table's
+    * full-load epoch — the composite's load half (the reference's
+    * CompositeReplicationStrategy.py:8 ordering: every table's snapshot
+    * commits before the CDC tail starts). Priority classes load in order,
+    * tables within a class in parallel; idempotent per table (a committed
+    * full-load epoch is skipped), so a crash mid-way resumes where it died. */
+  def fullLoad(spark: SparkSession, jobs: Seq[TableJob], snapshot: DataFrame): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    def loadOne(tj: TableJob): Unit = {
+      val sub = snapshot
+        .filter(col(SCHEMA_COL) === tj.rules.schemaName &&
+          col(TABLE_COL) === tj.rules.tableName)
+        .select(tj.payload.schema.fieldNames.map(col).toSeq: _*)
+      CdcRunner.fullLoad(spark, tj.lake, sub, tj.job)
+    }
+    val cache = jobs.size > 1
+    if (cache) snapshot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      jobs.groupBy(_.rules.priority).toSeq.sortBy(_._1).foreach { case (_, group) =>
+        if (group.size == 1) loadOne(group.head)
+        else group.par.foreach(loadOne)
+      }
+    finally if (cache) { snapshot.unpersist(); () }
+  }
+
   def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery =
     startWithJobs(spark, cfg, ensureTables(spark, cfg), availableNow)
+
+  /** Start the stream over jobs the caller already built (so a composite
+    * full load can commit against the same TableJob set first). */
+  def startJobs(spark: SparkSession, cfg: Config, jobs: Seq[TableJob],
+      availableNow: Boolean): StreamingQuery =
+    startWithJobs(spark, cfg, jobs, availableNow)
 
   /** `intervalSeconds` defaults to the settings' interval_seconds — the
     * reference's producer cadence becomes the ProcessingTime trigger. */

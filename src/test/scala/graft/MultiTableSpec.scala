@@ -197,6 +197,55 @@ class MultiTableSpec extends SparkSpec {
     assert(new java.io.File(s"$root/lake/hr.employee_f/manifests").exists())
   }
 
+  test("composite full load routes a multi-table snapshot per table (rules " +
+    "applied, priority order, idempotent) before CDC starts") {
+    val root = tmpDir("graft-multi-fl")
+    val settings = TaskSettings.parse(settingsJson)
+    val payloads = Map(
+      "hr.employee" -> TablePayload(StructType(Seq(
+        StructField("emp_id", StringType), StructField("name", StringType),
+        StructField("gender", StringType))), Seq("emp_id")),
+      "hr.department" -> TablePayload(StructType(Seq(
+        StructField("dept_id", StringType), StructField("dept_name", StringType))),
+        Seq("dept_id")))
+    val cfg = Config(
+      feedDir = s"$root/feed", lakeRoot = s"$root/lake",
+      checkpointDir = s"$root/cp", settings = settings, payloads = payloads,
+      buckets = 4)
+    val jobs = MultiTableRunner.ensureTables(spark, cfg)
+
+    // snapshot rows: routing cols + union payload (no envelope — a snapshot
+    // is table state, not change events)
+    val snapSchema = StructType(
+      Seq(StructField("schema_name", StringType), StructField("table_name", StringType)) ++
+        payloads("hr.employee").schema.fields ++ payloads("hr.department").schema.fields)
+    def empS(id: String, name: String, g: String) =
+      Row("hr", "employee", id, name, g, null, null)
+    def deptS(id: String, dn: String) =
+      Row("hr", "department", null, null, null, id, dn)
+    val snap = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(empS("e1", "ada", "F"), empS("e2", "bob", "M"), deptS("d1", "research")), 2),
+      snapSchema)
+
+    MultiTableRunner.fullLoad(spark, jobs, snap)
+    assert(jobs.forall(_.lake.isCommitted(-1L)), "every table's load committed")
+    // employee: the gender=F filter and the uppercase/stamp transforms ran
+    val emp = jobs.head.lake.read(spark)
+      .select("emp_id", "name", "updated_by").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(emp == Map("e1" -> (("ADA", "SPARK"))), emp.toString)
+    val dept = jobs(1).lake.read(spark)
+      .select("dept_id", "dept_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dept == Map("d1" -> "research"))
+
+    // idempotent: a crash-retry re-load commits nothing twice
+    MultiTableRunner.fullLoad(spark, jobs, snap)
+    assert(jobs.head.lake.read(spark).count() == 1)
+    assert(jobs(1).lake.read(spark).count() == 1)
+  }
+
   test("auto-rescale policy fires on the multi-table path (same contract as " +
     "the single-table runner)") {
     val root = tmpDir("graft-multi-rescale")

@@ -1,5 +1,6 @@
 package graft.feed
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,6 +46,33 @@ class EnvelopeSpec extends SparkSpec {
       .select("doc_id", "op", "tokens", "n_tok", "source").collect().map(_.toString)
     assert(pairs.sameElements(want), "ops replay in arrival order with typed values")
     assert(parsed.select("txn_id").distinct().count() == 1)
+  }
+
+  test("string-array payloads round-trip: elements with commas, quotes and " +
+    "backslashes survive the envelope wire (PG-quoted literal form)") {
+    val schema = StructType(Seq(
+      StructField("lsn", LongType), StructField("txn_id", LongType),
+      StructField("ts", TimestampType), StructField("op", StringType),
+      StructField("schema_ver", IntegerType),
+      StructField("doc_id", StringType),
+      StructField("tags", ArrayType(StringType))))
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val rows = Seq(
+      Row(1L, 1L, ts0, "INSERT", 1, "d-1", Seq("a,b", "plain", "q\"x", "b\\s")),
+      Row(2L, 1L, ts0, "INSERT", 1, "d-2", Seq.empty[String]),
+      Row(3L, 1L, ts0, "INSERT", 1, "d-3", null))
+    val events = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val messages = EnvelopeSource.toMessages(events, "corpus", "t", batchSize = 10)
+    val pl = StructType(Seq(
+      StructField("doc_id", StringType), StructField("tags", ArrayType(StringType))))
+    val back = EnvelopeSource.parseForTable(messages, pl, "corpus", "t")
+      .orderBy("lsn").select("doc_id", "tags").collect()
+    assert(back(0).getAs[scala.collection.Seq[String]]("tags") ==
+      Seq("a,b", "plain", "q\"x", "b\\s"),
+      s"unquoted join would split 'a,b': ${back(0)}")
+    assert(back(1).getAs[scala.collection.Seq[String]]("tags") == Seq.empty[String])
+    assert(back(2).isNullAt(1), "null array stays null")
   }
 
   test("kafka-shaped frame (binary value + broker metadata) shares the parse") {
@@ -124,6 +152,36 @@ class EnvelopeSpec extends SparkSpec {
         else m + (id -> s"[$id,${r.getAs[Int]("n_tok")},${r.getAs[String]("source")}]")
       }.values.toArray.sorted
     assert(state.sameElements(expected))
+  }
+
+  test("a key-less DELETE on the envelope wire is dropped like the WAL path's " +
+    "(no-tuple-data) — no phantom null-key tombstone reaches the lake") {
+    val root = tmpDir("graft-env-nullkey")
+    val schema = StructType(Seq(
+      StructField("lsn", LongType), StructField("txn_id", LongType),
+      StructField("ts", TimestampType), StructField("op", StringType),
+      StructField("schema_ver", IntegerType),
+      StructField("doc_id", StringType),
+      StructField("n_tok", IntegerType), StructField("source", StringType)))
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val events = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 1L, ts0, "INSERT", 1, "d-1", 3, "web"),
+      // the reference's (no-tuple-data) DELETE arrives on the bus as an
+      // operation with no key columns at all
+      Row(2L, 1L, ts0, "DELETE", 1, null, null, null)), 1), schema)
+    EnvelopeSource.toMessages(events, "corpus", "documents", batchSize = 10)
+      .coalesce(1).write.text(s"$root/bus")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/bus", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      payloadSchema = payload)
+    CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    assert(lake.read(spark).select("doc_id").collect().map(_.getString(0)).toSeq
+      == Seq("d-1"))
+    assert(lake.readState(spark, lake.currentVersion)
+      .filter(col("doc_id").isNull).count() == 0,
+      "no null-key tombstone in the engine state")
   }
 
   test("producer page manifests: deliveryGap 0 on a clean run, positive after " +

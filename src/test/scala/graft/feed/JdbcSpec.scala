@@ -107,6 +107,33 @@ class JdbcSpec extends SparkSpec {
     assert(!JdbcEndpoint.ensureTable(conn, "KEYED_T", df.schema, Seq("doc_id")))
   }
 
+  test("ensureTable: schema-qualified targets and LIKE-wildcard names probe " +
+    "exactly; doubles land as DOUBLE PRECISION") {
+    val df = spark.range(3).select(
+      concat(lit("q-"), col("id").cast(StringType)).as("doc_id"),
+      (col("id") * 1.5).as("score"))
+    // schema-qualified: before the (schemaPattern, tablePattern) split the
+    // whole "app.qualified_t" string was passed as the table-NAME pattern,
+    // matched nothing, and every rerun re-issued CREATE TABLE
+    assert(JdbcEndpoint.ensureTable(conn, "app.qualified_t", df.schema, Seq("doc_id")))
+    assert(!JdbcEndpoint.ensureTable(conn, "app.qualified_t", df.schema, Seq("doc_id")),
+      "rerun must find the table through the split schema/name probe")
+    // '_' is a LIKE wildcard in getTables: a sibling MY1DATA must not
+    // false-match MY_DATA's probe and skip its creation
+    JdbcEndpoint.fullLoadTo(df, conn, "MY1DATA", Seq("doc_id"))
+    assert(JdbcEndpoint.ensureTable(conn, "MY_DATA", df.schema, Seq("doc_id")),
+      "MY_DATA must be created even though MY1DATA matches the unescaped pattern")
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.props)
+    try {
+      // DOUBLE PRECISION, not bare DOUBLE — PostgreSQL (the reference's
+      // target) rejects the latter; Derby accepts both spellings
+      val cols = c.getMetaData.getColumns(null, null, "MY_DATA", "score")
+      assert(cols.next() &&
+        cols.getString("TYPE_NAME").toUpperCase.startsWith("DOUBLE"))
+      cols.close()
+    } finally c.close()
+  }
+
   test("per-row apply exceptions: PK collisions are captured with messages, " +
     "good rows land (reference apply_exceptions)") {
     val good = spark.range(30).select(

@@ -69,6 +69,36 @@ class WalParserSpec extends SparkSpec {
     assert(del.isNullAt(del.fieldIndex("tokens")))
   }
 
+  test("committed non-DML table lines (TRUNCATE) emit nothing from the bare " +
+    "parse — no phantom op=\"\" rows") {
+    val lines = raw(
+      (1L, 10L, "BEGIN 10"),
+      (2L, 10L, "table corpus.documents: TRUNCATE: (no-flags)"),
+      (3L, 10L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "n_tok[integer]:1"),
+      (4L, 10L, "COMMIT 10"))
+    val all = WalParser.parse(lines, payload).collect()
+    assert(all.length == 1 && all.head.getAs[String]("op") == "INSERT",
+      s"TRUNCATE must be dropped, got: ${all.toSeq}")
+  }
+
+  test("quoted PG array elements round-trip: commas, quotes and backslashes " +
+    "inside string elements survive the wire") {
+    val pl = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("tags", ArrayType(StringType))))
+    val lines = raw(
+      (1L, 10L, "BEGIN 10"),
+      // psycopg2-shaped literal: quoted elements with escaped quote/backslash
+      (2L, 10L, """table corpus.t: INSERT: doc_id[character varying]:'d-1' """ +
+        """tags[character varying[]]:'{"a,b",plain,"q\"x","b\\s"}'"""),
+      (3L, 10L, "COMMIT 10"))
+    val r = WalParser.parseForTable(lines, pl, "corpus", "t").collect().head
+    assert(r.getAs[scala.collection.Seq[String]]("tags") ==
+      Seq("a,b", "plain", "q\"x", "b\\s"),
+      s"got: ${r.getAs[scala.collection.Seq[String]]("tags")}")
+  }
+
   test("end-to-end: raw WAL line feed → streaming parse → upsert merge") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}

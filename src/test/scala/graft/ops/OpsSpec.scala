@@ -89,6 +89,14 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j((1L, 2L)) - expected) < 1e-12)
   }
 
+  test("simhash banding requires bands | bits (silent truncation would skew " +
+    "the collision probability)") {
+    val df = spark.range(1).selectExpr("'x' as text", "id as doc_id")
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(df, bits = 32, bands = 5))
+    assert(e.getMessage.contains("divide"), e.getMessage)
+  }
+
   test("simhash: identical text → identical sig; near-dup within hamming bound") {
     val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -177,6 +185,21 @@ class SimilaritySpec extends SparkSpec {
       finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
     assert(cellsOf("CODEGEN_ONLY") == cellsOf("NO_CODEGEN"))
+  }
+
+  test("IVF on a tiny corpus: probes clamp to the trained centroids; empty " +
+    "corpus fails with the problem named") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val one = emb.filter(col("vec_id") === 0)
+    // 1-row corpus trains 1 centroid < probes=2 — must clamp, not die on the
+    // kernel's bare require
+    val r = Similarity.ivfTopK(one, one, k = 1, cells = 16, probes = 2,
+      excludeSelf = false).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("c_id") == 0L)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(one, one.filter(col("vec_id") < 0), k = 1))
+    assert(e.getMessage.contains("empty"), e.getMessage)
   }
 
   test("trainCentroids accepts any numeric array element type (not just float)") {

@@ -146,13 +146,25 @@ class TransformCompilerSpec extends SparkSpec {
     assert(r.getAs[Long]("age_r") == 4L)
   }
 
-  test("strftime translation: %% escapes, unmapped directives fail at compile") {
+  test("strftime translation: %% escapes, literal runs quoted, unmapped " +
+    "directives fail at compile") {
     assert(TransformCompiler.strftimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
-    assert(TransformCompiler.strftimeToJava("%%Y") == "%Y",
-      "%% escapes before %Y could mangle it")
+    // alphabetic literals MUST be quoted: unquoted they are pattern letters —
+    // the ISO 'T' crashes ('Unknown pattern letter'), 'days' silently misparses
+    assert(TransformCompiler.strftimeToJava("%Y-%m-%dT%H:%M:%S") ==
+      "yyyy-MM-dd'T'HH:mm:ss")
+    assert(TransformCompiler.strftimeToJava("%d days") == "dd' days'")
+    assert(TransformCompiler.strftimeToJava("%%Y") == "'%Y'",
+      "%% escapes before %Y could mangle it; the Y literal needs quoting")
     val e = intercept[IllegalArgumentException](TransformCompiler.strftimeToJava("%d-%b-%Y"))
     assert(e.getMessage.contains("%b"), "unmapped directive named in the error")
     intercept[IllegalArgumentException](TransformCompiler.strftimeToJava("trailing %"))
+  }
+
+  test("format_date with an ISO 'T' literal formats instead of crashing") {
+    val (out, _) = run(Seq(
+      ModifyColumn("t0", "format_date", format = Some("%Y-%m-%dT%H:%M:%S"), priority = 0)))
+    assert(out.head().getAs[String]("t0") == "2020-03-04T05:06:07")
   }
 
   test("modify uppercase / lowercase / trim / extracts / format_date / math") {
