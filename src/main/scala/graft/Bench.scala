@@ -56,7 +56,11 @@ object Bench {
       walk.iterator().forEachRemaining { p =>
         val t = dst.resolve(src.relativize(p))
         if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t): Unit
+        // REPLACE_EXISTING: a file rm() could not delete (transient handle)
+        // would otherwise surface later as an unrelated
+        // FileAlreadyExistsException pointing at the copy, not the delete
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       }
     }
   }
@@ -103,6 +107,13 @@ object Bench {
       spark: SparkSession, feedDir: String, tmpl: SeedTemplate,
       merge: MergeStrategy = MergeStrategy.CopyOnWrite): (Double, Double) = {
     tmpl.restore()
+    // like the template root in restore(): freshen the feed workspace's
+    // mtime per run, or a >3h bench (noisy window, raised PAIRS/EVENTS)
+    // has its LIVE feed classified stale by a second bench's sweep — the
+    // feed root's mtime is otherwise only set once, at the initial write
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(feedDir).getParent,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     val cpRoot = benchTmp("graft-bench-run")
     val cfg = RunnerConfig(
       feedDir = feedDir, tableDir = tmpl.tableDir, checkpointDir = s"$cpRoot/cp",
@@ -123,7 +134,11 @@ object Bench {
   }
 
   private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    // listFiles() is null when the dir vanished (a concurrent bench's stale
+    // sweep) or is unreadable — crashing the whole run on cleanup is worse
+    // than leaving the litter for the next sweep
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(): Unit
   }
 
   def main(args: Array[String]): Unit = {

@@ -139,17 +139,18 @@ object GraftExtensions {
     }
   }
 
+  // usage threads into the catalog so DESCRIBE FUNCTION answers (every usage
+  // string follows the _FUNC_(args) - description contract the constructor's
+  // replaceFunctionName expects)
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
-    // 3-arg ExpressionInfo: the richer constructors assert a _FUNC_ usage/example
-    // format contract that isn't worth inheriting here; `usage` stays as doc
-    val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
     (FunctionIdentifier(name), info, builder)
   }
 
   private def tvf(name: String, usage: String)(builder: Seq[Expression] => LogicalPlan)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = {
-    val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    val info = new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
     (FunctionIdentifier(name), info, builder)
   }
 

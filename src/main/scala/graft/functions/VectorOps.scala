@@ -179,7 +179,12 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
   /** Selection of the top-`probes` cells by score, best-first. Seeded with the
     * first unused cell so an all-NaN score vector (a NaN embedding element
     * poisons every dot product) still yields a valid — if arbitrary — probe
-    * list instead of indexing with -1. */
+    * list instead of indexing with -1. A PARTIALLY-NaN vector (one poisoned
+    * centroid, e.g. a NaN corpus embedding averaged into a cell) must not
+    * hijack selection: once a NaN seeds bestScore, `x > NaN` is false for
+    * every real score, so without the explicit displace-NaN clause the
+    * lowest-indexed NaN cell would win every probe and IVF recall would
+    * silently collapse. */
   private def topCells(scores: Array[Double]): Array[Int] = {
     val out = new Array[Int](probes)
     val used = new Array[Boolean](scores.length)
@@ -189,7 +194,8 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
       var bestScore = 0.0
       var c = 0
       while (c < scores.length) {
-        if (!used(c) && (best < 0 || scores(c) > bestScore)) {
+        if (!used(c) && (best < 0 || scores(c) > bestScore ||
+          (bestScore.isNaN && !scores(c).isNaN))) {
           best = c; bestScore = scores(c)
         }
         c += 1
@@ -244,7 +250,8 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
          |for (int $p = 0; $p < $probes; $p++) {
          |  int $best = -1; double $bs = 0.0;
          |  for (int $c = 0; $c < $mat.length; $c++) {
-         |    if (!$used[$c] && ($best < 0 || $scores[$c] > $bs)) {
+         |    if (!$used[$c] && ($best < 0 || $scores[$c] > $bs ||
+         |        (Double.isNaN($bs) && !Double.isNaN($scores[$c])))) {
          |      $best = $c; $bs = $scores[$c];
          |    }
          |  }

@@ -105,8 +105,11 @@ object Multimodal {
   /**
    * Batched decode / feature extraction — mapPartitions so any per-partition
    * init (native handles, scratch buffers) happens once per task, not per row.
-   * Input is size-bucketed and repartitioned first so decode work is balanced
-   * across tasks (big videos don't pile onto one executor).
+   * Input is hash-repartitioned on media_id first: uniform row spread, which
+   * balances decode work in EXPECTATION. That is count-balance, not
+   * byte-balance — a corpus dominated by a few giant videos should raise
+   * `partitions` toward one-row tasks (per-row weighted packing would need a
+   * global size sort that costs more than it saves at this stage's scale).
    */
   def decodeFeatures(media: DataFrame, frameCount: Int = 8, partitions: Int = 0,
       codec: MediaCodec = StubCodec): DataFrame = {
@@ -115,12 +118,10 @@ object Multimodal {
     val sized = media.select(
       col("media_id"), col("kind"), col("bytes"),
       col("meta.width").as("width"), col("meta.height").as("height"),
-      col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec"),
-      // size bucket spreads heavy payloads across the shuffle
-      pmod(xxhash64(col("media_id")), lit(1024)).as("_szb"))
+      col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec"))
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    val balanced = sized.repartition(n, col("_szb")).drop("_szb")
+    val balanced = sized.repartition(n, col("media_id"))
     balanced.as[MediaRow]
       .mapPartitions { it =>
         // per-task init would go here (decoder handle, reusable buffers)

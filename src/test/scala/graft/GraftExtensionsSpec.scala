@@ -53,6 +53,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](1) == Seq(0, 1)) // b=(-1,0,4): z-dot 4 > x-dot 1
   }
 
+  test("DESCRIBE FUNCTION surfaces the registered usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION vec_dot")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("dot product"), s"usage must reach the catalog:\n$desc")
+  }
+
   test("rolling_hash SQL == Column API, optional prime/mod") {
     val df = Seq("graft", "spark").toDF("t")
     df.createOrReplaceTempView("ext_txt")

@@ -187,6 +187,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cellsOf("CODEGEN_ONLY") == cellsOf("NO_CODEGEN"))
   }
 
+  test("nearest_cells: a poisoned (NaN) centroid cannot hijack probe " +
+    "selection — real cells win on both eval paths") {
+    import spark.implicits._
+    // centroid 0 is NaN-poisoned (e.g. a NaN corpus embedding averaged into
+    // its cell); centroid 1 points along +z, centroid 2 along -z. Once NaN
+    // seeds bestScore, `x > NaN` is false forever without the displace clause
+    val cents = Array(
+      Array(Double.NaN, 0.0, 0.0), Array(0.0, 0.0, 1.0), Array(0.0, 0.0, -1.0))
+    val df = Seq((1L, Seq(0.1f, 0.2f, 0.9f))).toDF("vec_id", "embedding")
+    val expr = graft.functions.VectorOps.nearest_cells(col("embedding"), cents, 2)
+    def cellsOf(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(expr.as("cells")).head().getAs[scala.collection.Seq[Int]](0).toList
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // +z wins probe 1, -z probe 2; the NaN cell is never picked over real ones
+    assert(cellsOf("NO_CODEGEN") == List(1, 2), cellsOf("NO_CODEGEN").toString)
+    assert(cellsOf("CODEGEN_ONLY") == List(1, 2))
+  }
+
   test("IVF on a tiny corpus: probes clamp to the trained centroids; empty " +
     "corpus fails with the problem named") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
