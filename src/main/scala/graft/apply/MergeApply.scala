@@ -129,12 +129,25 @@ object MergeApply {
     // the tokens/n_tok consistency check only applies to payloads that carry them;
     // branch in Scala — a Column disjunct would still analyze col("tokens")
     val hasTokens = batch.columns.contains("tokens") && batch.columns.contains("n_tok")
+    // every disjunct/conjunct below must be DETERMINATE (never NULL): a
+    // three-valued invariant silently VANISHES rows — filter(NULL) drops them
+    // from `good`, filter(NOT NULL) drops them from `bad`, and the when-sum
+    // counts them 0 — neither applied nor quarantined nor failing the batch
+    // under quarantine=false. Hence the explicit isNotNull guards: a null op
+    // and a null n_tok beside non-null tokens are exactly the malformed-feed
+    // rows this split exists to catch.
     val payloadOk =
       if (!hasTokens) lit(true)
       else opCol === ChangeEvent.DELETE ||
-        (col("tokens").isNotNull && col("n_tok") === size(col("tokens")))
-    val opOk = opCol.isin(ChangeEvent.OPS.toSeq: _*)
-    val invariantOk = opOk && payloadOk
+        (col("tokens").isNotNull && col("n_tok").isNotNull &&
+          col("n_tok") === size(col("tokens")))
+    val opOk = opCol.isNotNull && opCol.isin(ChangeEvent.OPS.toSeq: _*)
+    // a NULL merge key can never equi-match: the CoW full-outer join would
+    // insert a fresh null-key row EVERY epoch (unbounded, undeletable —
+    // tombstones don't match either) while the MoR fold's sameKey dedupes
+    // them — divergent results per storage strategy. Quarantine instead.
+    val keyOk = cfg.keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val invariantOk = opOk && keyOk && payloadOk
     // Bad-row detection piggybacks on the first scan via observe(): no extra
     // pass over the batch when the feed is clean (the common case). Only when
     // the observed count is non-zero does the quarantine path re-scan.
@@ -186,6 +199,8 @@ object MergeApply {
         // the operator can tell which was which and fix selectively
         val reason = when(!opOk,
             concat(lit("unknown_op: "), coalesce(opCol, lit("null"))))
+          .when(!keyOk, lit("null_merge_key: " +
+            s"key column(s) ${cfg.keyCols.mkString(",")} must be non-null"))
           .otherwise(lit("payload_invariant: tokens null or n_tok != size(tokens)"))
         bad.withColumn(QUARANTINE_REASON, reason)
           .write.mode("overwrite").parquet(lake.quarantineDir(epoch))
@@ -492,9 +507,9 @@ object MergeApply {
         // batch included) — marker only, no per-window sidecar write job
         if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
           lake.enableChangeFeed()
-        lake.commit(epoch, Nil, Set.empty,
-          Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-            "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics)
+        // commit the SAME map the BatchResult reports (applied_* are all 0
+        // here) — a smaller committed map had drifted from the returned one
+        lake.commit(epoch, Nil, Set.empty, metrics)
         return BatchResult(epoch, skipped = false, metrics)
       }
 

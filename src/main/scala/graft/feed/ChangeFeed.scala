@@ -35,6 +35,12 @@ object ChangeFeed {
       schemaVer: Int = 1,
       maxTok: Int = 64)
 
+  // 9-digit pad is part of the fixture contract (every DuckDB oracle derives
+  // the same ids); Spark's lpad TRUNCATES beyond the pad width, so indices
+  // past 999,999,999 would silently alias onto lower ids — duplicate keys in
+  // a seed snapshot, distinct docs merging. Guarded loudly in events()/
+  // seedSnapshot() instead of widening the pad (which would break the oracles).
+  private[feed] val MaxDocs = 1000000000L
   private def docId(idx: Column): Column =
     concat(lit("doc-"), lpad(idx.cast(StringType), 9, "0"))
 
@@ -54,6 +60,9 @@ object ChangeFeed {
   /** Initial snapshot (the reference's full load, FullLoadHandler.py:87-125):
     * docs 0..nDocs-1 at version 0. */
   def seedSnapshot(spark: SparkSession, nDocs: Long, seed: Long = 42L, maxTok: Int = 64): DataFrame = {
+    require(nDocs <= MaxDocs,
+      s"nDocs=$nDocs exceeds the $MaxDocs doc-id space (9-digit pad — wider " +
+        "ids silently truncate, seeding DUPLICATE keys into the full load)")
     val doc = docId(col("id"))
     val (tokens, nTok, source) = payload(doc, lit(0L), seed, maxTok)
     spark.range(nDocs).select(
@@ -65,6 +74,15 @@ object ChangeFeed {
 
   /** LSN-ordered event stream with configurable op mix / skew / error injection. */
   def events(spark: SparkSession, spec: FeedSpec): DataFrame = {
+    require(spec.nDocs <= MaxDocs,
+      s"nDocs=${spec.nDocs} exceeds the ${MaxDocs} doc-id space (9-digit pad " +
+        "— wider ids silently truncate and alias)")
+    require(spec.insertPct >= 0 && spec.updatePct >= 0 &&
+      spec.insertPct + spec.updatePct <= 100 &&
+      spec.badPct >= 0 && spec.badPct <= 100,
+      s"FeedSpec percentages out of range: insert=${spec.insertPct} " +
+        s"update=${spec.updatePct} bad=${spec.badPct} — an over-100 op mix " +
+        "silently emits zero DELETEs")
     val lsn = (col("id") + spec.startLsn).as(ChangeEvent.LSN)
     val lsnC = col(ChangeEvent.LSN)
     val h = (salt: Long) => xxhash64(lsnC, lit(spec.seed + salt))
@@ -128,15 +146,18 @@ object ChangeFeed {
       .sortBy(_.getName)
     staged.zipWithIndex.foreach { case (f, i) =>
       val dest = new java.io.File(dirF, f"feed-${startSeq + i}%08d.parquet")
-      java.nio.file.Files.move(f.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       // the mtime ENCODES arrival order (Spark's file source orders pending
       // files by modification time under maxFilesPerTrigger) — a filesystem
       // that silently refuses setLastModified would mis-order SCD2 history
-      // chaining with no error anywhere, so fail loudly instead
-      require(dest.setLastModified(baseMtime + i * 1000L),
-        s"cannot set mtime on $dest — this filesystem cannot encode feed " +
+      // chaining with no error anywhere, so fail loudly instead. Set it on
+      // the STAGED file, BEFORE the move (rename preserves it): a live
+      // stream listing between move and a post-move set would see the stale
+      // staging mtime and process the new file before older pending ones.
+      require(f.setLastModified(baseMtime + i * 1000L),
+        s"cannot set mtime on $f — this filesystem cannot encode feed " +
           "arrival order; use a POSIX-mtime-capable feed directory")
+      java.nio.file.Files.move(f.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit

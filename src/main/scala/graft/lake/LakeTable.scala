@@ -1276,9 +1276,13 @@ class LakeTable(val dir: String) {
       }
       // CoW data commits: the sidecar is the change set (replay epochs — the
       // quarantine drain — included; the full load and maintenance rewrites
-      // excluded by the epoch check)
+      // excluded by the epoch check). Delta-committed epochs NEVER read the
+      // sidecar, even when one exists: a crash between writeChangeSet and
+      // commit followed by a retry under merge-on-read leaves an orphan
+      // sidecar beside the epoch's delta files — adding both would return
+      // every change of that epoch twice
       if (meta.epoch >= 0) {
-        if (Files.isDirectory(Paths.get(changesDir(meta.epoch))))
+        if (newDelta == 0 && Files.isDirectory(Paths.get(changesDir(meta.epoch))))
           added ++= changeSetFiles(meta.epoch)
         else if (newDelta == 0 && newBase > 0)
           throw new IllegalStateException(
@@ -1380,12 +1384,17 @@ class LakeTable(val dir: String) {
     val missing = committed.filterNot(perEpoch.contains).sorted
     val sums = perEpoch.values.flatMap(_.toSeq).groupBy(_._1)
       .map { case (k, kvs) => k -> kvs.map(_._2).sum }
-    val mismatched = (m.metrics.keySet ++ sums.keySet).flatMap { k =>
-      val manifestTotal = m.metrics.getOrElse(k, 0L)
-      val lineageSum = sums.getOrElse(k, 0L)
-      if (manifestTotal == lineageSum) None
-      else Some(k -> ((manifestTotal, lineageSum)))
-    }.toMap
+    // registry_applied_ver is an ABSOLUTE watermark set by a metadata-only
+    // evolution commit (no lineage record, not a summable per-epoch delta) —
+    // auditing it against a lineage sum would flag every registry-evolved
+    // table as tampered forever
+    val mismatched = (m.metrics.keySet ++ sums.keySet - LakeTable.RegistryVerMetric)
+      .flatMap { k =>
+        val manifestTotal = m.metrics.getOrElse(k, 0L)
+        val lineageSum = sums.getOrElse(k, 0L)
+        if (manifestTotal == lineageSum) None
+        else Some(k -> ((manifestTotal, lineageSum)))
+      }.toMap
     ReconcileReport(missing, mismatched)
   }
 

@@ -234,6 +234,39 @@ class ChangeFeedCowSpec extends SparkSpec {
     assert(lake.changeLog(spark, vMark, lake.currentVersion).count() == 0L)
   }
 
+  test("an orphan sidecar beside a delta-committed epoch is IGNORED: the " +
+    "feed never serves an epoch's changes twice") {
+    val root = tmpDir("graft-cfcow-orphan")
+    val cfg = mkCfg(root, "t",
+      JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 4))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 1)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark,
+        ChangeFeed.FeedSpec(nEvents = 150, nDocs = 40, startLsn = 201)),
+      cfg.feedDir, nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val before = lake.changeLog(spark, v1, lake.currentVersion)
+      .collect().map(_.toString).sorted
+    assert(before.nonEmpty)
+    // crash simulation: a prior attempt of this epoch ran copy-on-write with
+    // change_feed on and died between writeChangeSet and commit; the retry
+    // landed as a delta commit, orphaning the sidecar beside the delta files.
+    // Reading BOTH would return every change of the epoch twice.
+    val epoch = lake.manifest.epoch
+    lake.writeChangeSet(lake.changeLog(spark, v1, lake.currentVersion),
+      epoch, lake.manifest.currentSchemaId)
+    assert(new java.io.File(lake.changesDir(epoch)).isDirectory)
+    val after = lake.changeLog(spark, v1, lake.currentVersion)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      "delta-committed epochs never read the orphan sidecar")
+  }
+
   test("SCD2 CoW sidecar: version rows served, equal to the MoR delta feed") {
     val root = tmpDir("graft-cfcow-scd2")
     val cow = mkCfg(root, "cow",

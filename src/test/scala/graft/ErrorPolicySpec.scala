@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
 
 import graft.apply.MergeApply
 import graft.model._
@@ -35,6 +36,46 @@ class ErrorPolicySpec extends SparkSpec {
     assert(res.metrics("events_quarantined") == 1L)
     assert(lake.read(spark).count() == 1) // k1 upserted; k2 quarantined
     assert(spark.read.parquet(lake.quarantineDir(0L)).count() == 1)
+  }
+
+  test("NULL op / NULL n_tok / NULL merge key rows are QUARANTINED, never " +
+    "silently vanished by three-valued logic") {
+    val job = JobConfig()
+    val lake = mkLake(job)
+    // each row's invariant predicate used to evaluate to NULL (or pass, for
+    // the null key): filter(NULL) dropped it from good AND from bad — applied
+    // nowhere, quarantined nowhere, counted nowhere
+    val bad = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"), // good
+      Row(2L, 1L, ts(2), null, 1, "k2", Seq(1), Int.box(1), "web"),     // null op
+      Row(3L, 1L, ts(3), "UPDATE", 1, "k3", Seq(1, 2), null, "web"),    // null n_tok
+      Row(4L, 1L, ts(4), "INSERT", 1, null, Seq(1), Int.box(1), "web")) // null key
+    // a real feed arrives via a parquet READ, where nullable=false is
+    // advisory — build with the all-nullable shape such a read delivers
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(bad, 2), readShape)
+    val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+    assert(res.metrics("events_quarantined") == 3L, res.metrics.toString)
+    assert(res.metrics("events_received") == 4L)
+    assert(lake.read(spark).count() == 1, "only the good row lands")
+    val q = spark.read.parquet(lake.quarantineDir(0L))
+      .select("lsn", MergeApply.QUARANTINE_REASON).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q(2L).startsWith("unknown_op"), q.toString)
+    assert(q(3L).startsWith("payload_invariant"), q.toString)
+    assert(q(4L).startsWith("null_merge_key"), q.toString)
+  }
+
+  test("null merge key under quarantine=false fails the batch (contract: " +
+    "violations never merge silently)") {
+    val job = JobConfig(quarantine = false)
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 1L, ts(1), null, 1, null, Seq(1), Int.box(1), "web")), 1), readShape)
+    val e = intercept[IllegalStateException](
+      MergeApply.applyBatch(spark, lake, df, 0L, job))
+    assert(e.getMessage.contains("quarantine is disabled"), e.getMessage)
   }
 
   test("stop_if_insert_error: batch fails, nothing commits") {

@@ -99,6 +99,10 @@ class EvolutionSpec extends SparkSpec {
     // and the batch merges under the final (reused) name
     graft.apply.MergeApply.applyBatch(spark, lake, batch, 0L, cfg.job)
     assert(lake.read(spark).filter(col("source").isNotNull).count() > 0)
+    // the watermark is an ABSOLUTE metric with no lineage record — the audit
+    // must exclude it, not report a registry-evolved table as tampered
+    val rep = lake.reconcile()
+    assert(rep.ok, s"reconcile must ignore the registry watermark: $rep")
   }
 
   test("null schema_ver rows evolve nothing and do not crash the registry scan") {
