@@ -133,13 +133,11 @@ object Bench {
     (ingest, fold)
   }
 
-  private def rm(f: java.io.File): Unit = {
-    // listFiles() is null when the dir vanished (a concurrent bench's stale
-    // sweep) or is unreadable — crashing the whole run on cleanup is worse
-    // than leaving the litter for the next sweep
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(): Unit
-  }
+  // null-guarded recursive delete shared with the runner: a dir that
+  // vanished mid-sweep (a concurrent bench's stale cleanup) must not crash
+  // the run on cleanup
+  private def rm(f: java.io.File): Unit =
+    graft.runner.CdcRunner.deleteRecursively(f)
 
   def main(args: Array[String]): Unit = {
     // the JSON line below is machine-parsed: a comma-decimal default locale

@@ -159,9 +159,6 @@ object ChangeFeed {
       java.nio.file.Files.move(f.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(tmp))
+    graft.runner.CdcRunner.deleteRecursively(new java.io.File(tmp))
   }
 }

@@ -115,13 +115,13 @@ object Multimodal {
       codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val sized = media.select(
+    val projected = media.select(
       col("media_id"), col("kind"), col("bytes"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec"))
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    val balanced = sized.repartition(n, col("media_id"))
+    val balanced = projected.repartition(n, col("media_id"))
     balanced.as[MediaRow]
       .mapPartitions { it =>
         // per-task init would go here (decoder handle, reusable buffers)
