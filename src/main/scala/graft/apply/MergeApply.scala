@@ -148,13 +148,28 @@ object MergeApply {
     // them — divergent results per storage strategy. Quarantine instead.
     val keyOk = cfg.keyCols.map(col(_).isNotNull).reduce(_ && _)
     val invariantOk = opOk && keyOk && payloadOk
+    // A DELETE carrying NO key at all is a WELL-FORMED protocol message, not
+    // a malformed row: logical decoding emits key-less tombstones when the
+    // source lacks replica identity, and the reference skips them
+    // (no-tuple-data, CDCManager.py:305-307). Skip-and-COUNT here — the one
+    // shared choke point for every ingest path (file feed, wal, envelope,
+    // kafka) — so the delivery audit still accounts for them; quarantining
+    // would pollute the DLX with valid messages, dropping them pre-merge
+    // (the old wire-starter filter) made every published tombstone a
+    // permanent false positive in deliveryGap. A PARTIAL composite key stays
+    // a quarantined invariant violation (null_merge_key) — that row is
+    // malformed, not protocol.
+    val keylessDelete = opCol.isNotNull && opCol === ChangeEvent.DELETE &&
+      cfg.keyCols.map(col(_).isNull).reduce(_ && _)
+    val isBad = !invariantOk && !keylessDelete
     // Bad-row detection piggybacks on the first scan via observe(): no extra
     // pass over the batch when the feed is clean (the common case). Only when
     // the observed count is non-zero does the quarantine path re-scan.
     val obs = new org.apache.spark.sql.Observation(s"graft-bad-$epoch-${System.nanoTime()}")
     val good = batch
       .observe(obs,
-        sum(when(!invariantOk, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(isBad, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(keylessDelete, 1L).otherwise(0L)).as("n_skipped"),
         // received = every event entering the merge, BEFORE rule filters and
         // reduction — the consumer half of the reference's published/received/
         // processed counters (stats_message, MessageProducer.py:18-62); the
@@ -162,10 +177,11 @@ object MergeApply {
         // against the cumulative metric to detect in-transit loss
         count(lit(1)).as("n_received"))
       .filter(invariantOk)
-    lazy val bad = batch.filter(!invariantOk)
+    lazy val bad = batch.filter(isBad)
     // invoked after the mode's first action (observation complete, pre-commit);
-    // returns (quarantined, received) for metrics. Rare path re-scans the batch.
-    val onStats: () => (Long, Long) = () => {
+    // returns (quarantined, received, skipped) for metrics. Rare path re-scans
+    // the batch.
+    val onStats: () => (Long, Long, Long) = () => {
       val observed = obs.get
       // AQE reads observed metrics from the FINAL physical plan: when EVERY
       // row of the batch quarantines/filters away, empty-stage propagation can
@@ -174,16 +190,19 @@ object MergeApply {
       // silently drop an all-bad batch with no quarantine and undercount
       // events_received in the delivery audit. Recount directly in that case;
       // the batch reduced to nothing, so one extra scan is the audit's cost.
-      val (nReceived, nBad) =
+      val (nReceived, nBad, nSkipped) =
         if (observed.nonEmpty) (
           observed.get("n_received").collect { case v: Long => v }.getOrElse(0L),
-          // n_bad is null for an empty batch (sum over zero rows)
-          observed.get("n_bad").collect { case v: Long => v }.getOrElse(0L))
+          // n_bad/n_skipped are null for an empty batch (sum over zero rows)
+          observed.get("n_bad").collect { case v: Long => v }.getOrElse(0L),
+          observed.get("n_skipped").collect { case v: Long => v }.getOrElse(0L))
         else {
           val r = batch.agg(
             count(lit(1)).as("n_received"),
-            sum(when(!invariantOk, 1L).otherwise(0L)).as("n_bad")).head()
-          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+            sum(when(isBad, 1L).otherwise(0L)).as("n_bad"),
+            sum(when(keylessDelete, 1L).otherwise(0L)).as("n_skipped")).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2))
         }
       if (nBad > 0) {
         // quarantine=false means "bad rows fail the batch" (JobConfig contract),
@@ -222,7 +241,7 @@ object MergeApply {
           throw new IllegalStateException(
             s"stop_if_error: unknown op(s) $unknownOps in epoch $epoch")
       }
-      (nBad, nReceived)
+      (nBad, nReceived, nSkipped)
     }
 
     // ── 2. rule pipeline: filters (DELETE passthrough) then transforms ──
@@ -252,7 +271,7 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       keys: Seq[String],
-      onStats: () => (Long, Long),
+      onStats: () => (Long, Long, Long),
       extraMetrics: Map[String, Long]): BatchResult = {
 
     val m = lake.manifest
@@ -283,7 +302,11 @@ object MergeApply {
       val affected = opByBucket.map(_.getInt(0)).toSet
       val opCounts = opByBucket.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
-      val (nQuarantined, nReceived) = onStats()
+      val (nQuarantined, nReceived, nSkipped) = onStats()
+      // key present only when non-zero: a clean feed's manifests stay lean
+      val skippedMetric =
+        if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
+        else Map.empty[String, Long]
 
       // the reduced change set in delta-row shape — the MoR commit itself, and
       // the CoW change sidecar when the table records a change feed
@@ -313,7 +336,8 @@ object MergeApply {
         if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
           lake.enableChangeFeed()
         val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-          "events_received" -> receivedDelta(epoch, nReceived)) ++ extraMetrics
+          "events_received" -> receivedDelta(epoch, nReceived)) ++
+          skippedMetric ++ extraMetrics
         lake.commit(epoch, Nil, Set.empty, metrics)
         return BatchResult(epoch, skipped = false, metrics)
       }
@@ -325,7 +349,7 @@ object MergeApply {
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
-        extraMetrics
+        skippedMetric ++ extraMetrics
 
       // ── merge-on-read: the reduced change set IS the commit — per-bucket
       // delta files, no base read, no join, no bucket rewrite. O(batch) bytes
@@ -459,7 +483,7 @@ object MergeApply {
       epoch: Long,
       cfg: JobConfig,
       naturalKeys: Seq[String],
-      onStats: () => (Long, Long),
+      onStats: () => (Long, Long, Long),
       extraMetrics: Map[String, Long]): BatchResult = {
 
     val m = lake.manifest
@@ -480,7 +504,7 @@ object MergeApply {
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
-      val (nQuarantined, nReceived) = onStats()
+      val (nQuarantined, nReceived, nSkipped) = onStats()
 
       val metrics = Map(
         "batches" -> 1L,
@@ -489,6 +513,8 @@ object MergeApply {
         "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
         "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
         "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
+        (if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
+         else Map.empty[String, Long]) ++
         extraMetrics
 
       // incoming events as version rows; DELETEs become hidden marker rows

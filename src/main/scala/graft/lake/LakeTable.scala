@@ -444,7 +444,8 @@ class LakeTable(val dir: String) {
     * here so the flag cannot drift across sync calls); and empty-batch
     * commits, which need the marker from the first feed-enabled epoch but
     * never a sidecar ([[changeLog]] only demands one from epochs that
-    * committed base files). Idempotent and cheap — two filesystem metadata
+    * committed base files or replaced buckets — a file-less, replacement-less
+    * commit is exempt). Idempotent and cheap — two filesystem metadata
     * ops, no Spark job. */
   def enableChangeFeed(): Unit = {
     val marker = Paths.get(dir, "changes", FEED_MARKER)
@@ -1264,9 +1265,12 @@ class LakeTable(val dir: String) {
     ((fromVersion + 1) to toVersion).foreach { v =>
       val meta = readMeta(v)
       var newBase, newDelta = 0
+      var replaced = false
       meta.fragments.foreach { name =>
         if (fragsSeen.add(name)) {
-          readFragmentFile(name).added.foreach { f =>
+          val fr = readFragmentFile(name)
+          if (fr.replacedBuckets.nonEmpty) replaced = true
+          fr.added.foreach { f =>
             if (seen.add(f.path)) {
               if (f.isDelta) { added += f; newDelta += 1 }
               else newBase += 1
@@ -1280,11 +1284,20 @@ class LakeTable(val dir: String) {
       // sidecar, even when one exists: a crash between writeChangeSet and
       // commit followed by a retry under merge-on-read leaves an orphan
       // sidecar beside the epoch's delta files — adding both would return
-      // every change of that epoch twice
-      if (meta.epoch >= 0) {
-        if (newDelta == 0 && Files.isDirectory(Paths.get(changesDir(meta.epoch))))
+      // every change of that epoch twice. Same for an epoch that committed
+      // NOTHING (no files, no bucket replacement — e.g. a crashed CoW
+      // attempt whose retry reduced to all-quarantined): its orphan sidecar
+      // holds changes that were never applied. The `replaced` disjunct
+      // covers bucket-replacing commits with zero surviving files: the
+      // engine's own CoW writer always lands tombstone base rows, but
+      // commit() is public API, and an external writer replacing buckets
+      // down to empty is still a data commit whose sidecar must serve (and
+      // whose absence must fail loudly).
+      val dataCommit = newBase > 0 || replaced
+      if (meta.epoch >= 0 && newDelta == 0 && dataCommit) {
+        if (Files.isDirectory(Paths.get(changesDir(meta.epoch))))
           added ++= changeSetFiles(meta.epoch)
-        else if (newDelta == 0 && newBase > 0)
+        else
           throw new IllegalStateException(
             s"changeLog($fromVersion, $toVersion): version $v (epoch " +
               s"${meta.epoch}) is a copy-on-write commit with no recorded " +

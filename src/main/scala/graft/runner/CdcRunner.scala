@@ -407,7 +407,7 @@ object CdcRunner {
             EnvelopeSource.parseVersionedForTable(raw, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(dropKeylessDeletes(events, runCfg.job.keyCols), epoch)
+        processBatch(spark, lake, runCfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
@@ -469,7 +469,7 @@ object CdcRunner {
             EnvelopeSource.parseVersionedForTable(value, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else EnvelopeSource.parseForTable(value, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(dropKeylessDeletes(events, runCfg.job.keyCols), epoch)
+        processBatch(spark, lake, runCfg)(events, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
@@ -513,23 +513,12 @@ object CdcRunner {
             WalParser.parseVersionedForTable(raw, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
-        val events = dropKeylessDeletes(parsed, runCfg.job.keyCols)
-        processBatch(spark, lake, runCfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(parsed, epoch)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
   }
 
-  /** The reference drops DELETEs that carry no key at all ((no-tuple-data),
-    * CDCManager.py:305-307) — nothing to merge on. Shared by ALL wire-format
-    * starters (wal/envelope/kafka): the envelope producer builds its
-    * operations from the same WAL events, so a key-less tombstone arrives on
-    * every wire; letting it reach the merge would commit a phantom null-key
-    * row into the lake (and its change feed). Key names are
-    * post-registry-rename — the wire parses emit latest names. */
-  private def dropKeylessDeletes(events: DataFrame, keyCols: Seq[String]): DataFrame =
-    events.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) ||
-      col(ChangeEvent.OP) =!= ChangeEvent.DELETE)
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // listFiles is null for a dir deleted concurrently (or an I/O error)

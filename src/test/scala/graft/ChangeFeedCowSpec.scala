@@ -267,6 +267,46 @@ class ChangeFeedCowSpec extends SparkSpec {
       "delta-committed epochs never read the orphan sidecar")
   }
 
+  test("an orphan sidecar beside an EMPTY retry commit is ignored; a " +
+    "deletes-everything epoch's legitimate sidecar still serves") {
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-cfcow-empty")
+    val cfg = mkCfg(root, "t",
+      JobConfig(mode = CdcMode.Upsert, buckets = 2, changeFeed = true))
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)),
+      cfg.feedDir, nFiles = 1)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val v1 = lake.currentVersion
+    // a CoW epoch that tombstones EVERY live key: zero surviving data rows,
+    // but its sidecar records the deletes — the feed must serve them
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val keys = lake.read(spark).select("doc_id").collect().map(_.getString(0))
+    assert(keys.nonEmpty)
+    val dels = keys.zipWithIndex.map { case (k, i) =>
+      Row(10000L + i, 1L, ts(i), "DELETE", 1, k, null, null, null)
+    }
+    graft.apply.MergeApply.applyBatch(spark, lake,
+      spark.createDataFrame(spark.sparkContext.parallelize(dels.toSeq, 2),
+        org.apache.spark.sql.types.StructType(
+          ChangeEvent.schema().fields.map(_.copy(nullable = true)))),
+      100L, cfg.job)
+    assert(lake.read(spark).count() == 0, "every key deleted")
+    val feed = lake.changeLog(spark, v1, lake.currentVersion)
+    assert(feed.filter(col("_deleted")).count() == keys.length.toLong,
+      "the deletes-everything epoch's sidecar serves its tombstones")
+    // crash simulation: a later CoW attempt wrote its sidecar then died; the
+    // retry reduced to NOTHING (e.g. every row re-quarantined) and committed
+    // empty. The orphan's changes were never applied — serving them would
+    // make a sync consumer diverge from the table.
+    val v2 = lake.currentVersion
+    lake.writeChangeSet(feed.limit(3), 101L, lake.manifest.currentSchemaId)
+    lake.commit(101L, Nil, Set.empty, Map("batches" -> 1L))
+    assert(lake.changeLog(spark, v2, lake.currentVersion).count() == 0,
+      "an empty commit never serves an orphan sidecar")
+  }
+
   test("SCD2 CoW sidecar: version rows served, equal to the MoR delta feed") {
     val root = tmpDir("graft-cfcow-scd2")
     val cow = mkCfg(root, "cow",

@@ -78,6 +78,44 @@ class ErrorPolicySpec extends SparkSpec {
     assert(e.getMessage.contains("quarantine is disabled"), e.getMessage)
   }
 
+  test("a key-less DELETE (valid protocol: no replica identity) is skipped " +
+    "AND counted — never quarantined, never lost from the delivery audit") {
+    val job = JobConfig()
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"),
+      Row(2L, 1L, ts(2), "DELETE", 1, null, null, null, null), // keyless: skip
+      Row(3L, 1L, ts(3), null, 1, null, null, null, null))     // null op: DLX
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), readShape)
+    val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+    assert(res.metrics("events_received") == 3L, "the skip still counts")
+    assert(res.metrics("skipped_keyless_deletes") == 1L, res.metrics.toString)
+    assert(res.metrics("events_quarantined") == 1L, res.metrics.toString)
+    assert(lake.read(spark).count() == 1)
+    val q = spark.read.parquet(lake.quarantineDir(0L)).collect()
+    assert(q.length == 1 && q(0).getAs[String](MergeApply.QUARANTINE_REASON)
+      .startsWith("unknown_op"), "only the null-op row reaches the DLX")
+  }
+
+  test("a PARTIAL composite-key DELETE is malformed, not protocol: " +
+    "quarantined as null_merge_key, unlike the all-null key-less skip") {
+    val job = JobConfig(keyCols = Seq("doc_id", "source"))
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"),
+      Row(2L, 1L, ts(2), "DELETE", 1, null, null, null, null),  // skip
+      Row(3L, 1L, ts(3), "DELETE", 1, "k2", null, null, null))  // partial: DLX
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), readShape)
+    val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+    assert(res.metrics("skipped_keyless_deletes") == 1L, res.metrics.toString)
+    assert(res.metrics("events_quarantined") == 1L, res.metrics.toString)
+    val q = spark.read.parquet(lake.quarantineDir(0L)).collect()
+    assert(q.length == 1 && q(0).getAs[String](MergeApply.QUARANTINE_REASON)
+      .startsWith("null_merge_key"), q.mkString(";"))
+  }
+
   test("stop_if_insert_error: batch fails, nothing commits") {
     val job = JobConfig(errorPolicy = ErrorPolicy(stopOnInsertError = true))
     val lake = mkLake(job)

@@ -125,12 +125,20 @@ class WalParserSpec extends SparkSpec {
       job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
       payloadSchema = payload)
     CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
-    val state = new graft.lake.LakeTable(cfg.tableDir).read(spark).collect()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    val state = lake.read(spark).collect()
     assert(state.length == 1, s"d-2 deleted, no-tuple DELETE dropped: ${state.toSeq}")
     val r = state.head
     assert(r.getAs[String]("doc_id") == "d-1")
     assert(r.getAs[scala.collection.Seq[Int]]("tokens") == Seq(9, 9, 9))
     assert(r.getAs[String]("source") == "books")
+    // the no-tuple DELETE is valid protocol (no replica identity): skipped
+    // AND counted — the delivery audit sees all 5 DML events arrive, never
+    // a false in-transit-loss gap, and nothing lands in the quarantine
+    val metrics = lake.manifest.metrics
+    assert(metrics("skipped_keyless_deletes") == 1L, metrics.toString)
+    assert(metrics("events_received") == 5L, metrics.toString)
+    assert(metrics.getOrElse("events_quarantined", 0L) == 0L, metrics.toString)
   }
 
   test("key-only DELETE keeps the key; empty array literal decodes") {
