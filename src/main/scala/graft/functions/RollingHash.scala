@@ -17,6 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 case class RollingHash(child: Expression, prime: Long = 31L, mod: Long = 1000000007L)
     extends UnaryExpression {
+  // caller-supplied (prime, mod) — reachable from SQL rolling_hash(s, p, m) —
+  // must keep h * prime + c inside a signed 64-bit long (h ≤ mod-1, c ≤
+  // 0xFFFF), or the fold wraps and the "plain-integer-arithmetic SQL oracle
+  // reproduces it" contract silently breaks with wrap-dependent fingerprints
+  require(prime >= 2 && mod >= 2 &&
+    mod - 1 <= (Long.MaxValue - 0xFFFFL) / prime,
+    s"rolling_hash: (prime=$prime, mod=$mod) out of range — need prime ≥ 2, " +
+      "mod ≥ 2, and (mod-1)*prime + 65535 ≤ 2^63-1 so the fold never " +
+      "overflows Long")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"

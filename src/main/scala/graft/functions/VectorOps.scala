@@ -44,22 +44,40 @@ private[functions] object VecElem {
     case ShortType   => s"(double) $arr.getShort($i)"
     case other       => throw new IllegalStateException(s"unreachable: $other")
   }
+  /** does the array type admit null ELEMENTS (ArrayData reads them as 0)? */
+  def containsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
 }
 
+/** Null contract (all three kernels, matching the HOF formulations they
+  * replaced): a NULL input array → NULL (nullSafeEval); mismatched lengths or
+  * a NULL ELEMENT → NULL result, never a silent partial/zero-substituted
+  * value. `zip_with` pads the shorter array with nulls and `aggregate`'s sum
+  * absorbs them to null — truncating to the shorter array instead would
+  * return a plausible-looking similarity for a corrupted embedding row. The
+  * per-element null branch is emitted only when the array type says
+  * containsNull, so clean schemas keep the tight loop. */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // length mismatch → null even when inputs are non-null
+  override def nullable: Boolean = true
 
   private lazy val leftET = VecElem.elemType(left, prettyName)
   private lazy val rightET = VecElem.elemType(right, prettyName)
+  private lazy val anyCN = VecElem.containsNull(left) || VecElem.containsNull(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (anyCN && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += VecElem.read(leftET, x, i) * VecElem.read(rightET, y, i)
       i += 1
     }
@@ -73,13 +91,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val acc = ctx.freshName("acc")
       val getX = VecElem.getter(leftET, a, i)
       val getY = VecElem.getter(rightET, b, i)
+      val nullCheck =
+        if (anyCN) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($getX) * ($getY);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ($getX) * ($getY);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -101,8 +127,11 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   require(planes >= 1 && planes <= 64, s"planes must be in [1,64], got $planes")
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
+  // a null ELEMENT poisons the signature → null (see DotProduct's contract)
+  override def nullable: Boolean = child.nullable || VecElem.containsNull(child)
 
   private lazy val elemT = VecElem.elemType(child, prettyName)
+  private lazy val cn = VecElem.containsNull(child)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -110,6 +139,7 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
     val acc = new Array[Double](planes)
     var i = 0
     while (i < n) {
+      if (cn && x.isNullAt(i)) return null
       val v = VecElem.read(elemT, x, i)
       val hv = XXH64.hashLong(i.toLong, 42L)
       var h = 0
@@ -139,21 +169,27 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
       val sig = ctx.freshName("sig")
       val getV = VecElem.getter(elemT, a, i)
       val xxh = classOf[XXH64].getName
+      val nullCheck =
+        if (cn) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double[] $acc = new double[$planes];
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $v = $getV;
          |  long $hv = $xxh.hashLong((long) $i, 42L);
          |  for (int $h = 0; $h < $planes; $h++) {
          |    $acc[$h] += ((($hv >>> $h) & 1L) == 0L) ? $v : -$v;
          |  }
          |}
-         |long $sig = 0L;
-         |for (int $h = 0; $h < $planes; $h++) {
-         |  if ($acc[$h] > 0) $sig |= (1L << $h);
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $h = 0; $h < $planes; $h++) {
+         |    if ($acc[$h] > 0) $sig |= (1L << $h);
+         |  }
+         |  ${ev.value} = $sig;
          |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -173,8 +209,12 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
   require(probes >= 1 && probes <= centroids.length)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
+  // a null ELEMENT poisons every dot score → null probe list (the caller's
+  // explode() then yields no rows: the vector simply joins nothing)
+  override def nullable: Boolean = child.nullable || VecElem.containsNull(child)
 
   private lazy val elemT = VecElem.elemType(child, prettyName)
+  private lazy val cn = VecElem.containsNull(child)
 
   /** Selection of the top-`probes` cells by score, best-first. Seeded with the
     * first unused cell so an all-NaN score vector (a NaN embedding element
@@ -210,6 +250,10 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (cn) {
+      var i = 0
+      while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    }
     val scores = new Array[Double](centroids.length)
     var c = 0
     while (c < centroids.length) {
@@ -236,8 +280,15 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
       val used = ctx.freshName("used"); val p = ctx.freshName("p")
       val best = ctx.freshName("best"); val bs = ctx.freshName("bs")
       val getV = VecElem.getter(elemT, a, i)
+      val nullScan =
+        if (cn) {
+          val j = ctx.freshName("j")
+          s"for (int $j = 0; $j < $n; $j++) { if ($a.isNullAt($j)) { ${ev.isNull} = true; break; } }"
+        } else ""
       s"""
          |int $n = $a.numElements();
+         |$nullScan
+         |if (!${ev.isNull}) {
          |double[] $scores = new double[$mat.length];
          |for (int $c = 0; $c < $mat.length; $c++) {
          |  int $d = java.lang.Math.min($n, $mat[$c].length);
@@ -258,6 +309,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
          |  $used[$best] = true; $out[$p] = $best;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
        """.stripMargin
     })
 
@@ -278,6 +330,12 @@ object VectorOps {
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
 
-  def vec_cosine(a: Column, b: Column): Column =
-    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  /** Zero-norm inputs yield NULL, not an ANSI DIVIDE_BY_ZERO crash (Spark 4
+    * default) and not the non-ANSI 0/0 NaN that would out-sort every real
+    * score: one all-zero embedding in 10^10 rows must degrade that one row,
+    * never kill or poison the whole job. */
+  def vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, nullif}
+    vec_dot(a, b) / nullif(vec_norm(a) * vec_norm(b), lit(0.0))
+  }
 }

@@ -162,20 +162,41 @@ object Dedup {
    */
   def simhashNearDups(
       df: DataFrame, maxHamming: Int = 3, bits: Int = 32, bands: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      /** Buckets larger than this are dropped before pairing (the lshCandidates
+        * cap). Default keeps EVERY bucket: unlike minhash's stop-shingle
+        * buckets, a full simhash bucket usually IS the duplicate pile being
+        * hunted, and dropping it silently halves recall on exact dups. Set a
+        * cap for boilerplate-heavy corpora where one template page yields an
+        * O(m²) pair explosion. */
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands >= 1 && bits % bands == 0,
       s"simhashNearDups: bands=$bands must divide bits=$bits — a silent " +
         "truncation would exclude the top bits from banding and skew the " +
         "(bands, rows) collision probability the caller asked for")
+    require(bits >= 1 && bits <= 64,
+      s"simhashNearDups: bits=$bits out of range [1,64] — the signature is " +
+        "one packed Long; shifts past 64 wrap (Java masks shift counts mod " +
+        "64) and would silently produce garbage signatures")
     val rows = bits / bands
-    val mask = (1L << rows) - 1
+    // Scala/Java mask Long shift counts to 6 bits, so (1L << 64) - 1 == 0:
+    // the one-band-of-64-bits layout needs the explicit all-ones mask or
+    // every doc lands in bucket 0 (an all-pairs join in disguise)
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
     val sig = simhashSignatures(df, textCol, idCol, bits)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))
     }
-    val banded = sig.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+    val allBanded = sig.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) allBanded
+      else {
+        val sizes = allBanded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucketSize)
+        allBanded.join(sizes, Seq("band", "bucket")).drop("_bsz")
+      }
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -207,7 +228,22 @@ object Dedup {
   }
 
   // ── embedding-cosine near-dup ──
-  /** Pairs with cosine ≥ threshold; candidates via Similarity's LSH buckets. */
+  /** A NaN cosine (zero-norm or NaN-element vector) must never pass the
+    * threshold: Spark orders NaN ABOVE every real value, so `cosine >= t` is
+    * TRUE for NaN and one all-zero embedding would pair with its whole
+    * bucket as "near-duplicates". NULL (null element / dim mismatch — the
+    * kernel contract) fails the >= naturally; the explicit isnan guard is
+    * the load-bearing half. */
+  private def aboveThreshold(threshold: Double): Column =
+    !isnan(col("cosine")) && col("cosine") >= threshold
+
+  /** Candidate pairs from ONE 8-plane hyperplane bucket, verified by exact
+    * cosine ≥ threshold. RECALL < 1 BY DESIGN (like [[Similarity.lshTopK]]):
+    * a pair at cosine exactly 0.95 (~18°) agrees on all 8 planes with
+    * probability ≈ 0.43, so borderline near-dups in different buckets are
+    * never paired — near-identical vectors (the usual dedup target, cosine
+    * ≈ 1) collide with probability ≈ 1. Use [[embeddingNearDupsExact]] when
+    * exhaustiveness matters more than scale. */
   def embeddingNearDups(
       df: DataFrame, threshold: Double = 0.95,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -217,18 +253,21 @@ object Dedup {
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(aboveThreshold(threshold))
   }
 
-  /** Brute-force variant (small corpora / oracle checks): all pairs. */
+  /** Brute-force variant (small corpora / oracle checks): all pairs, recall
+    * 1. Same default threshold as [[embeddingNearDups]] so diffing the two
+    * under defaults measures exactly the LSH recall loss, not a threshold
+    * mismatch masquerading as one. */
   def embeddingNearDupsExact(
-      df: DataFrame, threshold: Double = 0.9,
+      df: DataFrame, threshold: Double = 0.95,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(aboveThreshold(threshold))
   }
 }

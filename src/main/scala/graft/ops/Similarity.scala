@@ -46,6 +46,19 @@ object Similarity {
   private def notSelf(excludeSelf: Boolean): Column =
     if (excludeSelf) col("q_id") =!= col("c_id") else lit(true)
 
+  /** Shared per-query ranking over (q_id, c_id, cosine). Degenerate scores
+    * are dropped BEFORE the window: Spark orders NaN above every real value,
+    * so one zero-norm (or NaN-element) corpus embedding would otherwise rank
+    * first in EVERY query's top-k, silently evicting a true neighbor; a NULL
+    * cosine (null element / dimension mismatch — the kernels' null contract)
+    * carries no ranking information either. Dropping is detectable (the row
+    * count shrinks); a poisoned rank 1 is not. */
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.filter(col("cosine").isNotNull && !isnan(col("cosine")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /**
    * Exact brute-force cosine top-k: broadcast the (small) query set against the
    * corpus scan; per-query row_number over cosine desc.
@@ -58,8 +71,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_v"))
     val scored = c.join(q, notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rank(scored, k)
   }
 
   /**
@@ -132,8 +144,7 @@ object Similarity {
       explode(VectorOps.nearest_cells(col(vecCol), cents, effProbes)).as("cell")))
     val scored = c.join(q, Seq("cell")).filter(notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rank(scored, k)
   }
 
   /**
@@ -152,7 +163,6 @@ object Similarity {
       sig(col(vecCol)).as("bucket"))
     val scored = c.join(q, Seq("bucket")).filter(notSelf(excludeSelf))
       .select(col("q_id"), col("c_id"), cosine(col("q_v"), col("c_v")).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rank(scored, k)
   }
 }

@@ -16,8 +16,17 @@ import org.apache.spark.sql.types._
  */
 object TextAnalysis {
 
-  /** Whitespace token count: number of single-space-separated fields. */
-  def wsTokenCount(text: Column): Column = size(split(text, " "))
+  /** Tokens = whitespace fields of the NORMALIZED text (lowercase, trimmed,
+    * runs of whitespace collapsed — [[Dedup.normalized]]): doubled spaces
+    * must not mint empty tokens that deflate every ratio, and "The" at a
+    * sentence start is the same token as "the". `size` returns -1 for a null
+    * list under Spark's legacy sizeOfNull — nullif keeps null text null
+    * (matching the SQL oracle's natural NULL) instead of scoring
+    * stopwordRatio (-1)/(-1) = 1.0 for an empty document. */
+  private def tokens(text: Column): Column = split(Dedup.normalized(text), " ")
+
+  /** Whitespace token count over the normalized text. */
+  def wsTokenCount(text: Column): Column = nullif(size(tokens(text)), lit(-1))
 
   /** BPE-ish token count: word pieces = letter runs, digit runs, single
     * non-alnum marks (a cheap proxy for BPE pre-tokenisation). */
@@ -32,9 +41,10 @@ object TextAnalysis {
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Count of stopword tokens (exact token match on the whitespace split). */
+  /** Count of stopword tokens (exact match on the normalized token split —
+    * markers are lowercase, so matching must be too). */
   def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
-    size(filter(split(text, " "), t => t.isin(stopwords.map(lit(_)): _*)))
+    nullif(size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*))), lit(-1))
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
     stopwordCount(text, stopwords).cast(DoubleType) / wsTokenCount(text).cast(DoubleType)

@@ -1344,8 +1344,9 @@ object Queries {
 
     "q_text_stats" ->
       """WITH w AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  SELECT doc_id, text,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, text, norm,

@@ -25,6 +25,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("stats tokenize the NORMALIZED text: caps match stopwords, doubled " +
+    "spaces mint no empty tokens, null text stays null (never quality 1.0)") {
+    val df = Seq(
+      ("d1", "THE CAT AND THE DOG IS HERE"),        // caps: 5 stopword hits
+      ("d2", "the  cat   and  the dog"),            // runs collapse: 5 tokens
+      ("d3", null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stats(df, "text", "doc_id").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("d1").getAs[Int]("stopwords") == 4, got("d1").toString)
+    assert(got("d2").getAs[Int]("ws_tokens") == 5, got("d2").toString)
+    assert(got("d2").getAs[Int]("stopwords") == 3)
+    // null text: size(split(null)) is -1 under legacy sizeOfNull — before the
+    // fix stopwordRatio was (-1)/(-1) = 1.0 and a null doc scored 0.4 quality
+    assert(got("d3").isNullAt(1) && got("d3").isNullAt(4), got("d3").toString)
+    assert(got("d3").getAs[Double]("quality") == 0.0)
+    // caps doc now language-IDs as English, not the alphabetical 'de' default
+    assert(got("d1").getAs[String]("lang_guess") == "en")
+  }
+
+  test("rolling_hash rejects (prime, mod) that overflow the Long fold") {
+    val e = intercept[IllegalArgumentException](
+      graft.functions.RollingHash(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        prime = 31L, mod = 1000000000000000003L))
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
+
   test("bpe-ish token count: letter runs, digit runs, single marks") {
     val got = Seq("hello world42!", "a-b c_d", "").toDF("t")
       .select(TextAnalysis.bpeTokenCount(col("t"))).collect().map(_.getInt(0))
@@ -95,6 +123,20 @@ class DedupSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Dedup.simhashNearDups(df, bits = 32, bands = 5))
     assert(e.getMessage.contains("divide"), e.getMessage)
+    // bits > 64 wraps Long shifts into garbage signatures — rejected loudly
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(df, bits = 128, bands = 4))
+    assert(e2.getMessage.contains("[1,64]"), e2.getMessage)
+  }
+
+  test("simhash bands=1 bits=64: the full-width band mask is all-ones, not " +
+    "the shift-wrapped 0 that would bucket every doc together") {
+    // (1L << 64) - 1 == 0 under Java's mod-64 shift: before the fix every
+    // doc landed in bucket 0 (an all-pairs join) AND distinct sigs collided
+    val found = Dedup.simhashNearDups(corpus, maxHamming = 0, bits = 64, bands = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only the identical pair (1,4) shares a full 64-bit signature
+    assert(found.sameElements(Array((1L, 4L))), found.mkString(","))
   }
 
   test("simhash: identical text → identical sig; near-dup within hamming bound") {
@@ -124,6 +166,42 @@ class DedupSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
+
+  test("degenerate embeddings never poison results: a zero-norm (NaN cosine) " +
+    "vector can't take rank 1, a null element / dim mismatch yields null") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f))) // zero-norm: cosine NaN against everything
+      .toDF("vec_id", "embedding")
+    val q = base.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(q, base, k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("c_id"))
+    // zero-norm → null cosine (nullif denominator): under ANSI the bare
+    // division would CRASH the whole job; non-ANSI it's NaN, which Spark
+    // sorts ABOVE all reals — rank 1 for every query. Both are excluded.
+    assert(got.sameElements(Array(1L, 2L)), got.mkString(","))
+    // null element → null cosine (kernel contract), excluded the same way
+    val withNull = Seq((4L, Array[java.lang.Float](1.0f, null)))
+      .toDF("vec_id", "embedding")
+    val d = base.filter(col("vec_id") === 0).unionAll(withNull)
+      .select(graft.functions.VectorOps.vec_cosine(
+        col("embedding"), array(lit(1.0f), lit(0.0f))).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(d(0).contains(1.0) && d(1).isEmpty, d.mkString(","))
+    // dimension mismatch → null, not a silently truncated dot product
+    val mism = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorOps.vec_dot(
+        col("embedding"), array(lit(1.0f), lit(1.0f))).as("d")).head()
+    assert(mism.isNullAt(0), "3-dim · 2-dim must be null")
+    // and the zero-norm vector can't sneak through the near-dup threshold
+    // either (NaN >= t is TRUE in Spark without the isnan guard)
+    val pairs = Dedup.embeddingNearDupsExact(
+      Seq((0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+        (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)))
+        .toDF("vec_id", "embedding"), threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.sameElements(Array((2L, 3L))), pairs.mkString(","))
+  }
 
   test("brute-force top-k matches a Scala oracle; LSH retrieves planted duplicate") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
