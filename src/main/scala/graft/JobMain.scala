@@ -290,8 +290,26 @@ object JobMain {
           // feed-recording table MUST write the replay epoch's sidecar, or
           // every changeLog window spanning it throws forever after
           changeFeed = c.bool("change_feed", lake.recordsChangeFeed))
+        // the manifest does NOT store filter/transform rules, and rows
+        // quarantine PRE-transform: a drain without the job's rule pipeline
+        // re-drives RAW rows (renamed columns null-fill, filtered rows
+        // apply). --settings <the task's settings.json> restores them.
+        val cfgRules = opt("--settings").map { sp =>
+          val parsed = TaskSettings.parse(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sp))))
+          val tr = parsed.tables match {
+            case Seq(one) => one
+            case many =>
+              val want = c.str("table_rules", "")
+              many.find(_.id == want).getOrElse(throw new IllegalArgumentException(
+                s"--settings declares ${many.size} tables " +
+                  s"(${many.map(_.id).mkString(", ")}): pick one via config " +
+                  "{\"table_rules\": \"schema.table\"}"))
+          }
+          cfg.copy(filters = tr.filters, transforms = tr.transforms)
+        }.getOrElse(cfg)
         val r = graft.apply.MergeApply.replayQuarantine(
-          spark, lake, epoch, cfg, attempt = c.int("attempt", 0))
+          spark, lake, epoch, cfgRules, attempt = c.int("attempt", 0))
         Seq((r.epoch, r.skipped,
           r.metrics.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")))
           .toDF("replay_epoch", "skipped", "metrics")
@@ -381,8 +399,8 @@ object JobMain {
           "dedup_embedding | ann_bruteforce | ann_lsh | ann_ivf | text_stats | " +
           "multimodal_features; maintenance, with --table: compact | vacuum | " +
           "rescale | split_buckets | rewrite_manifests | remove_orphans | " +
-          "delivery_gap | reconcile | quarantine_list | " +
-          "quarantine_replay | read | change_log | jdbc_apply | lake_sync | sql)")
+          "delivery_gap | reconcile | quarantine_list | quarantine_replay | " +
+          "quarantine_clear | read | change_log | jdbc_apply | lake_sync | sql)")
     }
   }
 
@@ -468,10 +486,14 @@ object JobMain {
         // composite's full load commits for EVERY table before CDC starts
         // (reference CompositeReplicationStrategy.py:8), and a pure
         // full_load task never tails the feed
-        if (settings.replicationType.startsWith("full_load"))
-          opt("--snapshot").foreach { snap =>
-            MultiTableRunner.fullLoad(spark, jobs, spark.read.parquet(snap))
-          }
+        if (settings.replicationType.startsWith("full_load")) {
+          // a missing --snapshot must fail fast: an Option.foreach here
+          // silently skipped the load and CDC tailed a base-less table
+          val snap = opt("--snapshot").getOrElse(throw new IllegalArgumentException(
+            s"replication_type=${settings.replicationType} requires " +
+              "--snapshot <parquet> (the full-load source)"))
+          MultiTableRunner.fullLoad(spark, jobs, spark.read.parquet(snap))
+        }
         if (settings.replicationType != "full_load") {
           val q = MultiTableRunner.startJobs(spark, cfg, jobs,
             availableNow = !continuous)
@@ -540,10 +562,12 @@ object JobMain {
           autoRescaleBytesPerBucket = settings.autoRescaleBytesPerBucket,
           autoRescaleMaxGroups = settings.autoRescaleMaxGroups)
         val lake = CdcRunner.ensureTable(spark, cfg, reload = reload)
-        if (settings.replicationType.startsWith("full_load"))
-          opt("--snapshot").foreach { snap =>
-            CdcRunner.fullLoad(spark, lake, spark.read.parquet(snap), cfg)
-          }
+        if (settings.replicationType.startsWith("full_load")) {
+          val snap = opt("--snapshot").getOrElse(throw new IllegalArgumentException(
+            s"replication_type=${settings.replicationType} requires " +
+              "--snapshot <parquet> (the full-load source)"))
+          CdcRunner.fullLoad(spark, lake, spark.read.parquet(snap), cfg)
+        }
         // composite ordering (CompositeReplicationStrategy.py:8): the full load
         // above completes before CDC starts tailing
         if (settings.replicationType != "full_load") {

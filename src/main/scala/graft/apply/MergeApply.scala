@@ -137,7 +137,7 @@ object MergeApply {
     // and a null n_tok beside non-null tokens are exactly the malformed-feed
     // rows this split exists to catch.
     val payloadOk =
-      if (!hasTokens) lit(true)
+      if (!hasTokens || !cfg.validatePayload) lit(true)
       else opCol === ChangeEvent.DELETE ||
         (col("tokens").isNotNull && col("n_tok").isNotNull &&
           col("n_tok") === size(col("tokens")))
@@ -358,9 +358,13 @@ object MergeApply {
       if (cfg.merge == MergeStrategy.MergeOnRead) {
         val files = timed("delta-write")(
           writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA))
+        // commit and return the SAME map (delta_commits included) — the
+        // committed-vs-returned drift class the scd2 empty path already
+        // documents
+        val morMetrics = baseMetrics + ("delta_commits" -> 1L)
         timed("commit")(
-          lake.commit(epoch, files, Set.empty, baseMetrics + ("delta_commits" -> 1L)))
-        return BatchResult(epoch, skipped = false, baseMetrics)
+          lake.commit(epoch, files, Set.empty, morMetrics))
+        return BatchResult(epoch, skipped = false, morMetrics)
       }
 
       // CoW change sidecar (LakeTable.changeLog's CDC-out source for CoW
@@ -545,9 +549,10 @@ object MergeApply {
       if (cfg.merge == MergeStrategy.MergeOnRead) {
         val files = timed("delta-write")(
           writeEpoch(spark, lake, evRows, epoch, m, kind = DataFile.DELTA))
+        val morMetrics = metrics + ("delta_commits" -> 1L)
         timed("commit")(
-          lake.commit(epoch, files, Set.empty, metrics + ("delta_commits" -> 1L)))
-        return BatchResult(epoch, skipped = false, metrics)
+          lake.commit(epoch, files, Set.empty, morMetrics))
+        return BatchResult(epoch, skipped = false, morMetrics)
       }
 
       // CoW change sidecar: scd2's change set is its version rows (same shape

@@ -236,8 +236,13 @@ object LakeSync {
 
     val tm = target.manifest
     val epoch = math.max(tm.epochWatermark, -1L) + 1
+    // validatePayload=false: these rows already passed the SOURCE's
+    // quarantine split — a legitimately null-filled payload (ingested before
+    // an evolution added tokens/n_tok) would re-quarantine HERE and silently
+    // diverge the mirror while the cursor advances past it
     val cfg = JobConfig(mode = CdcMode.Upsert, keyCols = tm.keyCols,
-      merge = merge, buckets = tm.buckets, changeFeed = changeFeed)
+      merge = merge, buckets = tm.buckets, changeFeed = changeFeed,
+      validatePayload = false)
     val res = MergeApply.applyBatch(spark, target, events, epoch, cfg,
       extraMetrics = Map(OFFSET_METRIC -> (head - from).toLong))
     val rows = Seq("applied_inserts", "applied_updates", "applied_deletes")

@@ -129,4 +129,12 @@ case class JobConfig(
       * and need no sidecar). Off by default: it adds one O(batch) write per
       * epoch to the CoW hot path; changeLog fails loudly — never silently
       * empty — when asked for a window containing unrecorded CoW commits. */
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    /** false: skip the tokens/n_tok payload invariant in the quarantine
+      * split (op and merge-key checks still run). For ALREADY-VALIDATED
+      * rows — LakeSync windows replaying a source's change feed, where a
+      * legitimately null-filled payload (a row ingested before the column
+      * existed) would otherwise quarantine on the mirror and silently
+      * diverge it from the source that accepted the row. Raw feeds keep
+      * the default. */
+    validatePayload: Boolean = true)

@@ -213,6 +213,45 @@ class LakeSyncSpec extends SparkSpec {
       "the re-used name carries the RENAMED column's values, not the old one's")
   }
 
+  test("a source-accepted null-filled payload row syncs to the mirror: the " +
+    "window is already validated, re-quarantining it would silently diverge") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft-lakesync-nullfill")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // mirror bootstrapped BEFORE the null-filled row exists, so the row
+    // below arrives via an INCREMENTAL window (the applyBatch path where the
+    // payload invariant used to re-fire)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+    // a batch whose frame LACKS tokens/n_tok (an older producer): the source
+    // accepts it (the payload invariant only applies to frames that carry
+    // the columns) and null-fills — its change-feed row has tokens = null
+    val narrow = StructType(ChangeEvent.envelopeFields ++ Seq(
+      StructField("doc_id", StringType), StructField("source", StringType)))
+    val row = Row(9001L, 1L, new java.sql.Timestamp(1700000000000L), "UPDATE",
+      1, "doc-000000001", "mail")
+    MergeApply.applyBatch(spark, source,
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), narrow),
+      500L, cfg.job)
+    assert(source.read(spark).filter(col("doc_id") === "doc-000000001" &&
+      col("tokens").isNull && col("source") === "mail").count() == 1)
+    // the incremental window must APPLY the null-token change row on the
+    // mirror, not re-quarantine it (the mirror would diverge while the
+    // cursor advances past the window — the worst silent failure shape)
+    val r = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(!r.bootstrapped && r.rows >= 1, r.toString)
+    val target = new LakeTable(targetDir)
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+    assert(!new java.io.File(s"$targetDir/quarantine").exists,
+      "nothing quarantines on an already-validated sync window")
+  }
+
   test("feed binding: foreign sources and non-sync targets are refused") {
     val root = tmpDir("graft-lakesync-bind")
     val cfgA = morCfg(s"$root/a")

@@ -351,6 +351,59 @@ class OpsMainSpec extends SparkSpec {
       JobMain.runOp(spark, Seq("--op", "quarantine_clear") ++ tbl))
   }
 
+  test("quarantine_replay --settings re-runs the job's transform rules: an " +
+    "externally-corrected row lands TRANSFORMED, like every ingested row") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-opsmain-drainrules")
+    val settingsJson =
+      """{
+        |  "task": { "task_name": "drain_rules", "replication_type": "cdc",
+        |    "start_mode": "reload", "cdc_settings": { "mode": "upsert" } },
+        |  "tables": [ { "schema_name": "corpus", "table_name": "documents",
+        |    "priority": 0 } ],
+        |  "transformations": [
+        |    { "table_info": { "schema_name": "corpus", "table_name": "documents" },
+        |      "settings": { "transformation_type": "modify_column_value",
+        |        "description": "upper", "contract": { "operation": "uppercase",
+        |        "column_name": "source" }, "priority": 1 } } ]
+        |}""".stripMargin
+    val sp = java.nio.file.Files.createTempFile("graft-drain-settings", ".json")
+    java.nio.file.Files.writeString(sp, settingsJson)
+    val parsed = TaskSettings.parse(settingsJson)
+    val job = JobConfig(transforms = parsed.tables.head.transforms)
+    val lake = CdcRunner.ensureTable(spark, RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table",
+      checkpointDir = s"$root/cp", job = job))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val batch = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1, 2), Int.box(2), "web"),
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1, 2, 3), Int.box(99), "web"))
+    graft.apply.MergeApply.applyBatch(spark,
+      lake, spark.createDataFrame(
+        spark.sparkContext.parallelize(batch, 2), ChangeEvent.schema()), 0L, job)
+    assert(lake.read(spark).select("source").collect().map(_.getString(0))
+      .forall(_ == "WEB"), "ingested rows are transformed")
+    // the operator's repair loop: fix the quarantined parquet in place
+    // (n_tok 99 → the real size), then drain it from the CLI
+    val qDir = lake.quarantineDir(0L)
+    val fixed = spark.read.parquet(qDir)
+      .withColumn("n_tok", org.apache.spark.sql.functions.size(col("tokens")))
+    val tmpQ = s"$root/qfix"
+    fixed.write.parquet(tmpQ)
+    CdcRunner.deleteRecursively(new java.io.File(qDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpQ),
+      java.nio.file.Paths.get(qDir))
+    val rConf = writeConfig("""{"epoch": 0}""")
+    JobMain.runOp(spark, Seq("--op", "quarantine_replay", "--config", rConf,
+      "--settings", sp.toString, "--table", s"$root/table"))
+    val k2 = lake.read(spark).filter(col("doc_id") === "k2").head()
+    assert(k2.getAs[String]("source") == "WEB",
+      "the drained row went through the SAME rule pipeline as ingest — " +
+        "without --settings it would land raw ('web') and silently diverge")
+  }
+
   test("dedup_embedding honors vec_col/id_col overrides") {
     val renamed = spark.read.parquet(embs)
       .select(col("vec_id").as("vid"), col("embedding").as("emb"))
