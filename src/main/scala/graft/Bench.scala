@@ -166,13 +166,21 @@ object Bench {
     // build would waste the 20 minutes that already ran
     val morSampleCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOR_SAMPLES", "2").toInt
     require(morSampleCount >= 1,
-      s"SPARK_GRAFT_BENCH_MOR_SAMPLES=$morSampleCount: need >= 1 (use " +
-        "SPARK_GRAFT_BENCH_QUERIES=0 to skip the query phase instead)")
+      s"SPARK_GRAFT_BENCH_MOR_SAMPLES=$morSampleCount: need >= 1 — the MoR " +
+        "ingest+fold phases are part of the headline artifact and cannot be " +
+        "skipped; 1 trades noise robustness for wall time")
 
-    // clear stale bench workspaces from crashed runs (tmpfs is shared + finite);
-    // age-scoped so a concurrently running bench's live workspace is never hit
+    // clear stale bench workspaces from crashed runs (tmpfs is shared +
+    // finite); age-scoped so a concurrently running bench's live workspace is
+    // never hit. Sweep the SAME root benchTmp resolves to — on hosts without
+    // a writable /dev/shm the workspaces land under java.io.tmpdir, and a
+    // /dev/shm-only sweep would let crashed runs fill that disk forever.
     val staleMs = System.currentTimeMillis() - 3 * 3600 * 1000L
-    new java.io.File("/dev/shm").listFiles() match {
+    val sweepRoot =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    new java.io.File(sweepRoot).listFiles() match {
       case null => ()
       case fs => fs.filter(f => f.getName.startsWith("graft-bench-") &&
         f.lastModified() < staleMs).foreach(rm)
@@ -276,8 +284,9 @@ object Bench {
     // spends or saves wall time; reported numbers always cover every pair run.
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
     require(maxPairs >= 1,
-      s"SPARK_GRAFT_BENCH_PAIRS=$maxPairs: need >= 1 scaling pair (use " +
-        "SPARK_GRAFT_BENCH_QUERIES=0 to skip the query phase instead)")
+      s"SPARK_GRAFT_BENCH_PAIRS=$maxPairs: need >= 1 scaling pair — the " +
+        "scaling-efficiency headline is the bench's reason to exist; 1 " +
+        "trades noise robustness for wall time")
     val minPairs = 2
     val stopAt = 0.85
     def effOf(p: (Double, Double)): Double =

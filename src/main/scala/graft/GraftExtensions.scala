@@ -59,9 +59,15 @@ object GraftExtensions {
       fn("vec_cosine", "_FUNC_(a, b) - cosine similarity of two numeric arrays") { args =>
         arity("vec_cosine", args, 2)
         val (a, b) = (args(0), args(1))
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Literal, Multiply, NullIf, Sqrt}
+        // SAME guarded tree as VectorOps.vec_cosine: the denominator goes
+        // through NullIf so a zero-norm vector degrades to NULL — a raw
+        // Divide dies with DIVIDE_BY_ZERO under Spark 4's ANSI default (one
+        // all-zero embedding kills the whole query) and yields a
+        // NaN-out-sorts-everything score with ANSI off
         Divide(DotProduct(a, b),
-          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+          new NullIf(Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
+            Literal(0.0)))
       },
       fn("hyperplane_sig",
         "_FUNC_(v, planes) - 64-bit random-hyperplane LSH signature of a numeric array") { args =>
@@ -171,17 +177,31 @@ object GraftExtensions {
     e
   }
 
-  private def intArg(name: String, arg: String, e: Expression): Int =
-    Cast(foldableArg(name, arg, e), IntegerType).eval() match {
-      case i: Int => i
-      case other  => fail(s"$name: $arg must be an integer literal, got $other")
-    }
+  /** Int via the LONG path with an explicit range check: a straight cast to
+    * IntegerType silently wraps out-of-range values in non-ANSI sessions
+    * (graft_table('dir', 2^32+1) would time-travel to version 1) and throws
+    * a raw CAST_OVERFLOW instead of a named error under ANSI. */
+  private def intArg(name: String, arg: String, e: Expression): Int = {
+    val l = longArg(name, arg, e)
+    if (l < Int.MinValue || l > Int.MaxValue)
+      fail(s"$name: $arg out of int range: $l")
+    l.toInt
+  }
 
-  private def longArg(name: String, arg: String, e: Expression): Long =
+  private def longArg(name: String, arg: String, e: Expression): Long = {
+    e.dataType match {
+      // a cast would silently TRUNCATE 1.9 → 1 in both ANSI modes
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType |
+           (_: org.apache.spark.sql.types.DecimalType) =>
+        fail(s"$name: $arg must be an integral literal, got ${e.sql}")
+      case _ =>
+    }
     Cast(foldableArg(name, arg, e), LongType).eval() match {
       case l: Long => l
       case other   => fail(s"$name: $arg must be a long literal, got $other")
     }
+  }
 
   /** Evaluate a foldable array<array<numeric>> literal into the centroid matrix. */
   private def centroidsArg(e: Expression): Array[Array[Double]] = {
@@ -196,8 +216,14 @@ object GraftExtensions {
       case _ => fail("nearest_cells: centroids literal evaluated to null")
     }
     Array.tabulate(outer.numElements()) { c =>
+      // the type pattern admits containsNull=true literals: a null inner
+      // array (or null element) would otherwise surface as a bare NPE / a
+      // 0.0-substituted centroid component with no hint which literal is bad
+      if (outer.isNullAt(c)) fail(s"nearest_cells: centroids[$c] is null")
       val row = outer.getArray(c)
       Array.tabulate(row.numElements()) { i =>
+        if (row.isNullAt(i))
+          fail(s"nearest_cells: centroids[$c][$i] is null")
         elemT match {
           case DoubleType  => row.getDouble(i)
           case FloatType   => row.getFloat(i).toDouble

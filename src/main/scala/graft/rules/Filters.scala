@@ -42,12 +42,21 @@ object FilterCompiler {
   private def dateLit(v: Any, dt: DataType): Column = {
     val s = v.toString
     val fmt = if (s.length > 10) dateTimeFmt else dateOnlyFmt
-    val javaFmt = java.time.format.DateTimeFormatter.ofPattern(fmt)
+    // STRICT resolution to match Spark's own parser: java.time's default
+    // SMART resolver quietly rounds day-overflow typos ('2024-02-31' →
+    // Feb 29), so the guard would pass and the job still hit the very
+    // failure it documents — an ANSI parse exception per batch, or with
+    // ANSI off a NULL literal whose conjunctive filter drains every row.
+    // STRICT needs era-free 'u' year patterns.
+    val javaFmt = java.time.format.DateTimeFormatter
+      .ofPattern(fmt.replace("yyyy", "uuuu"))
+      .withResolverStyle(java.time.format.ResolverStyle.STRICT)
     val ok = scala.util.Try {
       if (s.length > 10) java.time.LocalDateTime.parse(s, javaFmt)
       else java.time.LocalDate.parse(s, javaFmt)
     }.isSuccess
     require(ok, s"date filter value '$s' does not match '$fmt' " +
+      s"or is not a real calendar date " +
       s"(supported: '$dateOnlyFmt' or '$dateTimeFmt')")
     dt match {
       case DateType =>
@@ -60,19 +69,28 @@ object FilterCompiler {
     }
   }
 
-  private def requireDateCol(f: FilterCfg, schema: StructType): DataType = {
-    val field = schema.fields.find(_.name == f.columnName).getOrElse(
-      throw new IllegalArgumentException(s"filter column not found: ${f.columnName}"))
-    field.dataType match {
-      case DateType | TimestampType | TimestampNTZType => field.dataType
+  /** Resolve the filter's column like Spark does (exact name first, then
+    * case-insensitive) — EVERY filter validates at compile time with the
+    * rule named, not just the date ops: a typo'd column otherwise surfaces
+    * later as Spark's generic UNRESOLVED_COLUMN with no hint which
+    * settings.json rule is broken. */
+  private def resolveCol(f: FilterCfg, schema: StructType): StructField =
+    schema.fields.find(_.name == f.columnName)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(f.columnName)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"filter ${f.filterType}: column not found: ${f.columnName} " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})"))
+
+  private def requireDateCol(f: FilterCfg, schema: StructType): DataType =
+    resolveCol(f, schema).dataType match {
+      case dt @ (DateType | TimestampType | TimestampNTZType) => dt
       case other => throw new IllegalArgumentException(
         s"filter ${f.filterType} on ${f.columnName}: column must be date/timestamp, got $other")
     }
-  }
 
   /** Compile one filter rule to a Catalyst predicate. */
   def compile(f: FilterCfg, schema: StructType): Column = {
-    val c = col(f.columnName)
+    val c = col(resolveCol(f, schema).name)
     // every missing-operand path fails with the filter named — a bare
     // None.get gives the operator no hint which settings.json rule is broken
     def rawV = f.value.getOrElse(

@@ -37,7 +37,12 @@ object MathExpr {
         val j = s.indexWhere(ch => !(ch.isDigit || ch == '.'), i) match {
           case -1 => s.length; case k => k
         }
-        toks += Num(s.substring(i, j).toDouble); i = j
+        val raw = s.substring(i, j)
+        // '1.2.3' passes the charset check; name the expression instead of
+        // leaking a bare NumberFormatException like no other path here does
+        toks += Num(raw.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+          s"math_expression: malformed number '$raw' in '$s'")))
+        i = j
       } else if (s.startsWith("value", i)) { toks += Value; i += 5 }
       else c match {
         case '(' => toks += LPar; i += 1

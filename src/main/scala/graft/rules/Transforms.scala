@@ -144,15 +144,20 @@ object TransformCompiler {
   }
 
   /** Compile one creator to (name, Column). `batchTs` = deterministic now. */
-  private def compileCreate(t: CreateColumn, schema: StructType, batchTs: Column): Column =
+  /** Returns (expression, result dtype) so the tracked schema is stated ONCE
+    * beside the expression — a second hand-kept dtype table in compile()
+    * silently diverged the moment an op's return type changed. */
+  private def compileCreate(
+      t: CreateColumn, schema: StructType, batchTs: Column): (Column, DataType) =
     t.operation match {
       case "literal" =>
-        lit(t.value.orNull).cast(pgType(t.valueType.getOrElse("varchar")))
-      case "date_now"     => batchTs.cast(DateType)
-      case "datetime_now" => batchTs.cast(TimestampType)
+        val dt = pgType(t.valueType.getOrElse("varchar"))
+        (lit(t.value.orNull).cast(dt), dt)
+      case "date_now"     => (batchTs.cast(DateType), DateType)
+      case "datetime_now" => (batchTs.cast(TimestampType), TimestampType)
       case "concat" =>
         requireCols(schema, t.dependsOn, "concat")
-        concat_ws(t.separator, t.dependsOn.map(col): _*)
+        (concat_ws(t.separator, t.dependsOn.map(col): _*), StringType)
       case "date_diff_years" =>
         // year(end) - year(start) as double; optional round→long
         // (FunctionColumnCreator.py:46-55)
@@ -162,37 +167,40 @@ object TransformCompiler {
           d => d == DateType || d == TimestampType || d == TimestampNTZType,
           "date_diff_years"))
         val diff = (year(col(t.dependsOn(1))) - year(col(t.dependsOn(0)))).cast(DoubleType)
-        if (t.round) round(diff).cast(LongType) else diff
+        if (t.round) (round(diff).cast(LongType), LongType) else (diff, DoubleType)
       case other => throw new IllegalArgumentException(s"unknown create operation: $other")
     }
 
-  /** Compile one modifier to the replacement Column for `t.columnName`. */
-  private def compileModify(t: ModifyColumn, schema: StructType): Column = {
+  /** Compile one modifier to (replacement Column, result dtype) for
+    * `t.columnName` — dtype stated once, beside the expression. */
+  private def compileModify(t: ModifyColumn, schema: StructType): (Column, DataType) = {
     val c = col(t.columnName)
     requireCols(schema, Seq(t.columnName), t.operation)
     def isStr(d: DataType) = d == StringType
     def isDate(d: DataType) = d == DateType || d == TimestampType || d == TimestampNTZType
     def isNum(d: DataType) = d.isInstanceOf[NumericType]
+    def keep = schema.fields.find(_.name == t.columnName).get.dataType
     t.operation match {
       case "format_date" =>
         requireDtype(schema, t.columnName, isDate, "format_date")
-        date_format(c, strftimeToJava(t.format.getOrElse("%Y-%m-%d")))
+        (date_format(c, strftimeToJava(t.format.getOrElse("%Y-%m-%d"))), StringType)
       case "uppercase" =>
-        requireDtype(schema, t.columnName, isStr, "uppercase"); upper(c)
+        requireDtype(schema, t.columnName, isStr, "uppercase"); (upper(c), keep)
       case "lowercase" =>
-        requireDtype(schema, t.columnName, isStr, "lowercase"); lower(c)
+        requireDtype(schema, t.columnName, isStr, "lowercase"); (lower(c), keep)
       case "trim" =>
-        requireDtype(schema, t.columnName, isStr, "trim"); trim(c)
+        requireDtype(schema, t.columnName, isStr, "trim"); (trim(c), keep)
       case "extract_year" =>
-        requireDtype(schema, t.columnName, isDate, "extract_year"); year(c)
+        requireDtype(schema, t.columnName, isDate, "extract_year"); (year(c), IntegerType)
       case "extract_month" =>
-        requireDtype(schema, t.columnName, isDate, "extract_month"); month(c)
+        requireDtype(schema, t.columnName, isDate, "extract_month"); (month(c), IntegerType)
       case "extract_day" =>
-        requireDtype(schema, t.columnName, isDate, "extract_day"); dayofmonth(c)
+        requireDtype(schema, t.columnName, isDate, "extract_day"); (dayofmonth(c), IntegerType)
       case "math_expression" =>
         requireDtype(schema, t.columnName, isNum, "math_expression")
-        MathExpr.compile(t.expression.getOrElse(
-          throw new IllegalArgumentException("math_expression: missing expression")), c)
+        (MathExpr.compile(t.expression.getOrElse(
+          throw new IllegalArgumentException("math_expression: missing expression")), c),
+          DoubleType)
       case other => throw new IllegalArgumentException(s"unknown modify operation: $other")
     }
   }
@@ -231,24 +239,11 @@ object TransformCompiler {
         // name uniqueness — ColumnCreator.py:86-108
         require(!schema.fieldNames.contains(t.newColumnName),
           s"create_column: '${t.newColumnName}' already exists")
-        val expr = compileCreate(t, schema, batchTs)
-        val fieldType = t.operation match {
-          case "literal"         => pgType(t.valueType.getOrElse("varchar"))
-          case "date_now"        => DateType
-          case "datetime_now"    => TimestampType
-          case "concat"          => StringType
-          case "date_diff_years" => if (t.round) LongType else DoubleType
-        }
+        val (expr, fieldType) = compileCreate(t, schema, batchTs)
         schema = StructType(schema.fields :+ StructField(t.newColumnName, fieldType))
         steps += (_.withColumn(t.newColumnName, expr))
       case t: ModifyColumn =>
-        val expr = compileModify(t, schema)
-        val newType = t.operation match {
-          case "format_date"                                    => StringType
-          case "extract_year" | "extract_month" | "extract_day" => IntegerType
-          case "math_expression"                                => DoubleType
-          case _ => schema.fields.find(_.name == t.columnName).get.dataType
-        }
+        val (expr, newType) = compileModify(t, schema)
         schema = StructType(schema.fields.map(f =>
           if (f.name == t.columnName) f.copy(dataType = newType) else f))
         steps += (_.withColumn(t.columnName, expr))

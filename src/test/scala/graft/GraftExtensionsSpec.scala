@@ -24,6 +24,28 @@ class GraftExtensionsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(sql.toSeq == api.toSeq)
     assert(math.abs(sql(0).getDouble(1) - (0.5 - 2.0 + 6.0)) < 1e-9)
+    // zero-norm → NULL on the SQL path too (the Column API's nullif guard):
+    // a raw Divide dies with ANSI DIVIDE_BY_ZERO — one all-zero embedding
+    // must never kill the whole query
+    val z = spark.sql(
+      "SELECT vec_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c").head()
+    assert(z.isNullAt(0), "zero-norm cosine is NULL, not a crash")
+  }
+
+  test("integer table-function args are validated, never wrapped/truncated") {
+    // fractional version: named error, not a silent 1.9 → 1 truncation
+    val e = intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM graft_table('/nonexistent', 1.9)"))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // out-of-int-range version: named error, not a 2^32 wrap to version 1
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM graft_table('/nonexistent', 4294967297)"))
+    assert(e2.getMessage.contains("out of int range"), e2.getMessage)
+    // null centroid entries: named error, not a bare NPE
+    val e3 = intercept[IllegalArgumentException](
+      spark.sql("SELECT nearest_cells(array(1.0D), " +
+        "array(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)), 1)"))
+    assert(e3.getMessage.contains("centroids[1] is null"), e3.getMessage)
   }
 
   test("hyperplane_sig SQL == Column API; rejects non-literal planes") {

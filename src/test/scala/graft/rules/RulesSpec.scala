@@ -97,6 +97,35 @@ class FilterCompilerSpec extends SparkSpec {
       FilterCompiler.compile(
         FilterCfg("at", "date_equals", value = Some("01/02/2024")), df.schema)
     }
+    // day-overflow typos: java.time's default SMART resolver quietly rounds
+    // '2024-02-31' to Feb 29 while Spark's STRICT parser rejects it at
+    // runtime — the guard must be as strict as the engine it fronts
+    Seq("2024-02-31", "2024-04-31", "2023-02-29").foreach { bad =>
+      val e2 = intercept[IllegalArgumentException] {
+        FilterCompiler.compile(
+          FilterCfg("at", "date_equals", value = Some(bad)), df.schema)
+      }
+      assert(e2.getMessage.contains(bad), e2.getMessage)
+    }
+    // a real leap day still passes
+    FilterCompiler.compile(
+      FilterCfg("at", "date_equals", value = Some("2024-02-29")), df.schema)
+  }
+
+  test("EVERY filter validates its column at compile time with the rule " +
+    "named; resolution is case-insensitive like Spark's") {
+    val e = intercept[IllegalArgumentException] {
+      FilterCompiler.compile(
+        FilterCfg("pricee", "equals", value = Some(1)), df.schema)
+    }
+    assert(e.getMessage.contains("equals") && e.getMessage.contains("pricee"),
+      e.getMessage)
+    // 'SCORE' resolves to 'score' (Spark is case-insensitive by default) —
+    // date ops used to reject the very spelling equals accepted
+    df.filter(FilterCompiler.compile(
+      FilterCfg("SCORE", "equals", value = Some(1)), df.schema)).count()
+    df.filter(FilterCompiler.compile(
+      FilterCfg("AT", "date_equals", value = Some("2024-01-01")), df.schema)).count()
   }
 
   test("date filters reject non-date columns (reference dtype validation)") {
