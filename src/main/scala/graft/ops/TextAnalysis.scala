@@ -36,7 +36,9 @@ object TextAnalysis {
   /** Punctuation character ratio over total length. */
   def punctRatio(text: Column): Column = {
     val punct = length(text) - length(regexp_replace(text, "[.,!?;:']", ""))
-    punct.cast(DoubleType) / length(text).cast(DoubleType)
+    // nullif denominator: Spark's non-ANSI 0/0 is NaN while SQL division by
+    // zero is NULL — an empty document must read the same in both engines
+    punct.cast(DoubleType) / nullif(length(text).cast(DoubleType), lit(0.0))
   }
 
   val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

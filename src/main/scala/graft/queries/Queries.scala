@@ -54,9 +54,15 @@ object Queries {
   private val TOK_A = 2654435761L // Knuth multiplicative constants — integer-exact in both engines
   private val TOK_B = 40503L
 
+  // eid is pre-reduced mod VOCAB before the multiply: mathematically
+  // identical ((eid*A) % V == ((eid%V)*A) % V) but overflow-safe at ANY
+  // event_id — a bare eid*A past ~3.47e9 wraps silently in Spark while
+  // DuckDB raises Out of Range, so the "integer-exact in both engines"
+  // claim would break exactly when the fixture scales up
   def tokensExpr(eid: Column, nTok: Column): Column =
     transform(sequence(lit(1), nTok),
-      x => ((eid * TOK_A + x.cast(LongType) * TOK_B) % ChangeFeed.VOCAB).cast(IntegerType))
+      x => (((eid % ChangeFeed.VOCAB) * TOK_A + x.cast(LongType) * TOK_B)
+        % ChangeFeed.VOCAB).cast(IntegerType))
 
   def feedFromEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = read(spark, dir, "events")
@@ -90,8 +96,18 @@ object Queries {
        |  event_type AS source
        |FROM events""".stripMargin
 
+  /** The canonical LWW output shape (doc_id, tokens_csv, n_tok, source),
+    * sorted — ONE definition for the ten pipeline/lake queries that project
+    * it, for the same reason lwwFoldSql is one definition: a payload-column
+    * change landing in nine of ten copies silently breaks the tenth. */
+  private def lwwShape(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+      col("n_tok"), col("source"))
+      .orderBy("doc_id")
+
   private def tokensSql(eid: String, nTok: String): String =
-    s"list_transform(generate_series(1, $nTok), x -> CAST(($eid*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
+    s"list_transform(generate_series(1, $nTok), x -> CAST((($eid % ${ChangeFeed.VOCAB})*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
 
   /** The LWW replay fold shared by every oracle whose final state is "the
     * per-key latest non-DELETE event" — upsert/default/mor pipelines, the
@@ -350,18 +366,14 @@ object Queries {
     // raw array cells (factorize dies on numpy.ndarray), so no query emits one.
     "q_cdc_pipeline_upsert" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Upsert)
-        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // default mode: literal replay — final state equals the upsert fold
     // (SURVEY §2.4: per-key reduction collapses literal replay to LWW)
     "q_cdc_pipeline_default" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Default)
-        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // quarantine + DLX drain (reference: dlx.py / MessageDlx.py:27-87): a feed
@@ -393,9 +405,7 @@ object Queries {
           fix = d => d.withColumn("n_tok", size(col("tokens"))))
       }
       lake.read(s)
-        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // schema evolution mid-stream (north-star requirement): v2 events rename
@@ -448,9 +458,7 @@ object Queries {
     // land on the exact same final state as the CoW upsert fold
     "q_cdc_pipeline_mor" -> ((s, dir) => {
       runPipeline(s, dir, CdcMode.Upsert, merge = MergeStrategy.MergeOnRead)
-        .select(col("doc_id"), array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // the engine end-to-end in SCD2 mode: full version history == SQL window oracle
@@ -792,10 +800,7 @@ object Queries {
       lake.compact(s, maxFilesPerBucket = 1, maxDeltaFiles = 1)
       lake.vacuum(keepVersions = 1)
       lake.read(s)
-        .select(col("doc_id"),
-          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // bucket-spec evolution end-to-end: ingest at 4 buckets, rescale to 8
@@ -825,10 +830,7 @@ object Queries {
       require(m.buckets == 8 && m.files.forall(_.spec == 8),
         s"migration incomplete: ${m.files.map(_.spec).distinct}")
       lake.read(s)
-        .select(col("doc_id"),
-          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // mixed-version WAL stream, ONE run, NO restart: v1 lines (doc_id, n_tok
@@ -975,10 +977,7 @@ object Queries {
       // redo from the fresh head — the runbook path — then read
       external.compact(s, maxFilesPerBucket = 1)
       lake.read(s)
-        .select(col("doc_id"),
-          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // lake → lake replication: ingest the feed into an UPSTREAM table
@@ -1010,10 +1009,7 @@ object Queries {
       CdcRunner.runAvailableNow(s, cfg)
       graft.lake.LakeSync.sync(s, cfg.tableDir, mirror)
       new graft.lake.LakeTable(mirror).read(s)
-        .select(col("doc_id"),
-          array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-          col("n_tok"), col("source"))
-        .orderBy("doc_id")
+        .transform(lwwShape)
     }),
 
     // the lake as PURE SQL: after a normal streaming ingest, the final read
