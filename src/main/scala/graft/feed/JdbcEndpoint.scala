@@ -131,8 +131,13 @@ object JdbcEndpoint {
       // equality on the result rows — drivers differ on escape handling, and
       // trusting LIKE semantics lets '_' in a real name (MY_DATA) false-match
       // a sibling (MY1DATA) and skip creation
+      // types=Array("TABLE"): a same-named VIEW/synonym would otherwise
+      // suppress creation and the inserts would aim at the view — with the
+      // restriction, CREATE TABLE runs and the database names the collision
+      // loudly instead
       def found(fold: String => String): Boolean = scala.util.Using.resource(
-        md.getTables(null, schemaPart.map(fold).orNull, fold(namePart), null)) { rs =>
+        md.getTables(null, schemaPart.map(fold).orNull, fold(namePart),
+          Array("TABLE"))) { rs =>
         var hit = false
         while (!hit && rs.next())
           hit = rs.getString("TABLE_NAME") == fold(namePart) &&
@@ -338,7 +343,12 @@ object JdbcEndpoint {
     val insertTypes = insertIdx.map(i => jdbcTypeCode(schema(i).dataType))
     val keyTypes = keyIdx.map(i => jdbcTypeCode(schema(i).dataType))
     val deleteSql = s"DELETE FROM $table WHERE " +
-      keyCols.map(k => s""""$k" = ?""").mkString(" AND ")
+      // null-safe per key: `"k" = ?` binds NULL into a comparison that
+      // matches nothing, so a null-key row would never delete its prior
+      // copy and a task RETRY would duplicate it (the engine quarantines
+      // null keys upstream, but this surface is public API)
+      keyCols.map(k => s"""("$k" = ? OR ("$k" IS NULL AND ? IS NULL))""")
+        .mkString(" AND ")
     val insertSql = s"INSERT INTO $table (" +
       insertCols.map(c => s""""$c"""").mkString(", ") +
       s") VALUES (${insertCols.map(_ => "?").mkString(", ")})"
@@ -359,8 +369,16 @@ object JdbcEndpoint {
             page.foreach { r =>
               var i = 0
               while (i < keyIdx.length) {
+                // two binds per key (the null-safe predicate's value and
+                // IS-NULL probe positions)
                 val v = r.get(keyIdx(i))
-                if (v == null) del.setNull(i + 1, keyTypes(i)) else del.setObject(i + 1, v)
+                if (v == null) {
+                  del.setNull(2 * i + 1, keyTypes(i))
+                  del.setNull(2 * i + 2, keyTypes(i))
+                } else {
+                  del.setObject(2 * i + 1, v)
+                  del.setObject(2 * i + 2, v)
+                }
                 i += 1
               }
               del.addBatch()

@@ -33,11 +33,18 @@ import org.apache.spark.sql.types._
  *  - stringly values cast to the declared payload type (the reference's
  *    per-scalar convert_value loop, Datatype.py:24-35, here one columnar cast);
  *    PG array literals `{1,2,3}` are decoded for array-typed payload fields.
+ *
+ * Known limitation (shared with the reference's regex, CDCManager.py:80):
+ * QUOTED identifiers containing '.' or ':' (`table "my.schema"."weird:name"`)
+ * misparse the schema/table split — avoid such names on replicated tables.
  */
 object WalParser {
 
-  /** Line shape (re.match ⇒ anchored at start) — CDCManager.py:80. */
-  val LINE_RE = "^table\\s+([^.]+)\\.([^:]+):\\s+(INSERT|UPDATE|DELETE):\\s+(.+)"
+  /** Line shape (re.match ⇒ anchored at start) — CDCManager.py:80. (?s):
+    * test_decoding does NOT escape newlines inside quoted text values, so
+    * the rest group must span them — default '.' stops at \n and every
+    * column after the newline would extract as silently-NULL. */
+  val LINE_RE = "(?s)^table\\s+([^.]+)\\.([^:]+):\\s+(INSERT|UPDATE|DELETE):\\s+(.+)"
 
   /** Column token `name[type]:value` — CDCManager.py:100-102. The type group
     * is non-greedy up to `]:` (vs the reference's `[^\]]+`) so array types like
@@ -122,10 +129,20 @@ object WalParser {
     val noTuple = trim(rest) === "(no-tuple-data)"
     val emptyMap = map_from_arrays(array().cast(ArrayType(StringType)),
       array().cast(ArrayType(StringType)))
+    // LAST occurrence wins on duplicate column names: a primary-key UPDATE
+    // (or REPLICA IDENTITY FULL) emits `old-key: id[..]:1 new-tuple:
+    // id[..]:2` — the same name twice. map_from_arrays raises Duplicate map
+    // key under Spark's default dedup policy, wedging the stream on that
+    // line forever; last-wins picks the new-tuple value, like the reference's
+    // dict building (CDCManager.py:100-110 — later assignments overwrite).
+    val names = regexp_extract_all(rest, lit(COL_RE), lit(1))
+    val vals = regexp_extract_all(rest, lit(COL_RE), lit(3))
+    val entries = zip_with(names, vals, (n, v) => struct(n.as("n"), v.as("v")))
     val kv = when(noTuple, emptyMap).otherwise(
-      map_from_arrays(
-        regexp_extract_all(rest, lit(COL_RE), lit(1)),
-        regexp_extract_all(rest, lit(COL_RE), lit(3))))
+      map_from_entries(transform(array_distinct(names), n => struct(
+        n.as("key"),
+        element_at(filter(entries, e => e.getField("n") === n), -1)
+          .getField("v").as("value")))))
 
     val typedPayload = payload.fields.toSeq.map { f =>
       castToken(cleanToken(element_at(kv, f.name)), f.dataType).as(f.name)

@@ -174,6 +174,16 @@ object TaskSettings {
       }
       case _ => Nil
     }
+    // every rule must bind to a declared table: a typo'd table_info would
+    // otherwise parse fine and the stream would run UNFILTERED /
+    // UNTRANSFORMED with no hint anywhere
+    val declared = tables.map(t => (t.schemaName, t.tableName)).toSet
+    val orphans = (filtersByTable.keySet ++ transformsByTable.keySet)
+      .filterNot(declared.contains)
+    require(orphans.isEmpty,
+      s"settings: filters/transformations reference table(s) not in `tables`: " +
+        s"${orphans.map { case (a, b) => s"$a.$b" }.mkString(", ")} " +
+        s"(declared: ${declared.map { case (a, b) => s"$a.$b" }.mkString(", ")})")
 
     Parsed(
       taskName = (task \ "task_name").extract[String],
@@ -206,7 +216,14 @@ object TaskSettings {
       tables = tables.sortBy(_.priority),
       schemaRegistry = (task \ "schema_versions") match {
         case JObject(vers) => vers.map { case (ver, changes) =>
-          ver.toInt -> (changes match {
+          val v = ver.toInt
+          // keys are the EVENT's schema_ver; the base payload IS version 1.
+          // A "1" key (the first-evolution-equals-1 off-by-one) would evolve
+          // the LAKE while the wire parse ignores it — every added column
+          // silently null forever
+          require(v >= 2, s"schema_versions key '$ver': versions start at 2 " +
+            "(the base payload is version 1)")
+          v -> (changes match {
             case JArray(cs) => cs.map(parseSchemaChange)
             case single     => Seq(parseSchemaChange(single))
           })

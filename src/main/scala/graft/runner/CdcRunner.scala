@@ -348,7 +348,7 @@ object CdcRunner {
   /** Per-batch progress-metrics sink for one named query — registered by
     * EVERY source variant (parquet, wal, envelope, kafka), removed when the
     * query terminates. */
-  private def registerMetrics(spark: SparkSession, tableDir: String, qName: String): Unit =
+  private[runner] def registerMetrics(spark: SparkSession, tableDir: String, qName: String): Unit =
     spark.streams.addListener(new MetricsListener(spark.streams, tableDir, qName))
 
   /** Start the streaming query (continuous tail). `intervalSeconds` is the
@@ -499,10 +499,32 @@ object CdcRunner {
       .parquet(cfg.feedDir)
     val qName = s"graft-wal-${java.util.UUID.randomUUID().toString.take(8)}"
     registerMetrics(spark, cfg.tableDir, qName)
+    val stashRoot = s"${cfg.checkpointDir}/wal-pending"
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
+        // Transactions SPLIT across micro-batches: test_decoding emits whole
+        // BEGIN..COMMIT blocks, but the file feed (and maxFilesPerTrigger)
+        // can cut a batch mid-transaction — the parser's committed-only
+        // semi-join would then drop the txn's DML FOREVER (its COMMIT lands
+        // in a later batch that no longer carries the rows). Carry
+        // not-yet-committed lines forward in an epoch-keyed stash: batch N
+        // unions stash(N-1), parses the xids whose COMMIT is present, and
+        // stashes the rest as stash(N). Epoch-keyed (not a single rolling
+        // file) so a RETRIED batch re-reads the same carry-in it saw the
+        // first time; written BEFORE the merge so a crash between stash and
+        // commit replays identically.
+        val prevStash = new java.io.File(s"$stashRoot/epoch=${epoch - 1}")
+        val withPrev =
+          if (prevStash.isDirectory)
+            raw.unionByName(
+              spark.read.schema(WalParser.rawSchema).parquet(prevStash.getPath))
+          else raw
+        val commits = withPrev.filter(col("data").startsWith("COMMIT"))
+          .select("xid").distinct()
+        withPrev.join(commits, Seq("xid"), "left_anti")
+          .write.mode("overwrite").parquet(s"$stashRoot/epoch=$epoch")
         // with a schema registry, one stream parses EVERY registered payload
         // version (the wire format carries column names inline): per-row
         // version detection + rename/widen normalization, so a batch mixing
@@ -510,10 +532,18 @@ object CdcRunner {
         // (version-1) payload in that case
         val parsed =
           if (cfg.schemaRegistry.nonEmpty)
-            WalParser.parseVersionedForTable(raw, cfg.payloadSchema,
+            WalParser.parseVersionedForTable(withPrev, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
-          else WalParser.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+          else WalParser.parseForTable(withPrev, cfg.payloadSchema, schemaName, tableName)
         processBatch(spark, lake, runCfg)(parsed, epoch)
+        // the retry window only ever replays the LAST epoch: GC stashes
+        // older than epoch-1 (best-effort, idempotent on retry)
+        Option(new java.io.File(stashRoot).listFiles()).foreach(_.foreach { f =>
+          val tail = f.getName.stripPrefix("epoch=")
+          if (f.getName.startsWith("epoch=") &&
+              scala.util.Try(tail.toLong).toOption.exists(_ < epoch - 1))
+            deleteRecursively(f)
+        })
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()

@@ -111,6 +111,24 @@ object MultiTableRunner {
     jobs
   }
 
+  /** Shared cache + priority-class scaffold for routing one frame to every
+    * table: classes apply in order (FK-safe), tables WITHIN a class in
+    * parallel. ONE definition — the batch and full-load paths used to carry
+    * hand-kept copies, the drift class that once lost the rescale policy on
+    * this very runner. */
+  private def forEachByPriority(jobs: Seq[TableJob], frame: DataFrame)(
+      body: TableJob => Unit): Unit = {
+    import scala.collection.parallel.CollectionConverters._
+    val cache = jobs.size > 1
+    if (cache) frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      jobs.groupBy(_.rules.priority).toSeq.sortBy(_._1).foreach { case (_, group) =>
+        if (group.size == 1) body(group.head)
+        else group.par.foreach(body)
+      }
+    finally if (cache) { frame.unpersist(); () }
+  }
+
   /**
    * Route one micro-batch to every table: priority CLASSES apply in order
    * (FK-safe, the reference's contract — Task.py:149,170), tables WITHIN a
@@ -124,7 +142,6 @@ object MultiTableRunner {
       autoRescaleBytesPerBucket: Long = 0L,
       autoRescaleMaxGroups: Int = 4)(
       batch: DataFrame, epoch: Long): Unit = {
-    import scala.collection.parallel.CollectionConverters._
     def applyOne(tj: TableJob): Unit = {
       val cols = ChangeEvent.envelopeFields.map(_.name) ++ tj.payload.schema.fieldNames
       val sub = batch
@@ -141,14 +158,7 @@ object MultiTableRunner {
         autoRescaleBytesPerBucket, autoRescaleMaxGroups,
         label = s"(${tj.rules.tableName})")
     }
-    val cache = jobs.size > 1
-    if (cache) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
-      jobs.groupBy(_.rules.priority).toSeq.sortBy(_._1).foreach { case (_, group) =>
-        if (group.size == 1) applyOne(group.head)
-        else group.par.foreach(applyOne)
-      }
-    finally if (cache) { batch.unpersist(); () }
+    forEachByPriority(jobs, batch)(applyOne)
   }
 
   /** Route a multi-table SNAPSHOT (rows carry schema_name/table_name plus the
@@ -158,24 +168,14 @@ object MultiTableRunner {
     * commits before the CDC tail starts). Priority classes load in order,
     * tables within a class in parallel; idempotent per table (a committed
     * full-load epoch is skipped), so a crash mid-way resumes where it died. */
-  def fullLoad(spark: SparkSession, jobs: Seq[TableJob], snapshot: DataFrame): Unit = {
-    import scala.collection.parallel.CollectionConverters._
-    def loadOne(tj: TableJob): Unit = {
+  def fullLoad(spark: SparkSession, jobs: Seq[TableJob], snapshot: DataFrame): Unit =
+    forEachByPriority(jobs, snapshot) { tj =>
       val sub = snapshot
         .filter(col(SCHEMA_COL) === tj.rules.schemaName &&
           col(TABLE_COL) === tj.rules.tableName)
         .select(tj.payload.schema.fieldNames.map(col).toSeq: _*)
       CdcRunner.fullLoad(spark, tj.lake, sub, tj.job)
     }
-    val cache = jobs.size > 1
-    if (cache) snapshot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
-      jobs.groupBy(_.rules.priority).toSeq.sortBy(_._1).foreach { case (_, group) =>
-        if (group.size == 1) loadOne(group.head)
-        else group.par.foreach(loadOne)
-      }
-    finally if (cache) { snapshot.unpersist(); () }
-  }
 
   def start(spark: SparkSession, cfg: Config, availableNow: Boolean = true): StreamingQuery =
     startWithJobs(spark, cfg, ensureTables(spark, cfg), availableNow)
@@ -195,8 +195,13 @@ object MultiTableRunner {
       .schema(feedSchema(cfg))
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.feedDir)
+    val qName = s"graft-multi-${java.util.UUID.randomUUID().toString.take(8)}"
+    // same progress-metrics sink as every single-table source variant — one
+    // listener per routed table so each lake gets its progress-*.json files
+    // (the multi-table runner was the one path without the stats sink)
+    jobs.foreach(j => CdcRunner.registerMetrics(spark, j.lake.dir, qName))
     val writer = stream.writeStream
-      .queryName(s"graft-multi-${java.util.UUID.randomUUID().toString.take(8)}")
+      .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(processBatch(spark, jobs, cfg.settings.schemaRegistry,
         cfg.settings.autoCompactEveryEpochs, cfg.settings.autoCompactMaxDeltaFiles,

@@ -64,6 +64,27 @@ class MultiTableSpec extends SparkSpec {
     assert(!p.errorPolicy.stopOnInsertError)
   }
 
+  test("settings validation fails fast: rules bound to undeclared tables, " +
+    "and schema_versions keyed 1 (the base IS version 1)") {
+    // a typo'd table_info used to parse fine and run the stream UNFILTERED
+    val orphan = settingsJson.replace(
+      """"table_info": { "schema_name": "hr", "table_name": "employee" },
+      |      "settings": { "filter_type": "equals"""".stripMargin,
+      """"table_info": { "schema_name": "hr", "table_name": "employe" },
+      |      "settings": { "filter_type": "equals"""".stripMargin)
+    val e = intercept[IllegalArgumentException](TaskSettings.parse(orphan))
+    assert(e.getMessage.contains("hr.employe"), e.getMessage)
+    // schema_versions keys are the EVENT's schema_ver: a "1" key evolves the
+    // lake while the wire parse ignores it — every added column null forever
+    val v1 =
+      """{ "task": { "task_name": "t", "replication_type": "cdc",
+        |  "schema_versions": { "1": [ { "change_type": "add_column",
+        |    "column_name": "c2", "data_type": "varchar" } ] } },
+        |  "tables": [ { "schema_name": "s", "table_name": "t" } ] }""".stripMargin
+    val e2 = intercept[IllegalArgumentException](TaskSettings.parse(v1))
+    assert(e2.getMessage.contains("versions start at 2"), e2.getMessage)
+  }
+
   test("cdc_settings engine knobs: buckets + auto-compaction cadence parse " +
     "from settings.json and drive the runner") {
     val json =

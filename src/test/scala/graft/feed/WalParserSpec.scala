@@ -99,6 +99,68 @@ class WalParserSpec extends SparkSpec {
       s"got: ${r.getAs[scala.collection.Seq[String]]("tags")}")
   }
 
+  test("old-key/new-tuple UPDATE (duplicate column names): last wins, the " +
+    "stream does not wedge on Duplicate map key") {
+    // a primary-key UPDATE under replica identity emits the SAME column
+    // twice — old-key first, new-tuple second; map_from_arrays would throw
+    val lines = raw(
+      (1L, 5L, "BEGIN 5"),
+      (2L, 5L, "table corpus.documents: UPDATE: old-key: doc_id[character " +
+        "varying]:'d-old' new-tuple: doc_id[character varying]:'d-new' " +
+        "n_tok[integer]:1 tokens[integer[]]:'{7}' source[character varying]:'web'"),
+      (3L, 5L, "COMMIT 5"))
+    val got = WalParser.parseForTable(lines, payload, "corpus", "documents").head()
+    assert(got.getAs[String]("doc_id") == "d-new", got.toString)
+    assert(got.getAs[Int]("n_tok") == 1)
+  }
+
+  test("a newline inside a quoted value parses the full line (DOTALL): " +
+    "columns after the newline are not silently NULL") {
+    val lines = raw(
+      (1L, 6L, "BEGIN 6"),
+      (2L, 6L, "table corpus.documents: INSERT: doc_id[character varying]:'d-nl' " +
+        "source[character varying]:'line one\nline two' n_tok[integer]:2 " +
+        "tokens[integer[]]:'{1,2}'"),
+      (3L, 6L, "COMMIT 6"))
+    val got = WalParser.parseForTable(lines, payload, "corpus", "documents").head()
+    assert(got.getAs[String]("source") == "line one\nline two", got.toString)
+    assert(got.getAs[Int]("n_tok") == 2, "columns AFTER the newline still parse")
+  }
+
+  test("a transaction split across micro-batches is not lost: the pending " +
+    "stash carries its DML until the COMMIT arrives") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-wal-split")
+    // file 1: BEGIN + DML (no COMMIT); file 2: the COMMIT + a second txn.
+    // maxFilesPerTrigger=1 forces the batch boundary mid-transaction — the
+    // committed-only semi-join alone would drop txn 1's row forever.
+    val f1 = raw(
+      (1L, 1L, "BEGIN 1"),
+      (2L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-a' " +
+        "tokens[integer[]]:'{1}' n_tok[integer]:1 source[character varying]:'web'"))
+    val f2 = raw(
+      (3L, 1L, "COMMIT 1"),
+      (4L, 2L, "BEGIN 2"),
+      (5L, 2L, "table corpus.documents: INSERT: doc_id[character varying]:'d-b' " +
+        "tokens[integer[]]:'{2}' n_tok[integer]:1 source[character varying]:'web'"),
+      (6L, 2L, "COMMIT 2"))
+    f1.coalesce(1).write.parquet(s"$root/feed")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      payloadSchema = payload, maxFilesPerTrigger = 1)
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    assert(lake.read(spark).count() == 0, "uncommitted txn applies nothing yet")
+    // second run delivers the COMMIT: the stashed DML must apply now
+    f2.coalesce(1).write.mode("append").parquet(s"$root/feed")
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    val docs = lake.read(spark).select("doc_id").collect().map(_.getString(0)).sorted
+    assert(docs.sameElements(Array("d-a", "d-b")),
+      s"split txn recovered + second txn applied: ${docs.toSeq}")
+  }
+
   test("end-to-end: raw WAL line feed → streaming parse → upsert merge") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
