@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.feed.ChangeFeed
 import graft.model._
@@ -36,6 +35,25 @@ object CdcDemo {
       job = JobConfig(mode = mode, buckets = 8))
 
     println(s"[demo] workDir=$workDir nDocs=$nDocs nEvents=$nEvents mode=$mode")
+    // a re-run with the SAME args is the idempotence demo (checkpoint +
+    // committed epochs make it a no-op). A re-run with DIFFERENT args would
+    // be a silent lie: writeFeed reuses the same feed-NNNN names, the old
+    // checkpoint has them marked processed, and the first run's table would
+    // print as this run's result — so pin the args in a marker and refuse
+    // loudly on mismatch.
+    val marker = java.nio.file.Paths.get(workDir, ".demo-args")
+    val argSig = s"$nDocs/$nEvents/$mode"
+    if (java.nio.file.Files.exists(marker)) {
+      val prev = java.nio.file.Files.readString(marker)
+      require(prev == argSig,
+        s"workDir $workDir was built with args $prev; re-running with " +
+          s"$argSig would silently report the OLD run's table (the stream " +
+          "checkpoint already processed those feed files) — delete the " +
+          "workDir to start fresh")
+    } else {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.writeString(marker, argSig)
+    }
     val seed = ChangeFeed.seedSnapshot(spark, nDocs)
     ChangeFeed.writeFeed(
       ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents, nDocs * 2, badPct = 3)),

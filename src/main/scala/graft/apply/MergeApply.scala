@@ -45,6 +45,11 @@ object MergeApply {
     * can be recorded in the committed set (idempotence) without colliding. */
   private val REPLAY_EPOCH_BASE = 1L << 40
 
+  /** Marker offset for POST-transform quarantine dirs (rows whose transform-
+    * introduced merge key is null): distinct from streaming epochs (≪ 2^39)
+    * and from replay epochs (≥ 2^40), browsable via LakeTable.quarantine. */
+  private[graft] val POST_TRANSFORM_EPOCH_BASE = 1L << 39
+
   /** `events_received` counts each event's ORIGINAL delivery only: a replay
     * epoch re-drives rows the original epoch already counted (quarantined ⊂
     * received), and double-counting them would mask an in-transit loss in
@@ -254,12 +259,113 @@ object MergeApply {
     val transformed = compiled.apply(filtered)
     val keys = compiled.outSpec.keyCols
 
+    // ── 2b. keys INTRODUCED by the rule pipeline (add_primary_key, a created
+    // key) escape the step-1 split, which can only check the PRE-transform
+    // key set. A null introduced key on INSERT/UPDATE makes the CoW
+    // full-outer join insert a FRESH row every epoch (never matched, never
+    // deletable) while MoR's fold groups nulls together — the exact
+    // per-strategy divergence the raw null_merge_key guard exists to stop.
+    // DELETEs keep flowing: the routing contract folds key-only DELETEs by
+    // whatever key they carry, and a null-key tombstone is invisible to
+    // public reads on every storage strategy (driver-oracled by
+    // q_multitable_routing's remove/add_primary_key route). Renamed
+    // pre-checked keys are already covered (renames preserve values).
+    val renamedPre = cfg.transforms.sortBy(_.priority).foldLeft(cfg.keyCols) {
+      case (ks, ModifyColumnName(from, to, _)) => ks.map(k => if (k == from) to else k)
+      case (ks, _)                             => ks
+    }
+    val introduced = keys.filterNot(renamedPre.contains)
+    val (mergeInput, postMetrics) =
+      if (introduced.isEmpty) (transformed, Map.empty[String, Long])
+      else {
+        val nullKey = introduced.map(col(_).isNull).reduce(_ || _) &&
+          opCol =!= ChangeEvent.DELETE
+        val bad = transformed.filter(nullKey)
+        val n = bad.count()
+        if (n == 0) (transformed, Map.empty[String, Long])
+        else {
+          if (!cfg.quarantine)
+            throw new IllegalStateException(
+              s"$n event(s) with null transform-introduced merge key(s) " +
+                s"${introduced.mkString(",")} in epoch $epoch and quarantine " +
+                "is disabled")
+          // POST-transform rows can't share the raw quarantine dir (different
+          // schema); a marker-offset epoch keeps them browsable + drainable
+          bad.withColumn(QUARANTINE_REASON, lit("null_merge_key: " +
+            s"transform-introduced key(s) ${introduced.mkString(",")} must " +
+            "be non-null for INSERT/UPDATE (rows are POST-transform)"))
+            .write.mode("overwrite")
+            .parquet(lake.quarantineDir(POST_TRANSFORM_EPOCH_BASE + epoch))
+          (transformed.filter(!nullKey),
+            Map("events_quarantined_post_transform" -> n))
+        }
+      }
+
     cfg.mode match {
       case CdcMode.Scd2 =>
-        applyScd2(spark, lake, transformed, epoch, cfg, keys, onStats, extraMetrics)
+        applyScd2(spark, lake, mergeInput, epoch, cfg, keys, onStats,
+          postMetrics ++ extraMetrics)
       case _ =>
-        applyLww(spark, lake, transformed, epoch, cfg, keys, onStats, extraMetrics)
+        applyLww(spark, lake, mergeInput, epoch, cfg, keys, onStats,
+          postMetrics ++ extraMetrics)
     }
+  }
+
+  /** Shared commit scaffolding for BOTH modes: metrics assembly (op counts +
+    * quarantine/received/skipped accounting), the empty-batch feed-marker
+    * commit, and the merge-on-read delta commit — ONE definition. The two
+    * hand-kept copies had already drifted twice (a committed map smaller
+    * than the returned one; delta_commits in the manifest but not the
+    * BatchResult). Returns (metrics, Some(result)) when the epoch is fully
+    * handled here; (metrics, None) hands the caller on to its copy-on-write
+    * path with the assembled base metrics. */
+  private def commitCommon(
+      spark: SparkSession,
+      lake: LakeTable,
+      epoch: Long,
+      cfg: JobConfig,
+      m: Manifest,
+      affected: Set[Int],
+      opCounts: Map[String, Long],
+      onStats: () => (Long, Long, Long),
+      extraMetrics: Map[String, Long],
+      deltaRows: => DataFrame): (Map[String, Long], Option[BatchResult]) = {
+    val (nQuarantined, nReceived, nSkipped) = onStats()
+    val metrics = Map(
+      "batches" -> 1L,
+      "events_quarantined" -> nQuarantined,
+      "events_received" -> receivedDelta(epoch, nReceived),
+      "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
+      "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
+      "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
+      // key present only when non-zero: a clean feed's manifests stay lean
+      (if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
+       else Map.empty[String, Long]) ++
+      extraMetrics
+    if (affected.isEmpty) {
+      // an empty batch still commits (and still carries extraMetrics): a
+      // sync window whose changes all reduce away must advance its cursor.
+      // A feed-recording CoW table still plants the durable `changes/_feed`
+      // marker — it must exist from the FIRST feed-enabled epoch, or an
+      // all-quarantined first batch leaves recordsChangeFeed false and the
+      // later drain defaults to a sidecar-less commit that wedges every
+      // changeLog window spanning it. Marker only, no sidecar: changeLog
+      // never demands a sidecar from a file-less commit.
+      if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
+        lake.enableChangeFeed()
+      lake.commit(epoch, Nil, Set.empty, metrics)
+      (metrics, Some(BatchResult(epoch, skipped = false, metrics)))
+    } else if (cfg.merge == MergeStrategy.MergeOnRead) {
+      // merge-on-read: the change set IS the commit — per-bucket delta
+      // files, no base read, no join, no bucket rewrite; O(batch) bytes per
+      // epoch regardless of how many buckets the batch touches. Commit and
+      // return the SAME map (delta_commits included).
+      val files = timed("delta-write")(
+        writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA))
+      val morMetrics = metrics + ("delta_commits" -> 1L)
+      timed("commit")(lake.commit(epoch, files, Set.empty, morMetrics))
+      (morMetrics, Some(BatchResult(epoch, skipped = false, morMetrics)))
+    } else (metrics, None)
   }
 
   /** default/upsert modes: final state ≡ last-writer-wins fold (reference's literal
@@ -302,12 +408,6 @@ object MergeApply {
       val affected = opByBucket.map(_.getInt(0)).toSet
       val opCounts = opByBucket.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
-      val (nQuarantined, nReceived, nSkipped) = onStats()
-      // key present only when non-zero: a clean feed's manifests stay lean
-      val skippedMetric =
-        if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
-        else Map.empty[String, Long]
-
       // the reduced change set in delta-row shape — the MoR commit itself, and
       // the CoW change sidecar when the table records a change feed
       def deltaRows = {
@@ -322,50 +422,9 @@ object MergeApply {
             col("_bucket")): _*)
       }
 
-      if (affected.isEmpty) {
-        // an empty reduction still commits (and still carries extraMetrics):
-        // a sync window whose changes all reduce away must advance its cursor.
-        // A feed-recording CoW table still plants the durable `changes/_feed`
-        // marker — it must exist from the FIRST feed-enabled epoch, or an
-        // all-quarantined first batch leaves recordsChangeFeed false and the
-        // later drain defaults to a sidecar-less commit that wedges every
-        // changeLog window spanning it. Marker only, no sidecar: changeLog
-        // never demands a sidecar from a file-less commit, so writing an
-        // empty one per no-change window would be a recurring Spark job
-        // bought for nothing
-        if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
-          lake.enableChangeFeed()
-        val metrics = Map("batches" -> 1L, "events_quarantined" -> nQuarantined,
-          "events_received" -> receivedDelta(epoch, nReceived)) ++
-          skippedMetric ++ extraMetrics
-        lake.commit(epoch, Nil, Set.empty, metrics)
-        return BatchResult(epoch, skipped = false, metrics)
-      }
-
-      val baseMetrics = Map(
-        "batches" -> 1L,
-        "events_quarantined" -> nQuarantined,
-        "events_received" -> receivedDelta(epoch, nReceived),
-        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
-        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
-        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
-        skippedMetric ++ extraMetrics
-
-      // ── merge-on-read: the reduced change set IS the commit — per-bucket
-      // delta files, no base read, no join, no bucket rewrite. O(batch) bytes
-      // written per epoch regardless of how many buckets the batch touches;
-      // read-time per-key max(_lsn) + compaction folding do the rest. ──
-      if (cfg.merge == MergeStrategy.MergeOnRead) {
-        val files = timed("delta-write")(
-          writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA))
-        // commit and return the SAME map (delta_commits included) — the
-        // committed-vs-returned drift class the scd2 empty path already
-        // documents
-        val morMetrics = baseMetrics + ("delta_commits" -> 1L)
-        timed("commit")(
-          lake.commit(epoch, files, Set.empty, morMetrics))
-        return BatchResult(epoch, skipped = false, morMetrics)
-      }
+      val (baseMetrics, early) = commitCommon(spark, lake, epoch, cfg, m,
+        affected, opCounts, onStats, extraMetrics, deltaRows)
+      early.foreach(r => return r)
 
       // CoW change sidecar (LakeTable.changeLog's CDC-out source for CoW
       // tables) — written BEFORE the commit so a committed epoch always has
@@ -508,19 +567,6 @@ object MergeApply {
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
-      val (nQuarantined, nReceived, nSkipped) = onStats()
-
-      val metrics = Map(
-        "batches" -> 1L,
-        "events_quarantined" -> nQuarantined,
-        "events_received" -> receivedDelta(epoch, nReceived),
-        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
-        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
-        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
-        (if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
-         else Map.empty[String, Long]) ++
-        extraMetrics
-
       // incoming events as version rows; DELETEs become hidden marker rows
       def evRows = withBucket.select(
         (payloadCols.map(col) :+
@@ -531,29 +577,13 @@ object MergeApply {
           (col(ChangeEvent.OP) === ChangeEvent.DELETE).as("_deleted") :+
           col("_bucket")): _*)
 
-      if (affected.isEmpty) {
-        // like applyLww: a feed-recording CoW table plants the durable
-        // `changes/_feed` marker on an empty batch (all-quarantined first
-        // batch included) — marker only, no per-window sidecar write job
-        if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
-          lake.enableChangeFeed()
-        // commit the SAME map the BatchResult reports (applied_* are all 0
-        // here) — a smaller committed map had drifted from the returned one
-        lake.commit(epoch, Nil, Set.empty, metrics)
-        return BatchResult(epoch, skipped = false, metrics)
-      }
-
-      // merge-on-read: the version rows themselves are the commit — the chain
+      // empty / merge-on-read handled by the shared scaffolding (for scd2
+      // the version rows themselves are the delta commit — the chain
       // (end_date/current) is rebuilt at read time / folded by compaction,
-      // so history ingest never rewrites the hot buckets either
-      if (cfg.merge == MergeStrategy.MergeOnRead) {
-        val files = timed("delta-write")(
-          writeEpoch(spark, lake, evRows, epoch, m, kind = DataFile.DELTA))
-        val morMetrics = metrics + ("delta_commits" -> 1L)
-        timed("commit")(
-          lake.commit(epoch, files, Set.empty, morMetrics))
-        return BatchResult(epoch, skipped = false, morMetrics)
-      }
+      // so history ingest never rewrites the hot buckets either)
+      val (metrics, early) = commitCommon(spark, lake, epoch, cfg, m,
+        affected, opCounts, onStats, extraMetrics, evRows)
+      early.foreach(r => return r)
 
       // CoW change sidecar: scd2's change set is its version rows (same shape
       // merge-on-read commits as deltas)

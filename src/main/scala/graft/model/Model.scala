@@ -56,7 +56,7 @@ object CdcMode {
   /** Type-2 SCD history (reference: CDCOperationsHandler.py:216-277). */
   case object Scd2 extends CdcMode
 
-  def parse(s: String): CdcMode = s.toLowerCase match {
+  def parse(s: String): CdcMode = s.toLowerCase(java.util.Locale.ROOT) match {
     case "default" => Default
     case "upsert"  => Upsert
     case "scd2"    => Scd2
@@ -81,7 +81,7 @@ sealed trait MergeStrategy
 object MergeStrategy {
   case object CopyOnWrite extends MergeStrategy
   case object MergeOnRead extends MergeStrategy
-  def parse(s: String): MergeStrategy = s.toLowerCase match {
+  def parse(s: String): MergeStrategy = s.toLowerCase(java.util.Locale.ROOT) match {
     case "copy_on_write" | "cow" => CopyOnWrite
     case "merge_on_read" | "mor" => MergeOnRead
     case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")

@@ -113,6 +113,9 @@ object Multimodal {
    */
   def decodeFeatures(media: DataFrame, frameCount: Int = 8, partitions: Int = 0,
       codec: MediaCodec = StubCodec): DataFrame = {
+    // reachable from JobMain config: frame_count <= 0 would persist a
+    // nonsense frames_sampled (-1/0) on every row with no error anywhere
+    require(frameCount > 0, s"decodeFeatures: frame_count must be > 0, got $frameCount")
     val spark = media.sparkSession
     import spark.implicits._
     val projected = media.select(
@@ -130,14 +133,25 @@ object Multimodal {
       .toDF()
   }
 
-  /** "Resize": metadata-level transform (real pixel work lives in the codec). */
+  /** "Resize": metadata-level transform (real pixel work lives in the codec).
+    * Rounded-then-clamped: a bare floor over the floating-point scale
+    * undershoots the bound by a pixel (1920×(640/1920) floors to 639) and a
+    * 1-pixel dimension can collapse to 0; round + least keeps the result in
+    * [1, max]. A NULL meta stays NULL — struct() is never null, so the
+    * unguarded rewrite would silently mint an all-null-fields struct and
+    * flip every isNull audit downstream. */
   def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"resizeMeta: bounds must be >= 1 ($maxW x $maxH)")
     val w = col("meta.width"); val h = col("meta.height")
     val scale = least(lit(maxW).cast(DoubleType) / w, lit(maxH).cast(DoubleType) / h, lit(1.0))
-    media.withColumn("meta", struct(
-      floor(w * scale).cast(IntegerType).as("width"),
-      floor(h * scale).cast(IntegerType).as("height"),
+    def dim(d: Column, bound: Int) =
+      least(lit(bound), greatest(lit(1), round(d * scale).cast(IntegerType)))
+    val resized = struct(
+      dim(w, maxW).as("width"),
+      dim(h, maxH).as("height"),
       col("meta.duration_ms").as("duration_ms"),
-      col("meta.codec").as("codec")))
+      col("meta.codec").as("codec"))
+    media.withColumn("meta",
+      when(col("meta").isNull, lit(null)).otherwise(resized))
   }
 }

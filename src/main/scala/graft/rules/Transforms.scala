@@ -75,7 +75,7 @@ object TransformCompiler {
     * `character varying(n)` keeps its length only as documentation (Spark
     * strings are unbounded); `USER-DEFINED` degrades to varchar exactly like
     * the reference (trempy/Columns/Column.py:31-33). */
-  def pgType(name: String): DataType = name.toLowerCase match {
+  def pgType(name: String): DataType = name.toLowerCase(java.util.Locale.ROOT) match {
     case "smallint"                      => ShortType
     case "integer" | "int"               => IntegerType
     case "bigint"                        => LongType

@@ -98,6 +98,34 @@ class ErrorPolicySpec extends SparkSpec {
       .startsWith("unknown_op"), "only the null-op row reaches the DLX")
   }
 
+  test("a TRANSFORM-introduced merge key with nulls: INSERT/UPDATE rows " +
+    "quarantine post-transform, DELETE passthrough keeps flowing") {
+    import graft.rules.AddPrimaryKey
+    // keys become (doc_id, source) AFTER the rules run — the step-1 split
+    // checks only doc_id, so a null source on INSERT would otherwise make
+    // the CoW join insert a fresh undeletable row EVERY epoch
+    val job = JobConfig(transforms = Seq(AddPrimaryKey(Seq("source"), 0)))
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"),  // good
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1), Int.box(1), null),   // DLX
+      Row(3L, 1L, ts(3), "DELETE", 1, "k3", null, null, null))           // flows
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), readShape)
+    val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+    assert(res.metrics("events_quarantined_post_transform") == 1L, res.metrics.toString)
+    assert(lake.read(spark).count() == 1, "only the keyed INSERT lands")
+    val q = lake.quarantine(spark).collect()
+    assert(q.length == 1 && q(0).getAs[String](MergeApply.QUARANTINE_REASON)
+      .contains("transform-introduced"), q.mkString(";"))
+    assert(q(0).getAs[Long]("_epoch") == MergeApply.POST_TRANSFORM_EPOCH_BASE)
+    // quarantine=false: same detection, loud failure
+    val lake2 = mkLake(job.copy(quarantine = false))
+    val e = intercept[IllegalStateException](
+      MergeApply.applyBatch(spark, lake2, df, 0L, job.copy(quarantine = false)))
+    assert(e.getMessage.contains("transform-introduced"), e.getMessage)
+  }
+
   test("a PARTIAL composite-key DELETE is malformed, not protocol: " +
     "quarantined as null_merge_key, unlike the all-null key-less skip") {
     val job = JobConfig(keyCols = Seq("doc_id", "source"))
