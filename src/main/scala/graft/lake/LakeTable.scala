@@ -469,6 +469,14 @@ class LakeTable(val dir: String) {
 
   private def changeSetFiles(epoch: Long): Seq[DataFile] = {
     val root = Paths.get(changesDir(epoch))
+    // named failure instead of a bare NoSuchFileException from deep in the
+    // read path: a sidecar dir whose meta vanished (partial restore,
+    // external deletion) is a broken change-feed contract, say so
+    if (!Files.exists(root.resolve("_meta.json")))
+      throw new IllegalStateException(
+        s"change sidecar ${changesDir(epoch)} exists but has no _meta.json " +
+          "— the sidecar is incomplete (partial copy/restore?); the " +
+          "change_feed contract cannot serve this epoch")
     val sid = (JsonMethods.parse(new String(
       Files.readAllBytes(root.resolve("_meta.json")))) \ "schema_id") match {
       case JInt(v) => v.toInt
@@ -989,7 +997,10 @@ class LakeTable(val dir: String) {
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ShortType, IntegerType | LongType | DoubleType) => true
     case (IntegerType, LongType | DoubleType)             => true
-    case (LongType, DoubleType)                           => true
+    // NOT long→double: a double's 53-bit mantissa silently rounds stored
+    // longs above 2^53 on every read after the "widening" — the same reason
+    // Iceberg's type-promotion matrix forbids it (int/short→double are
+    // exact; every value fits the mantissa)
     case (FloatType, DoubleType)                          => true
     case _                                                => false
   }
@@ -1635,11 +1646,24 @@ class LakeTable(val dir: String) {
     def filesOf(v: Int): Seq[String] =
       if (!Files.exists(manifestPath(v))) Nil
       else resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
+    // persisted low-water mark: everything below it was swept by an earlier
+    // vacuum, so each run walks only the NEWLY pruned window instead of
+    // re-probing version 1.. forever — at millions of versions (the cadence
+    // reconcile was rebounded for) the unbounded walk is millions of
+    // all-miss Files.exists probes per scheduled vacuum. Best-effort: a
+    // missing/corrupt marker falls back to 1 (full sweep, correct either
+    // way — the sweep is idempotent).
+    val floorPath = manifestsDir.resolve("_vacuum_floor")
+    val floor = math.max(1,
+      if (Files.exists(floorPath))
+        scala.util.Try(new String(Files.readAllBytes(floorPath)).trim.toInt)
+          .getOrElse(1)
+      else 1)
     val live: Set[String] = (keepFrom to cur).flatMap(filesOf).toSet
     val dataRoot = Paths.get(dir, "data").toAbsolutePath
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
     val emptied = scala.collection.mutable.LinkedHashSet.empty[Path]
-    (1 until keepFrom).flatMap(filesOf).distinct
+    (floor until keepFrom).flatMap(filesOf).distinct
       .filterNot(live.contains)
       .map(Paths.get(_))
       .foreach { p =>
@@ -1660,7 +1684,7 @@ class LakeTable(val dir: String) {
     // change sidecars of epochs committed at pruned versions are unreachable
     // (their version's manifest goes away below) — GC them with the snapshot.
     // Read the epoch BEFORE deleting the manifest; epochs are unique per table.
-    (1 until keepFrom).foreach { v =>
+    (floor until keepFrom).foreach { v =>
       val mp = manifestPath(v)
       if (Files.exists(mp)) {
         val e = ManifestJson.read(new String(Files.readAllBytes(mp))).epoch
@@ -1706,6 +1730,15 @@ class LakeTable(val dir: String) {
           fragSeq(p.getFileName.toString) <= cur)
         .toSeq
     }.foreach { p => if (Files.deleteIfExists(p)) deleted += p.toString }
+    // advance (never regress) the low-water mark; atomic like every other
+    // metadata write
+    if (keepFrom > floor) {
+      val tmp = manifestsDir.resolve("._vacuum_floor.tmp")
+      Files.writeString(tmp, keepFrom.toString)
+      Files.move(tmp, floorPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
     deleted.toSeq
   }
 

@@ -128,8 +128,31 @@ object CdcRunner {
     val compiled = TransformCompiler.compile(job.transforms,
       TableSpec("lake", "t", job.keyCols), filtered.schema,
       MergeApply.batchTimestamp(epoch))
-    val snapshot = compiled.apply(filtered)
+    val snapshot0T = compiled.apply(filtered)
     val keys = compiled.outSpec.keyCols
+    // null merge keys in the SNAPSHOT bypass every change-path guard and
+    // would land as base rows the CoW join can never match again
+    // (undeletable, publicly visible forever) while the MoR fold groups
+    // nulls together — the same per-strategy divergence the merge
+    // quarantines. Same routing here: quarantine-and-continue (browsable
+    // under the full-load epoch) or fail loudly. The pre-count projects
+    // ONLY the key columns — a pruned scan, cheap next to the load's write.
+    val nullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val nBadKeys = snapshot0T.select(keys.map(col): _*).filter(nullKey).count()
+    val snapshot =
+      if (nBadKeys == 0) snapshot0T
+      else {
+        if (!job.quarantine)
+          throw new IllegalStateException(
+            s"full load: $nBadKeys snapshot row(s) with null merge key(s) " +
+              s"${keys.mkString(",")} and quarantine is disabled")
+        snapshot0T.filter(nullKey)
+          .withColumn(MergeApply.QUARANTINE_REASON, lit("null_merge_key: " +
+            s"key column(s) ${keys.mkString(",")} must be non-null in the " +
+            "full-load snapshot"))
+          .write.mode("overwrite").parquet(lake.quarantineDir(epoch))
+        snapshot0T.filter(!nullKey)
+      }
     val withBucket = (job.mode match {
       case CdcMode.Scd2 =>
         val scd = job.scdCols
@@ -169,6 +192,12 @@ object CdcRunner {
   def applySchemaRegistry(
       lake: LakeTable, registry: Map[Int, Seq[SchemaChange]], batch: DataFrame): Unit = {
     if (registry.isEmpty) return
+    // steady-state short-circuit BEFORE the batch scan: once the watermark
+    // covers every registered version, the distinct(schema_ver) pass — a
+    // full re-read of every micro-batch — buys nothing, forever. One cached
+    // manifest read makes the applied state free.
+    if (lake.manifest.metrics.getOrElse(LakeTable.RegistryVerMetric, 0L) >=
+        registry.keys.max) return
     // null-tolerant: a malformed feed file can carry null schema_ver (file
     // sources don't enforce nullable=false) — such rows evolve nothing here
     // and fall through to the merge, whose invariants quarantine them;
@@ -348,27 +377,59 @@ object CdcRunner {
   /** Per-batch progress-metrics sink for one named query — registered by
     * EVERY source variant (parquet, wal, envelope, kafka), removed when the
     * query terminates. */
-  private[runner] def registerMetrics(spark: SparkSession, tableDir: String, qName: String): Unit =
-    spark.streams.addListener(new MetricsListener(spark.streams, tableDir, qName))
+  private[runner] def registerMetrics(spark: SparkSession, tableDir: String,
+      qName: String): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val l = new MetricsListener(spark.streams, tableDir, qName)
+    spark.streams.addListener(l)
+    l
+  }
+
+  /** Start with listener-leak protection: a query that FAILS to start never
+    * fires onQueryTerminated, so its listener would outlive it and be
+    * invoked on every progress event of every other query in the session —
+    * one leaked scanner per supervisor retry, forever. */
+  private[runner] def startGuarded(
+      spark: SparkSession,
+      listeners: Seq[org.apache.spark.sql.streaming.StreamingQueryListener])(
+      f: => StreamingQuery): StreamingQuery =
+    try f catch {
+      case e: Throwable =>
+        listeners.foreach(spark.streams.removeListener)
+        throw e
+    }
 
   /** Start the streaming query (continuous tail). `intervalSeconds` is the
     * reference's producer cadence (task/settings.json interval_seconds,
     * CDCStrategy.py:75-101) — honored as the ProcessingTime trigger. */
   def start(spark: SparkSession, cfg: RunnerConfig, availableNow: Boolean = true,
       intervalSeconds: Int = 5): StreamingQuery = {
-    val lake = ensureTable(spark, cfg)
+    // registry key renames on the PARQUET path (the wire paths fold them in
+    // wireRuntimeCfg): this feed declares its schema explicitly, so a key
+    // follows its rename exactly when the configured payload schema already
+    // carries the NEW name — the restarted-with-evolved-schema contract the
+    // per-batch registry guard instructs. Without this, following that very
+    // instruction wedged the merge on the stale key name.
+    val renamed = registryRenamedKeys(cfg.job.keyCols, cfg.schemaRegistry)
+    val effKeys = cfg.job.keyCols.zip(renamed).map { case (o, n) =>
+      if (n != o && cfg.payloadSchema.fieldNames.contains(n)) n else o
+    }
+    val runCfg =
+      if (effKeys == cfg.job.keyCols) cfg
+      else cfg.copy(job = cfg.job.copy(keyCols = effKeys))
+    val lake = ensureTable(spark, runCfg)
     val stream = spark.readStream
-      .schema(eventSchema(cfg))
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(cfg.feedDir)
+      .schema(eventSchema(runCfg))
+      .option("maxFilesPerTrigger", runCfg.maxFilesPerTrigger)
+      .parquet(runCfg.feedDir)
     val qName = s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}"
-    registerMetrics(spark, cfg.tableDir, qName)
+    val l = registerMetrics(spark, runCfg.tableDir, qName)
     val writer = stream.writeStream
       .queryName(qName)
-      .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch(processBatch(spark, lake, cfg) _)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+      .option("checkpointLocation", runCfg.checkpointDir)
+      .foreachBatch(processBatch(spark, lake, runCfg) _)
+    startGuarded(spark, Seq(l))(
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
   }
 
   /** Drain everything currently in the feed and stop (test/bench entry). */
@@ -395,7 +456,7 @@ object CdcRunner {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .text(cfg.feedDir)
     val qName = s"graft-env-${java.util.UUID.randomUUID().toString.take(8)}"
-    registerMetrics(spark, cfg.tableDir, qName)
+    val metricsL = registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
@@ -409,8 +470,9 @@ object CdcRunner {
           else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
         processBatch(spark, lake, runCfg)(events, epoch)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+    startGuarded(spark, Seq(metricsL))(
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
   }
 
   /** True when the spark-sql-kafka connector is on the classpath (NOT bundled
@@ -458,7 +520,7 @@ object CdcRunner {
       stream0.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
     else stream0).load()
     val qName = s"graft-kafka-${java.util.UUID.randomUUID().toString.take(8)}"
-    registerMetrics(spark, cfg.tableDir, qName)
+    val metricsL = registerMetrics(spark, cfg.tableDir, qName)
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
@@ -471,8 +533,9 @@ object CdcRunner {
           else EnvelopeSource.parseForTable(value, cfg.payloadSchema, schemaName, tableName)
         processBatch(spark, lake, runCfg)(events, epoch)
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+    startGuarded(spark, Seq(metricsL))(
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
   }
 
   /**
@@ -498,7 +561,7 @@ object CdcRunner {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.feedDir)
     val qName = s"graft-wal-${java.util.UUID.randomUUID().toString.take(8)}"
-    registerMetrics(spark, cfg.tableDir, qName)
+    val metricsL = registerMetrics(spark, cfg.tableDir, qName)
     val stashRoot = s"${cfg.checkpointDir}/wal-pending"
     val writer = stream.writeStream
       .queryName(qName)
@@ -517,10 +580,13 @@ object CdcRunner {
         // commit replays identically.
         val prevStash = new java.io.File(s"$stashRoot/epoch=${epoch - 1}")
         val withPrev =
-          if (prevStash.isDirectory)
+          (if (prevStash.isDirectory)
             raw.unionByName(
               spark.read.schema(WalParser.rawSchema).parquet(prevStash.getPath))
-          else raw
+          else raw)
+            // read by the stash anti-join AND the parse's own commit
+            // semi-join — without the cache each pays a fresh file scan
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val commits = withPrev.filter(col("data").startsWith("COMMIT"))
           .select("xid").distinct()
         withPrev.join(commits, Seq("xid"), "left_anti")
@@ -535,7 +601,8 @@ object CdcRunner {
             WalParser.parseVersionedForTable(withPrev, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
           else WalParser.parseForTable(withPrev, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(parsed, epoch)
+        try processBatch(spark, lake, runCfg)(parsed, epoch)
+        finally { withPrev.unpersist(); () }
         // the retry window only ever replays the LAST epoch: GC stashes
         // older than epoch-1 (best-effort, idempotent on retry)
         Option(new java.io.File(stashRoot).listFiles()).foreach(_.foreach { f =>
@@ -545,8 +612,9 @@ object CdcRunner {
             deleteRecursively(f)
         })
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start()
+    startGuarded(spark, Seq(metricsL))(
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
   }
 
 

@@ -199,16 +199,17 @@ object MultiTableRunner {
     // same progress-metrics sink as every single-table source variant — one
     // listener per routed table so each lake gets its progress-*.json files
     // (the multi-table runner was the one path without the stats sink)
-    jobs.foreach(j => CdcRunner.registerMetrics(spark, j.lake.dir, qName))
+    val listeners = jobs.map(j => CdcRunner.registerMetrics(spark, j.lake.dir, qName))
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch(processBatch(spark, jobs, cfg.settings.schemaRegistry,
         cfg.settings.autoCompactEveryEpochs, cfg.settings.autoCompactMaxDeltaFiles,
         cfg.settings.autoRescaleBytesPerBucket, cfg.settings.autoRescaleMaxGroups) _)
-    (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(
-       Trigger.ProcessingTime(s"${cfg.settings.intervalSeconds} seconds"))).start()
+    CdcRunner.startGuarded(spark, listeners)(
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(
+         Trigger.ProcessingTime(s"${cfg.settings.intervalSeconds} seconds"))).start())
   }
 
   def runAvailableNow(spark: SparkSession, cfg: Config): Seq[TableJob] = {

@@ -144,6 +144,26 @@ class ErrorPolicySpec extends SparkSpec {
       .startsWith("null_merge_key"), q.mkString(";"))
   }
 
+  test("full-load snapshot rows with null merge keys quarantine under the " +
+    "full-load epoch; quarantine=false fails the load") {
+    val job = JobConfig()
+    val lake = mkLake(job)
+    val snap = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("k1", Seq(1, 2), Int.box(2), "web"),
+      Row(null, Seq(3), Int.box(1), "web")), 2),
+      StructType(ChangeEvent.defaultPayloadFields.map(_.copy(nullable = true))))
+    CdcRunner.fullLoad(spark, lake, snap, job)
+    assert(lake.read(spark).count() == 1, "only the keyed row loads")
+    val q = spark.read.parquet(lake.quarantineDir(-1L)).collect()
+    assert(q.length == 1 && q(0).getAs[String](MergeApply.QUARANTINE_REASON)
+      .contains("full-load"), q.mkString(";"))
+    // a base row with a null key would be undeletable under CoW forever
+    val lake2 = mkLake(job.copy(quarantine = false))
+    val e = intercept[IllegalStateException](
+      CdcRunner.fullLoad(spark, lake2, snap, job.copy(quarantine = false)))
+    assert(e.getMessage.contains("full load"), e.getMessage)
+  }
+
   test("stop_if_insert_error: batch fails, nothing commits") {
     val job = JobConfig(errorPolicy = ErrorPolicy(stopOnInsertError = true))
     val lake = mkLake(job)

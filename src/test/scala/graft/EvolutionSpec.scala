@@ -18,6 +18,40 @@ import graft.runner.{CdcRunner, RunnerConfig}
  */
 class EvolutionSpec extends SparkSpec {
 
+  test("parquet feed restarted with the evolved schema after a registry KEY " +
+    "rename: the merge follows the key to its new name") {
+    import org.apache.spark.sql.Row
+    val root = tmpDir("graft-evo-keyrename")
+    // the registry renames the MERGE KEY; the operator follows the guard's
+    // instruction and restarts with the evolved payload schema — before the
+    // fix the parquet path (unlike every wire path) kept merging on the
+    // stale key name and wedged with an analysis error on every batch
+    val evolved = StructType(Seq(
+      StructField("document_id", StringType),
+      StructField("tokens", ArrayType(IntegerType)),
+      StructField("n_tok", IntegerType),
+      StructField("source", StringType)))
+    val registry = Map(2 -> Seq[SchemaChange](RenameColumn("doc_id", "document_id")))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      payloadSchema = evolved, schemaRegistry = registry)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 2, "d-1", Seq(1), Int.box(1), "web"),
+      Row(2L, 1L, ts(2), "UPDATE", 2, "d-1", Seq(2, 3), Int.box(2), "web"),
+      Row(3L, 1L, ts(3), "INSERT", 2, "d-2", Seq(4), Int.box(1), "web"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      ChangeEvent.schema(evolved.fields.toSeq)).coalesce(1)
+      .write.parquet(cfg.feedDir)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    assert(lake.manifest.keyCols == Seq("document_id"), lake.manifest.keyCols)
+    val got = lake.read(spark).select("document_id", "n_tok").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("d-1" -> 2, "d-2" -> 1), s"LWW on the renamed key: $got")
+  }
+
   test("registry versions are applied cumulatively: a batch that starts at v3 " +
     "still applies v2's changes first") {
     val root = tmpDir("graft-evo-skip")

@@ -83,6 +83,12 @@ class MaintenanceSpec extends SparkSpec {
     val again = lake.vacuum(keepVersions = 1)
     assert(again.forall(!_.endsWith("part-pending.parquet")))
     assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
+    // a LATER, WIDER window than an earlier vacuum's (keepVersions larger
+    // than what survives): manifests inside the window are already gone —
+    // must not crash, and the low-water mark keeps the sweep bounded
+    val wide = lake.vacuum(keepVersions = 50)
+    assert(wide.forall(!_.endsWith("part-pending.parquet")))
+    assert(lake.read(spark).collect().map(_.toString).sorted.sameElements(state))
 
     // the orphan sweep is the tool that DOES reclaim it — but only past the
     // age horizon (a recent unreferenced file may be an in-flight write)
