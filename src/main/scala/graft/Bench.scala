@@ -165,6 +165,14 @@ object Bench {
     // validated up front — an empty.min crash AFTER the query phase and feed
     // build would waste the 20 minutes that already ran
     val morSampleCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOR_SAMPLES", "2").toInt
+    // PAIRS parses and validates HERE too — parsed only at its use site, a
+    // bad value (0, or a non-number) would crash AFTER the query phase,
+    // feed build, warm-up and MoR samples already burned ~20 minutes
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    require(maxPairs >= 1,
+      s"SPARK_GRAFT_BENCH_PAIRS=$maxPairs: need >= 1 scaling pair — the " +
+        "scaling-efficiency headline is the bench's reason to exist; 1 " +
+        "trades noise robustness for wall time")
     require(morSampleCount >= 1,
       s"SPARK_GRAFT_BENCH_MOR_SAMPLES=$morSampleCount: need >= 1 — the MoR " +
         "ingest+fold phases are part of the headline artifact and cannot be " +
@@ -282,11 +290,6 @@ object Bench {
     // (both ≥ the stop threshold — comfortably above the 0.8 criterion), a
     // noisy one gets the extra pairs the median needs. The stopping rule only
     // spends or saves wall time; reported numbers always cover every pair run.
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
-    require(maxPairs >= 1,
-      s"SPARK_GRAFT_BENCH_PAIRS=$maxPairs: need >= 1 scaling pair — the " +
-        "scaling-efficiency headline is the bench's reason to exist; 1 " +
-        "trades noise robustness for wall time")
     val minPairs = 2
     val stopAt = 0.85
     def effOf(p: (Double, Double)): Double =
@@ -327,10 +330,20 @@ object Bench {
     val epsHi = nEvents / tHi
     val epsLo = nEvents / tLo
 
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // the line below is machine-parsed JSON: every interpolated STRING goes
+    // through jstr (a quote or backslash in a query name or the sf path —
+    // legal on Linux — would otherwise emit invalid JSON and break the
+    // harness scrape this Locale.ROOT pinning exists to keep parseable)
+    def jstr(v: String): String = "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = queryTimes.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qSamplesJson = queryTimes.map(_._1).map { name =>
-      "\"" + name + "\":[" + querySamples.flatMap(_.collect { case (`name`, t) => t })
+      jstr(name) + ":[" + querySamples.flatMap(_.collect { case (`name`, t) => t })
         .map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = queryTimes.collect { case (_, v) if v >= 0 => v }.sum
@@ -358,7 +371,7 @@ object Bench {
       f""""mor_events_per_sec_ingest":${(nEvents / tMor).toLong}}"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""queries_samples":$qSamplesJson,"cdc":$cdc,"sf":"$sfDir"}"""
+        f""""queries_samples":$qSamplesJson,"cdc":$cdc,"sf":${jstr(sfDir)}}"""
     println(json)
     // belt-and-braces for callers that scrape decorated logs: also drop the
     // line into a well-known file next to the build

@@ -60,10 +60,21 @@ private[feed] object VersionedPayload {
             markers += n
             cur = StructType(cur.fields :+ StructField(n, dt, nullable))
           case RenameColumn(from, to) =>
+            // loud on a missing source: a typo'd `from` would otherwise
+            // no-op silently — the marker filters out, the column never
+            // parses, every value null-fills, and the LAKE side's pending
+            // filter skips the change too, so nothing ever surfaces it
+            require(cur.fieldNames.contains(from),
+              s"schema registry v$ver renames '$from' -> '$to', but " +
+                s"'$from' is not in the v${ver}-preceding wire shape " +
+                s"(${cur.fieldNames.mkString(", ")})")
             claim(ver, to)
             markers += to
             cur = StructType(cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
           case WidenColumn(n, to) =>
+            require(cur.fieldNames.contains(n),
+              s"schema registry v$ver widens '$n', but '$n' is not in the " +
+                s"v${ver}-preceding wire shape (${cur.fieldNames.mkString(", ")})")
             cur = StructType(cur.fields.map(f => if (f.name == n) f.copy(dataType = to) else f))
         }
         // a name added/renamed-to and then renamed AWAY within the same

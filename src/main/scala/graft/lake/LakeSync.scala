@@ -124,6 +124,13 @@ object LakeSync {
         target.enableChangeFeed()
     }
     checkMarker(targetDir, sourceDir)
+    // config drift surfaces loudly like the feed flag's: a buckets value on
+    // an EXISTING mirror that disagrees with the table would otherwise be
+    // silently ignored forever (rescale the mirror instead)
+    buckets.foreach(b => require(b == target.manifest.buckets,
+      s"mirror at $targetDir has ${target.manifest.buckets} buckets; " +
+        s"buckets=$b on an existing mirror is ignored by creation and " +
+        "indicates config drift — use LakeTable.rescale to grow it"))
 
     val feed = resolveFeed(target, merge, changeFeed)
     val offset = target.manifest.metrics.getOrElse(OFFSET_METRIC, 0L).toInt
@@ -165,11 +172,16 @@ object LakeSync {
       spark: SparkSession, source: LakeTable, target: LakeTable,
       head: Int): SyncResult = {
     val epoch = -1L
-    // a target with data but no offset metric was not built by sync — a
-    // fresh create (or a crash before the bootstrap commit) has neither
-    require(!target.isCommitted(epoch),
-      s"target at ${target.dir} has a full load but no $OFFSET_METRIC cursor " +
-        "— not a sync-managed table; refusing to mix feeds")
+    // a target with ANY committed data but no offset metric was not built by
+    // sync — a fresh create (or a crash before the bootstrap commit) has
+    // neither. Checking only the full-load epoch would let a retry
+    // bootstrap-OVERWRITE a foreign streaming feed's epochs >= 0 (marker
+    // present from the crashed attempt, offset 0, no epoch -1) — the exact
+    // feed-mixing this guard exists to refuse; same rule as checkMarker's
+    // adoption check.
+    require(target.manifest.committedEpochCount == 0L,
+      s"target at ${target.dir} holds committed data but no $OFFSET_METRIC " +
+        "cursor — not a sync-managed table; refusing to mix feeds")
     // crash-retry across a source evolution: call 1's `create` captured an
     // older source schema and crashed before this commit; the retry's cursor
     // will start PAST the evolution, so the AddColumn/rename/widen would
@@ -221,8 +233,25 @@ object LakeSync {
     if (from == head) return SyncResult(from, head, -2L, 0L, bootstrapped = false)
 
     val headSchema = source.schemaAt(head)
-    val diff = applicable(target.manifest.currentSchema, headSchema,
-      evolutionDiff(source.schemaAt(from), headSchema))
+    // diff from the TARGET's actual shape located in the source's history —
+    // NOT from the cursor version: a crash between evolve and the cursor
+    // commit leaves the target mid-window, and a later source evolution of
+    // the same field collapses the chain (a→b then b→c diffs as a→c), so a
+    // replay from `from` wedges on the never-matching first hop forever.
+    // The bootstrap replay solves the identical problem the same way.
+    def shape(sc: GraftSchema) = sc.fields.map(f => (f.name, f.dataType))
+    val tgtSchema = target.manifest.currentSchema
+    val diff =
+      if (shape(tgtSchema) == shape(headSchema)) Nil
+      else {
+        val base = source.schemaHistoryAt(head)
+          .find(sc => shape(sc) == shape(tgtSchema))
+          .getOrElse(throw new IllegalStateException(
+            s"sync: target schema at ${target.dir} matches no schema in " +
+              "the source's history (source rebuilt?); delete the target " +
+              "to re-bootstrap"))
+        applicable(tgtSchema, headSchema, evolutionDiff(base, headSchema))
+      }
     if (diff.nonEmpty) target.evolve(diff)
 
     val changes = source.changeLog(spark, from, head)

@@ -252,6 +252,91 @@ class LakeSyncSpec extends SparkSpec {
       "nothing quarantines on an already-validated sync window")
   }
 
+  test("a crashed evolve mid-window plus a FURTHER source evolution of the " +
+    "same field: the retry diffs from the target's actual shape, not the cursor") {
+    val root = tmpDir("graft-lakesync-chain")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 1)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+    // source evolves source→origin, streams a window...
+    source.evolve(Seq(RenameColumn("source", "origin")))
+    ChangeFeed.writeFeed(ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 100, nDocs = 40, startLsn = 201)),
+      cfg.feedDir, nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // ...crash simulation: a sync attempt evolved the TARGET but died before
+    // committing the cursor...
+    val target = new LakeTable(targetDir)
+    target.evolve(Seq(RenameColumn("source", "origin")))
+    // ...and the source evolves the SAME field again before the retry: the
+    // cursor-version diff collapses the chain (source→origin2) and can never
+    // apply to a target already holding `origin`
+    source.evolve(Seq(RenameColumn("origin", "origin2")))
+    val r = LakeSync.sync(spark, cfg.tableDir, targetDir)
+    assert(!r.bootstrapped && r.rows > 0, r.toString)
+    assert(target.manifest.currentSchema.fields.map(_.name).contains("origin2"),
+      target.manifest.currentSchema.fields.map(_.name).toSeq.toString)
+    assert(sortedRows(target.read(spark)) == sortedRows(source.read(spark)))
+  }
+
+  test("bootstrap never overwrites a FOREIGN feed's committed epochs: a " +
+    "marker left by a crashed attempt does not authorize it") {
+    val root = tmpDir("graft-lakesync-foreign")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)),
+      cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // crash simulation: create + marker landed, bootstrap commit did not
+    val targetDir = s"$root/mirror"
+    val src = new LakeTable(cfg.tableDir)
+    val t = new LakeTable(targetDir)
+    t.create(src.manifest.currentSchema.sparkSchema, 2, keyCols = src.manifest.keyCols)
+    val mk = java.nio.file.Paths.get(targetDir, "sync_source.json")
+    java.nio.file.Files.writeString(mk,
+      s"""{"source_dir":"${cfg.tableDir}"}""")
+    // a foreign CDC feed then commits streaming epochs into the same dir
+    val foreign = cfg.copy(tableDir = targetDir, checkpointDir = s"$root/cp2",
+      feedDir = s"$root/feed2")
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 50, nDocs = 10)),
+      foreign.feedDir, nFiles = 1)
+    CdcRunner.runAvailableNow(spark, foreign)
+    assert(t.manifest.committedEpochCount > 0)
+    // the sync retry must REFUSE, not bootstrap-overwrite the foreign rows.
+    // The default CoW sync already refuses at the change-feed guard; a
+    // merge-on-read sync passes that guard and must hit the bootstrap's own
+    // foreign-data check (which used to test only the full-load epoch)
+    val e = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, targetDir,
+        merge = MergeStrategy.MergeOnRead))
+    assert(e.getMessage.contains("refusing to mix feeds"), e.getMessage)
+  }
+
+  test("buckets on an EXISTING mirror must match the table (config drift is " +
+    "refused, not silently ignored)") {
+    val root = tmpDir("graft-lakesync-buckets")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)),
+      cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir, buckets = Some(2))
+    val e = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, targetDir, buckets = Some(256)))
+    assert(e.getMessage.contains("rescale"), e.getMessage)
+    // same value → fine (idempotent config)
+    LakeSync.sync(spark, cfg.tableDir, targetDir, buckets = Some(2))
+  }
+
   test("feed binding: foreign sources and non-sync targets are refused") {
     val root = tmpDir("graft-lakesync-bind")
     val cfgA = morCfg(s"$root/a")

@@ -104,6 +104,20 @@ class VersionedPayloadSpec extends AnyFunSuite {
     }
   }
 
+  test("a rename/widen whose SOURCE column never existed on the wire is " +
+    "rejected loudly (a typo'd from silently null-filled the column forever)") {
+    val e = intercept[IllegalArgumentException](VersionedPayload.plan(base,
+      Map(2 -> Seq(RenameColumn("aa", "a2")))))
+    assert(e.getMessage.contains("'aa'"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](VersionedPayload.plan(base,
+      Map(2 -> Seq(WidenColumn("zz", LongType)))))
+    assert(e2.getMessage.contains("'zz'"), e2.getMessage)
+    // chained renames still work: v2 a->a2, v3 a2->a3 (source exists at v3)
+    VersionedPayload.plan(base, Map(
+      2 -> Seq(RenameColumn("a", "a2")),
+      3 -> Seq(RenameColumn("a2", "a3"))))
+  }
+
   test("reintroducing a renamed-away column name is rejected (ambiguous wire)") {
     // v3 adds 'b' (renamed away in v2) as an int: the union would re-type the
     // shared wire name to int, casting every v1-era 'b' value to NULL before
