@@ -290,10 +290,14 @@ object JobMain {
           // feed-recording table MUST write the replay epoch's sidecar, or
           // every changeLog window spanning it throws forever after
           changeFeed = c.bool("change_feed", lake.recordsChangeFeed))
-        // the manifest does NOT store filter/transform rules, and rows
-        // quarantine PRE-transform: a drain without the job's rule pipeline
-        // re-drives RAW rows (renamed columns null-fill, filtered rows
-        // apply). --settings <the task's settings.json> restores them.
+        // the manifest does NOT store filter/transform rules, and RAW-epoch
+        // rows quarantine PRE-transform: a drain without the job's rule
+        // pipeline re-drives RAW rows (renamed columns null-fill, filtered
+        // rows apply). --settings <the task's settings.json> restores them.
+        // Safe to pass unconditionally: POST-transform quarantine epochs
+        // (marker file / the 2^39 band) strip the rules inside
+        // replayQuarantine — their rows already carry the pipeline's output,
+        // and re-running it would double-apply modifiers.
         val cfgRules = opt("--settings").map { sp =>
           val parsed = TaskSettings.parse(new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sp))))

@@ -50,6 +50,19 @@ object MergeApply {
     * and from replay epochs (≥ 2^40), browsable via LakeTable.quarantine. */
   private[graft] val POST_TRANSFORM_EPOCH_BASE = 1L << 39
 
+  /** Marker file dropped in a quarantine dir whose rows are POST-transform
+    * (the rule pipeline already ran on them): [[replayQuarantine]] must not
+    * run it again — filters they already passed, modifiers that would
+    * double-apply (a `price*2` math_expression run twice corrupts silently).
+    * Underscore-prefixed so parquet readers ignore it. */
+  private[graft] val POST_TRANSFORM_MARKER = "_post_transform"
+
+  private def markPostTransform(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, POST_TRANSFORM_MARKER)
+    if (!java.nio.file.Files.exists(p))
+      java.nio.file.Files.write(p, Array.emptyByteArray): Unit
+  }
+
   /** `events_received` counts each event's ORIGINAL delivery only: a replay
     * epoch re-drives rows the original epoch already counted (quarantined ⊂
     * received), and double-counting them would mask an in-transit loss in
@@ -80,9 +93,40 @@ object MergeApply {
     val dir = lake.quarantineDir(sourceEpoch)
     require(new java.io.File(dir).isDirectory,
       s"no quarantined rows for epoch $sourceEpoch at $dir")
+    // Rows quarantined POST-transform (the transform-introduced-key split, or
+    // a replay thereof) already carry the rule pipeline's OUTPUT: re-running
+    // it would double-apply modifiers (a price*2 run twice) and re-filter rows
+    // that already passed. Identified by the marker file (covers replay
+    // generations) or the epoch band (covers pre-marker dirs); the pipeline is
+    // stripped rather than refused because for these rows stripping IS the
+    // faithful replay. Keys follow the table (the post-transform key set).
+    // The raw payload invariant (n_tok == size(tokens)) is stripped with the
+    // rules: it guards the FEED, and these rows passed it on original ingest —
+    // a transform that legitimately rewrote n_tok (the user's explicit rule,
+    // authoritative like on the normal path, which never re-checks post-
+    // transform) would otherwise re-quarantine every drain attempt, forever.
+    val postTransform =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, POST_TRANSFORM_MARKER)) ||
+        (sourceEpoch >= POST_TRANSFORM_EPOCH_BASE && sourceEpoch < REPLAY_EPOCH_BASE)
+    val effCfg =
+      if (!postTransform) cfg
+      else {
+        if (cfg.filters.nonEmpty || cfg.transforms.nonEmpty)
+          System.err.println(s"[graft] replayQuarantine($sourceEpoch): rows " +
+            "were quarantined post-transform; the configured filter/transform " +
+            "rules are skipped (they already ran before quarantine)")
+        cfg.copy(filters = Nil, transforms = Nil,
+          keyCols = lake.manifest.keyCols, validatePayload = false)
+      }
     val rows = fix(spark.read.parquet(dir).drop(QUARANTINE_REASON))
     val replayEpoch = REPLAY_EPOCH_BASE + (sourceEpoch + 2) * 64 + attempt
-    applyBatch(spark, lake, rows, replayEpoch, cfg)
+    val res = applyBatch(spark, lake, rows, replayEpoch, effCfg)
+    // rows re-quarantined from a post-transform source stay post-transform:
+    // propagate the marker so the NEXT drain attempt also strips the rules
+    if (postTransform &&
+        new java.io.File(lake.quarantineDir(replayEpoch)).isDirectory)
+      markPostTransform(lake.quarantineDir(replayEpoch))
+    res
   }
 
   /** set GRAFT_PHASE_TIMING=1 to print per-phase timings to stderr */
@@ -275,39 +319,59 @@ object MergeApply {
       case (ks, _)                             => ks
     }
     val introduced = keys.filterNot(renamedPre.contains)
-    val (mergeInput, postMetrics) =
-      if (introduced.isEmpty) (transformed, Map.empty[String, Long])
+    // Like step 1, detection piggybacks on the merge's first scan via
+    // observe() — an eager count() here would re-evaluate the whole batch
+    // pipeline once per epoch just to learn n==0 in the common clean case.
+    // The filter always applies (fused into the same scan); only a non-zero
+    // count pays the quarantine re-scan. Resolution happens pre-commit via
+    // the by-name extraMetrics the modes thread into commitCommon.
+    val (mergeInput, postStats) =
+      if (introduced.isEmpty)
+        (transformed, () => Map.empty[String, Long])
       else {
         val nullKey = introduced.map(col(_).isNull).reduce(_ || _) &&
           opCol =!= ChangeEvent.DELETE
-        val bad = transformed.filter(nullKey)
-        val n = bad.count()
-        if (n == 0) (transformed, Map.empty[String, Long])
-        else {
-          if (!cfg.quarantine)
-            throw new IllegalStateException(
-              s"$n event(s) with null transform-introduced merge key(s) " +
-                s"${introduced.mkString(",")} in epoch $epoch and quarantine " +
-                "is disabled")
-          // POST-transform rows can't share the raw quarantine dir (different
-          // schema); a marker-offset epoch keeps them browsable + drainable
-          bad.withColumn(QUARANTINE_REASON, lit("null_merge_key: " +
-            s"transform-introduced key(s) ${introduced.mkString(",")} must " +
-            "be non-null for INSERT/UPDATE (rows are POST-transform)"))
-            .write.mode("overwrite")
-            .parquet(lake.quarantineDir(POST_TRANSFORM_EPOCH_BASE + epoch))
-          (transformed.filter(!nullKey),
-            Map("events_quarantined_post_transform" -> n))
+        val postObs = new org.apache.spark.sql.Observation(
+          s"graft-postbad-$epoch-${System.nanoTime()}")
+        val observed = transformed.observe(postObs,
+          // count(when), not sum(when): count never returns null on an empty
+          // frame, so the clean-empty case needs no special-casing
+          count(when(nullKey, lit(1))).as("n_post_bad"))
+        val resolve = () => {
+          // same AQE caveat as step 1: an all-pruned plan can drop the
+          // CollectMetrics node — recount directly in that rare case
+          val n = postObs.get.get("n_post_bad").collect { case v: Long => v }
+            .getOrElse(transformed.filter(nullKey).count())
+          if (n == 0) Map.empty[String, Long]
+          else {
+            if (!cfg.quarantine)
+              throw new IllegalStateException(
+                s"$n event(s) with null transform-introduced merge key(s) " +
+                  s"${introduced.mkString(",")} in epoch $epoch and quarantine " +
+                  "is disabled")
+            // POST-transform rows can't share the raw quarantine dir (different
+            // schema); a marker-offset epoch keeps them browsable + drainable,
+            // and the marker file tells the drain NOT to re-run the rules
+            val qDir = lake.quarantineDir(POST_TRANSFORM_EPOCH_BASE + epoch)
+            transformed.filter(nullKey)
+              .withColumn(QUARANTINE_REASON, lit("null_merge_key: " +
+                s"transform-introduced key(s) ${introduced.mkString(",")} must " +
+                "be non-null for INSERT/UPDATE (rows are POST-transform)"))
+              .write.mode("overwrite").parquet(qDir)
+            markPostTransform(qDir)
+            Map("events_quarantined_post_transform" -> n)
+          }
         }
+        (observed.filter(!nullKey), resolve)
       }
 
     cfg.mode match {
       case CdcMode.Scd2 =>
         applyScd2(spark, lake, mergeInput, epoch, cfg, keys, onStats,
-          postMetrics ++ extraMetrics)
+          postStats() ++ extraMetrics)
       case _ =>
         applyLww(spark, lake, mergeInput, epoch, cfg, keys, onStats,
-          postMetrics ++ extraMetrics)
+          postStats() ++ extraMetrics)
     }
   }
 
@@ -328,9 +392,13 @@ object MergeApply {
       affected: Set[Int],
       opCounts: Map[String, Long],
       onStats: () => (Long, Long, Long),
-      extraMetrics: Map[String, Long],
+      /** by-name: carries the post-transform quarantine resolution, which may
+        * only run AFTER the mode's first action (its observation completes
+        * with it) and must run pre-commit; evaluated exactly once, here */
+      extraMetrics: => Map[String, Long],
       deltaRows: => DataFrame): (Map[String, Long], Option[BatchResult]) = {
     val (nQuarantined, nReceived, nSkipped) = onStats()
+    val extra = extraMetrics
     val metrics = Map(
       "batches" -> 1L,
       "events_quarantined" -> nQuarantined,
@@ -341,7 +409,7 @@ object MergeApply {
       // key present only when non-zero: a clean feed's manifests stay lean
       (if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
        else Map.empty[String, Long]) ++
-      extraMetrics
+      extra
     if (affected.isEmpty) {
       // an empty batch still commits (and still carries extraMetrics): a
       // sync window whose changes all reduce away must advance its cursor.
@@ -378,7 +446,7 @@ object MergeApply {
       cfg: JobConfig,
       keys: Seq[String],
       onStats: () => (Long, Long, Long),
-      extraMetrics: Map[String, Long]): BatchResult = {
+      extraMetrics: => Map[String, Long]): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets
@@ -547,7 +615,7 @@ object MergeApply {
       cfg: JobConfig,
       naturalKeys: Seq[String],
       onStats: () => (Long, Long, Long),
-      extraMetrics: Map[String, Long]): BatchResult = {
+      extraMetrics: => Map[String, Long]): BatchResult = {
 
     val m = lake.manifest
     val buckets = m.buckets

@@ -76,7 +76,9 @@ object LakeSync {
    * Sync `targetDir` up to `sourceDir`'s current head. Creates + bootstraps
    * the target on first call; no-ops when already caught up. `merge`/`buckets`
    * shape the TARGET table (downstream may run merge-on-read or a different
-   * bucket count than upstream — specs are independent). `changeFeed` controls
+   * bucket count than upstream — specs are independent); both are PINNED at
+   * creation — a later call passing a different value is refused as config
+   * drift (see [[checkMarker]] for why silent merge drift is dangerous). `changeFeed` controls
    * whether the MIRROR records its own CDC-out: it defaults ON for
    * copy-on-write targets — a mirror exists to be consumed, and a CoW mirror
    * without sidecars is a change-feed dead end (chaining lake_sync off it, or
@@ -112,7 +114,7 @@ object LakeSync {
     if (!target.exists) {
       target.create(sm.currentSchema.sparkSchema, buckets.getOrElse(sm.buckets),
         keyCols = sm.keyCols, tableMode = Manifest.LWW)
-      writeMarker(targetDir, sourceDir)
+      writeMarker(targetDir, sourceDir, merge)
       // pin the mirror's change-feed identity AT CREATION (durable marker),
       // not per call: re-deriving it from each call's arguments lets config
       // drift (a later cron invocation omitting the flag, or flipping the
@@ -123,7 +125,7 @@ object LakeSync {
       if (changeFeed.getOrElse(merge == MergeStrategy.CopyOnWrite))
         target.enableChangeFeed()
     }
-    checkMarker(targetDir, sourceDir)
+    checkMarker(targetDir, sourceDir, merge)
     // config drift surfaces loudly like the feed flag's: a buckets value on
     // an EXISTING mirror that disagrees with the table would otherwise be
     // silently ignored forever (rescale the mirror instead)
@@ -368,14 +370,26 @@ object LakeSync {
   private def markerPath(targetDir: String) =
     Paths.get(targetDir, "sync_source.json")
 
-  private def writeMarker(targetDir: String, sourceDir: String): Unit = {
-    val tmp = Paths.get(targetDir, s".sync_source.json.tmp")
-    Files.write(tmp, JsonMethods.compact(JsonMethods.render(
-      JObject("source_dir" -> JString(sourceDir)))).getBytes("UTF-8"))
+  private def writeMarker(targetDir: String, sourceDir: String,
+      merge: MergeStrategy): Unit = {
+    val tmp = Paths.get(targetDir, s".sync_source.json.tmp-${System.nanoTime()}")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(JObject(
+      "source_dir" -> JString(sourceDir),
+      "merge" -> JString(MergeStrategy.name(merge))))).getBytes("UTF-8"))
     Files.move(tmp, markerPath(targetDir), StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def checkMarker(targetDir: String, sourceDir: String): Unit = {
+  /** Validates the source binding and the PINNED merge strategy. The merge
+    * pin is the `buckets` guard's sibling for the storage mode: a mirror
+    * created merge-on-read (delta epochs ARE its change feed, no sidecars
+    * pinned) that a later call silently drifts to copy-on-write —
+    * e.g. a cron invocation dropping the `merge` key, falling back to the
+    * CoW default — with change_feed=false would commit a sidecar-less base
+    * epoch that wedges every changeLog window spanning it, permanently.
+    * Config drift surfaces loudly instead; markers written before the pin
+    * existed adopt THIS call's merge (one-time, same trust as creation). */
+  private def checkMarker(targetDir: String, sourceDir: String,
+      merge: MergeStrategy): Unit = {
     val p = markerPath(targetDir)
     if (!Files.exists(p)) {
       // markerless (crash between create and marker write): only adoptable
@@ -385,10 +399,10 @@ object LakeSync {
       require(t.manifest.committedEpochCount == 0L,
         s"target at $targetDir has no sync_source.json marker but already " +
           "holds committed data — refusing to adopt it as a sync target")
-      writeMarker(targetDir, sourceDir)
+      writeMarker(targetDir, sourceDir, merge)
     } else {
-      val bound = (JsonMethods.parse(new String(
-        Files.readAllBytes(p), "UTF-8")) \ "source_dir") match {
+      val parsed = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
+      val bound = parsed \ "source_dir" match {
         case JString(s) => s
         case _ => ""
       }
@@ -396,6 +410,19 @@ object LakeSync {
         s"target at $targetDir replicates $bound; refusing to sync from " +
           s"$sourceDir (one upstream per target — epochs and the " +
           s"$OFFSET_METRIC cursor belong to its feed)")
+      parsed \ "merge" match {
+        case JString(pinned) =>
+          require(pinned == MergeStrategy.name(merge),
+            s"mirror at $targetDir was created with merge=$pinned; this call " +
+              s"passes merge=${MergeStrategy.name(merge)} — storage-mode " +
+              "drift on an existing mirror (a merge-on-read mirror drifted " +
+              "to sidecar-less copy-on-write wedges its changeLog windows " +
+              "permanently). State the creation-time merge explicitly, or " +
+              "re-bootstrap the mirror under the new mode")
+        case _ =>
+          // marker predates the merge pin: adopt this call's value
+          writeMarker(targetDir, sourceDir, merge)
+      }
     }
   }
 }

@@ -1731,9 +1731,12 @@ class LakeTable(val dir: String) {
         .toSeq
     }.foreach { p => if (Files.deleteIfExists(p)) deleted += p.toString }
     // advance (never regress) the low-water mark; atomic like every other
-    // metadata write
+    // metadata write — and nonce-suffixed like every other tmp name: two
+    // concurrent vacuums sharing one fixed tmp would race the move, crashing
+    // the loser with NoSuchFileException AFTER its deletion loop already ran
+    // (losing the deleted-paths report for work that actually happened)
     if (keepFrom > floor) {
-      val tmp = manifestsDir.resolve("._vacuum_floor.tmp")
+      val tmp = manifestsDir.resolve(s"._vacuum_floor.tmp-${System.nanoTime()}")
       Files.writeString(tmp, keepFrom.toString)
       Files.move(tmp, floorPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,

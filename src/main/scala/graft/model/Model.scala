@@ -86,6 +86,11 @@ object MergeStrategy {
     case "merge_on_read" | "mor" => MergeOnRead
     case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")
   }
+  /** canonical settings-file name; round-trips through [[parse]] */
+  def name(m: MergeStrategy): String = m match {
+    case CopyOnWrite => "cow"
+    case MergeOnRead => "mor"
+  }
 }
 
 /** Per-op-type stop-or-continue flags —

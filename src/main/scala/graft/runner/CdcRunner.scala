@@ -212,8 +212,41 @@ object CdcRunner {
     // renames a column back to an earlier name (v2 a→b, v3 b→a leaves the
     // final feed legitimately carrying 'a'), wedging a correct stream
     val applied = lake.manifest.metrics.getOrElse(LakeTable.RegistryVerMetric, 0L)
-    registry.toSeq.sortBy(_._1).filter(v => v._1 > applied && v._1 <= maxVer)
-      .foreach { case (ver, changes) =>
+    val chain = registry.toSeq.sortBy(_._1)
+      .filter(v => v._1 > applied && v._1 <= maxVer)
+    // Pre-watermark safety net, CHAIN level: a table evolved by an older
+    // build carries no watermark (applied=0), and evolveRegistry's per-version
+    // name-based pending filter cannot see that a name-REUSING rename chain
+    // (v2 a→b, v3 b→a) already ran — replaying it would mint two spurious
+    // schema versions renaming a live column there and back. When replaying
+    // the whole pending chain against the CURRENT shape nets to a no-op
+    // (same names, same types, same order), recording the watermark alone is
+    // the correct action — for a genuinely-fresh table a net-no-op chain
+    // leaves the same final state either way (its intermediate versions
+    // carry no data), so the skip is safe in both histories.
+    if (applied == 0L && chain.nonEmpty) {
+      val cur = lake.manifest.currentSchema.fields
+        .map(f => f.name -> f.dataType).toVector
+      val simulated = chain.foldLeft(cur) { case (shape, (_, changes)) =>
+        changes.foldLeft(shape) { (s, c) =>
+          c match {
+            case graft.lake.AddColumn(n, dt, _) if !s.exists(_._1 == n) =>
+              s :+ (n -> dt)
+            case graft.lake.RenameColumn(f, t)
+                if s.exists(_._1 == f) && !s.exists(_._1 == t) =>
+              s.map { case (n, dt) => (if (n == f) t else n) -> dt }
+            case graft.lake.WidenColumn(n, to) =>
+              s.map { case (nm, dt) => nm -> (if (nm == n) to else dt) }
+            case _ => s
+          }
+        }
+      }
+      if (simulated == cur) {
+        lake.evolveRegistry(maxVer, Nil): Unit // watermark-only commit
+        return
+      }
+    }
+    chain.foreach { case (ver, changes) =>
         // a FIXED-schema (parquet) feed cannot express a rename mid-stream:
         // the contract is a stream restart with the evolved payload schema
         // (MultiTableSpec's schema_versions e2e). A v2-marked batch still
@@ -543,10 +576,13 @@ object CdcRunner {
    * of `(lsn, xid, data)` slot rows (pg_logical_slot_get_changes shape) — and
    * parse each micro-batch with [[graft.feed.WalParser]] before the merge.
    *
-   * Feed contract: whole transactions per file. PostgreSQL logical decoding
-   * only ever emits committed, complete transactions per slot read, and the
-   * file-source batches are file-aligned, so a BEGIN..COMMIT group is never
-   * split across micro-batches.
+   * Feed contract: PostgreSQL logical decoding only ever emits committed,
+   * complete transactions per slot read, but NO file alignment is assumed —
+   * a producer may cut files mid-transaction, and `maxFilesPerTrigger` can
+   * cut a micro-batch between a transaction's files either way. Lines whose
+   * COMMIT has not arrived yet are carried forward in an epoch-keyed stash
+   * under the checkpoint (see the foreachBatch body) and merge with the
+   * batch that completes them; WalStashPropertySpec drives arbitrary splits.
    */
   def startFromWal(
       spark: SparkSession, cfg: RunnerConfig,

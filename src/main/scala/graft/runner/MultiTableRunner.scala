@@ -196,10 +196,13 @@ object MultiTableRunner {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.feedDir)
     val qName = s"graft-multi-${java.util.UUID.randomUUID().toString.take(8)}"
-    // same progress-metrics sink as every single-table source variant — one
-    // listener per routed table so each lake gets its progress-*.json files
-    // (the multi-table runner was the one path without the stats sink)
-    val listeners = jobs.map(j => CdcRunner.registerMetrics(spark, j.lake.dir, qName))
+    // same progress-metrics sink as every single-table source variant, but
+    // ONE listener at the RUN root, not one per routed table: the progress
+    // JSON is QUERY-scoped (numInputRows counts the whole union feed), and a
+    // copy in each lake's metrics dir read as that table's throughput would
+    // overstate it N-fold. Per-table truth lives where it always does — each
+    // lake's manifest metrics and per-epoch lineage (events_received etc.).
+    val listeners = Seq(CdcRunner.registerMetrics(spark, cfg.lakeRoot, qName))
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)

@@ -126,6 +126,37 @@ class ErrorPolicySpec extends SparkSpec {
     assert(e.getMessage.contains("transform-introduced"), e.getMessage)
   }
 
+  test("replayQuarantine on a POST-transform epoch strips the rule pipeline: " +
+    "re-running a modifier on already-transformed rows would double-apply") {
+    import graft.rules.{AddPrimaryKey, ModifyColumn}
+    // pipeline: keys become (doc_id, source); n_tok doubles. A null source
+    // quarantines POST-transform — with n_tok already doubled once.
+    val job = JobConfig(transforms = Seq(
+      AddPrimaryKey(Seq("source"), 0),
+      ModifyColumn("n_tok", "math_expression",
+        expression = Some("value * 2"), priority = 1)))
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val in = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"),
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1), Int.box(1), null)) // DLX
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(in, 2), readShape)
+    MergeApply.applyBatch(spark, lake, df, 0L, job)
+    val qEpoch = MergeApply.POST_TRANSFORM_EPOCH_BASE
+    // the quarantine dir carries the post-transform marker file
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      lake.quarantineDir(qEpoch), MergeApply.POST_TRANSFORM_MARKER)))
+    // drain with the SAME cfg — rules attached, exactly what an operator
+    // passing --settings does; the engine must strip them, not re-run them
+    val res = MergeApply.replayQuarantine(spark, lake, qEpoch, job,
+      fix = _.withColumn("source", org.apache.spark.sql.functions.lit("fixed")))
+    assert(!res.skipped)
+    val out = lake.read(spark).where("doc_id = 'k2'").collect()
+    assert(out.length == 1, out.mkString(";"))
+    val nTok = out(0).getAs[Number]("n_tok").longValue
+    assert(nTok == 2L, s"pipeline must run ONCE (n_tok=2), not twice: got $nTok")
+  }
+
   test("a PARTIAL composite-key DELETE is malformed, not protocol: " +
     "quarantined as null_merge_key, unlike the all-null key-less skip") {
     val job = JobConfig(keyCols = Seq("doc_id", "source"))

@@ -139,6 +139,33 @@ class EvolutionSpec extends SparkSpec {
     assert(rep.ok, s"reconcile must ignore the registry watermark: $rep")
   }
 
+  test("net-no-op pending chain on an UNWATERMARKED table records the " +
+    "watermark in ONE metadata commit, minting no spurious schema versions " +
+    "(pre-watermark-table safety net at chain level)") {
+    val root = tmpDir("graft-evo-noop-chain")
+    val registry = Map(
+      2 -> Seq(RenameColumn("source", "origin")),
+      3 -> Seq(RenameColumn("origin", "source")))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      schemaRegistry = registry)
+    // models a table evolved by an OLDER build (no watermark metric, columns
+    // already at the chain's final shape, which here equals the created shape)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val v0 = lake.currentVersion
+    val sid0 = lake.manifest.currentSchemaId
+    val batch = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 10, nDocs = 5, schemaVer = 3))
+    CdcRunner.applySchemaRegistry(lake, registry, batch)
+    // the per-version replay used to rename source→origin→source on the
+    // already-final table: two schema versions of pure churn
+    assert(lake.currentVersion == v0 + 1,
+      s"one watermark-only commit expected, got ${lake.currentVersion - v0}")
+    assert(lake.manifest.currentSchemaId == sid0, "schema untouched")
+    assert(lake.manifest.metrics(LakeTable.RegistryVerMetric) == 3L)
+  }
+
   test("null schema_ver rows evolve nothing and do not crash the registry scan") {
     val root = tmpDir("graft-evo-nullver")
     val registry = Map(2 -> Seq(AddColumn("lang", StringType)))

@@ -337,6 +337,29 @@ class LakeSyncSpec extends SparkSpec {
     LakeSync.sync(spark, cfg.tableDir, targetDir, buckets = Some(2))
   }
 
+  test("merge strategy on an EXISTING mirror is pinned at creation: silent " +
+    "drift to sidecar-less CoW would wedge the mirror's changeLog") {
+    val root = tmpDir("graft-lakesync-merge")
+    val cfg = morCfg(root)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 100, nDocs = 20)),
+      cfg.feedDir, nFiles = 1)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    // created merge-on-read, feed explicitly off (delta epochs ARE the feed)
+    LakeSync.sync(spark, cfg.tableDir, targetDir,
+      merge = MergeStrategy.MergeOnRead, changeFeed = Some(false))
+    // a later cron invocation dropping the merge key (CoW default) with the
+    // feed still off would commit a sidecar-less base epoch — refused loudly
+    val e = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, targetDir, changeFeed = Some(false)))
+    assert(e.getMessage.contains("merge"), e.getMessage)
+    // the pinned value keeps working (idempotent config)
+    LakeSync.sync(spark, cfg.tableDir, targetDir,
+      merge = MergeStrategy.MergeOnRead, changeFeed = Some(false))
+  }
+
   test("feed binding: foreign sources and non-sync targets are refused") {
     val root = tmpDir("graft-lakesync-bind")
     val cfgA = morCfg(s"$root/a")
