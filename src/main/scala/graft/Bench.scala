@@ -331,15 +331,10 @@ object Bench {
     val epsLo = nEvents / tLo
 
     // the line below is machine-parsed JSON: every interpolated STRING goes
-    // through jstr (a quote or backslash in a query name or the sf path —
-    // legal on Linux — would otherwise emit invalid JSON and break the
-    // harness scrape this Locale.ROOT pinning exists to keep parseable)
-    def jstr(v: String): String = "\"" + v.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // through the shared escape (a quote or backslash in a query name or the
+    // sf path — legal on Linux — would otherwise emit invalid JSON and break
+    // the harness scrape this Locale.ROOT pinning exists to keep parseable)
+    val jstr = JsonOut.str _
     val qs = queryTimes.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val qSamplesJson = queryTimes.map(_._1).map { name =>

@@ -102,8 +102,17 @@ object EnvelopeSource {
       posexplode(opsCol).as(Seq("_pos", "op_row")))
     val kv = map_from_entries(transform(col("op_row.columns"),
       c => struct(c.getField("name"), c.getField("value"))))
-    val lsn = packedLsn(col("created_at"), col("transaction_id"),
-      col("batch_page"), col("_pos"))
+    // the corrupt-message marker row carries NULL created_at/batch_page (the
+    // whole message failed from_json): packedLsn's budget guard would see a
+    // NULL condition, fall to its otherwise-branch and raise_error — crashing
+    // the stream on the exact row the marker exists to keep alive. A null LSN
+    // instead: the row is headed for the quarantine split (null op), never
+    // the LWW reduction, so no ordering semantics rest on it. CaseWhen
+    // evaluates only the matched branch per row, so well-formed rows still
+    // get the loud budget check.
+    val lsn = when(col("op_row").isNull, lit(null).cast(LongType))
+      .otherwise(packedLsn(col("created_at"), col("transaction_id"),
+        col("batch_page"), col("_pos")))
     val typedPayload = payload.fields.toSeq.map { f =>
       WalParser.castToken(element_at(kv, f.name), f.dataType).as(f.name)
     }
@@ -139,24 +148,35 @@ object EnvelopeSource {
     parsed.select(envelope ++ VersionedPayload.foldCols(p): _*)
   }
 
+  /** Single-table routing (the reference keeps only task tables,
+    * CDCManager.py:219-234). The corrupt-message marker row parseCore keeps
+    * (null op, null route — so bus poison quarantines instead of vanishing)
+    * must survive routing too: its route fields are NULL precisely BECAUSE
+    * the message was unparseable, and a bare equality filter evaluates
+    * three-valued NULL on them — silently re-dropping the row the marker
+    * exists to keep, on every runtime entry point. Only the all-null marker
+    * shape passes; a well-formed row for another table still routes away. */
+  private def routed(parsed: DataFrame,
+      schemaName: String, tableName: String): DataFrame =
+    parsed.filter(
+      (col("schema_name") === schemaName && col("table_name") === tableName) ||
+        (col(graft.model.ChangeEvent.OP).isNull &&
+          col("schema_name").isNull && col("table_name").isNull))
+      .drop("schema_name", "table_name")
+
   /** [[parseVersioned]] routed to one configured table. */
   def parseVersionedForTable(
       raw: DataFrame,
       basePayload: StructType,
       registry: Map[Int, Seq[graft.lake.SchemaChange]],
       schemaName: String, tableName: String): DataFrame =
-    parseVersioned(raw, basePayload, registry)
-      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
-      .drop("schema_name", "table_name")
+    routed(parseVersioned(raw, basePayload, registry), schemaName, tableName)
 
-  /** Parse + route to one configured table (the reference keeps only task
-    * tables, CDCManager.py:219-234). */
+  /** Parse + route to one configured table (see [[routed]]). */
   def parseForTable(
       raw: DataFrame, payload: StructType,
       schemaName: String, tableName: String, schemaVer: Int = 1): DataFrame =
-    parse(raw, payload, schemaVer)
-      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
-      .drop("schema_name", "table_name")
+    routed(parse(raw, payload, schemaVer), schemaName, tableName)
 
   /** Kafka-frame adapter: a `format("kafka")` source yields
     * (key/value: binary, topic, partition, offset, timestamp, …) — decode
@@ -245,26 +265,53 @@ object EnvelopeSource {
           s""""created_at":$created}""")
       java.nio.file.Files.move(tmp, p,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // AFTER the message files land: the marker must never claim a capture
+      // second whose pages aren't on the bus yet (a crash between marker and
+      // publish would make the next derivation skip a value — harmless — but
+      // the reverse order could let it collide with one)
+      recordCreatedAt(feedDir, created)
       stats
     } finally { events.unpersist(); () }
   }
 
   private val createdAtRe = """"created_at"\s*:\s*(\d+)""".r
 
+  /** High-water marker for [[maxCreatedAt]]: holds the highest capture
+    * second any [[writeFeed]] has derived or used, so the next derivation
+    * scans only message files NEWER than the marker instead of re-reading
+    * the whole bus (O(new publishes), not O(lifetime files) — at the 10^10-
+    * event cadence a long-lived bus accumulates tens of thousands of part
+    * files, and opening every one per publish grows linearly forever).
+    * Underscore-prefixed like the stats manifests, so the streaming text
+    * source never reads it as a message. */
+  private val HWM_MARKER = "_created_at_hwm"
+
   /** Highest capture second already on the bus — every publish writes its
-    * pages into one part file with a constant created_at, so reading just the
-    * FIRST line of each message file (driver-side, O(files)) covers all
-    * publishes regardless of who made them or whether their stats manifests
-    * survived. */
+    * pages with a constant created_at, so reading just the FIRST line of
+    * each message file covers all publishes regardless of who made them or
+    * whether their stats manifests survived. The marker bounds the scan:
+    * files older than it were all accounted when it was written (it is only
+    * ever written with the max of a scan that saw them); only files that
+    * appeared since — direct [[toMessages]] publishes included — are read,
+    * with a 2 s mtime slack for coarse-granularity filesystems. */
   private def maxCreatedAt(feedDir: String): Option[Long] = {
     val dir = java.nio.file.Paths.get(feedDir)
     if (!java.nio.file.Files.isDirectory(dir)) return None
+    val marker = dir.resolve(HWM_MARKER)
+    val base: Option[Long] =
+      if (!java.nio.file.Files.isRegularFile(marker)) None
+      else scala.util.Try(
+        java.nio.file.Files.readString(marker).trim.toLong).toOption
+    val sinceMs: Option[Long] = base.flatMap(_ => scala.util.Try(
+      java.nio.file.Files.getLastModifiedTime(marker).toMillis - 2000L).toOption)
     val values = scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
       import scala.jdk.CollectionConverters._
       ls.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
+            sinceMs.forall(s => scala.util.Try(
+              java.nio.file.Files.getLastModifiedTime(p).toMillis).toOption.forall(_ >= s))
         }
         .flatMap { p =>
           scala.util.Try(scala.util.Using.resource(
@@ -273,7 +320,24 @@ object EnvelopeSource {
             .flatMap(l => createdAtRe.findFirstMatchIn(l).map(_.group(1).toLong))
         }.toSeq
     }
-    if (values.isEmpty) None else Some(values.max)
+    (base ++ values).reduceOption(_ max _)
+  }
+
+  /** Advance (never regress) the [[HWM_MARKER]]; atomic tmp+move like every
+    * other metadata write. Same single-publisher caveat as the derivation. */
+  private def recordCreatedAt(feedDir: String, created: Long): Unit = {
+    val dir = java.nio.file.Paths.get(feedDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val marker = dir.resolve(HWM_MARKER)
+    val current = scala.util.Try(
+      java.nio.file.Files.readString(marker).trim.toLong).toOption
+    if (current.forall(_ < created)) {
+      val tmp = dir.resolve(s".$HWM_MARKER.tmp-${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp, created.toString)
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
   }
 
   private def producerStatsFiles(

@@ -320,7 +320,7 @@ object LakeSync {
   private def applicable(target: GraftSchema, head: GraftSchema,
       chs: Seq[SchemaChange]): Seq[SchemaChange] = {
     val goal = head.fields.map(f => f.name -> f.dataType).toSet
-    var fields = target.fields.map(f => f.name -> f.dataType)
+    var fields = target.fields.map(f => f.name -> f.dataType).toVector
     def reachedGoal = fields.toSet == goal
     // idempotent fast path: the whole window already replayed (a crash
     // between evolve and the cursor commit) — `evolve` is atomic, so "fully
@@ -341,13 +341,9 @@ object LakeSync {
         if (!applies(ch)) Some(ch) // blocked or stale — retry next pass
         else {
           out += ch
-          fields = ch match {
-            case AddColumn(n, dt, _) => fields :+ (n -> dt)
-            case RenameColumn(f, t)  => fields.map { case (n, dt) =>
-              (if (n == f) t else n) -> dt }
-            case WidenColumn(n, to)  => fields.map { case (c, dt) =>
-              c -> (if (c == n) to else dt) }
-          }
+          // the shape effect is the SHARED fold (SchemaChange.applyToShape);
+          // only the blocked-vs-apply judgement above is fixpoint-specific
+          fields = SchemaChange.applyToShape(fields, ch)
           progress = true
           None
         }

@@ -60,6 +60,29 @@ case class AddColumn(name: String, dataType: DataType, nullable: Boolean = true)
 case class RenameColumn(from: String, to: String) extends SchemaChange
 case class WidenColumn(name: String, to: DataType) extends SchemaChange
 
+object SchemaChange {
+  /** The (name → type) SHAPE effect of one change, with the guarded
+    * applicability semantics every replay site shares: an add of an existing
+    * name, a rename whose source is gone or whose target name is taken, and
+    * a widen of an absent column are NO-OPS (stale entries of an
+    * already-applied chain), not errors. [[LakeTable.applySchemaChanges]]
+    * stays the authoritative full-schema (field-id, nullability) evolution;
+    * this is the lightweight simulation its replay-idempotence callers fold
+    * with (CdcRunner.applySchemaRegistry's no-op-chain detection,
+    * LakeSync's evolution-replay fixpoint). ONE definition so a new change
+    * kind cannot land in one fold and silently diverge the others. */
+  def applyToShape(shape: Vector[(String, DataType)],
+      ch: SchemaChange): Vector[(String, DataType)] = ch match {
+    case AddColumn(n, dt, _) if !shape.exists(_._1 == n) => shape :+ (n -> dt)
+    case RenameColumn(f, t)
+        if shape.exists(_._1 == f) && !shape.exists(_._1 == t) =>
+      shape.map { case (n, dt) => (if (n == f) t else n) -> dt }
+    case WidenColumn(n, to) =>
+      shape.map { case (nm, dt) => nm -> (if (nm == n) to else dt) }
+    case _ => shape
+  }
+}
+
 /** A commit prepared against a snapshot that is no longer current could not be
   * safely attached to the table head: something it depends on (the buckets it
   * rewrites, the schema it evolves, the file list it consolidates) changed
@@ -424,16 +447,16 @@ class LakeTable(val dir: String) {
     // false and let the next maintenance commit wedge the feed it guards
     if (!Files.isDirectory(root)) return false
     if (Files.exists(root.resolve(FEED_MARKER))) return true
-    val hasEpochDirs = scala.util.Using.resource(Files.list(root)) { ls =>
+    // pure READ: tables whose sidecars predate the marker answer from the
+    // epoch-dir evidence every call; the durable pin happens on writer paths
+    // only (every sidecar write, enableChangeFeed at creation, and vacuum
+    // just before it GCs pruned epochs' sidecar dirs — the one operation
+    // that destroys this evidence). A getter that wrote a marker made
+    // nominally read-only probes (JobMain drain defaults, LakeSync feed
+    // resolution) mutate the table dir — spurious diffs on snapshot copies.
+    scala.util.Using.resource(Files.list(root)) { ls =>
       ls.iterator().asScala.exists(_.getFileName.toString.startsWith("epoch="))
     }
-    // backfill for tables whose sidecars predate the marker: persist the
-    // identity now, while the epoch-dir evidence still exists (best-effort —
-    // a read-only mount just answers from the dirs again next time)
-    if (hasEpochDirs)
-      try Files.writeString(root.resolve(FEED_MARKER), ""): Unit
-      catch { case _: java.io.IOException => () }
-    hasEpochDirs
   }
 
   private val FEED_MARKER = "_feed"
@@ -1683,6 +1706,14 @@ class LakeTable(val dir: String) {
     }
     // change sidecars of epochs committed at pruned versions are unreachable
     // (their version's manifest goes away below) — GC them with the snapshot.
+    // FIRST pin the feed identity: on a pre-marker-era table (sidecars
+    // written by an older build, no _feed yet) the epoch dirs ARE the
+    // evidence that it records a feed, and this loop is the one place that
+    // destroys them — without the pin, an aggressive vacuum would flip
+    // recordsChangeFeed to false and let the next maintenance commit wedge
+    // the feed. Vacuum is already a writer, so the pin belongs here, not in
+    // the read accessor.
+    if (recordsChangeFeed) enableChangeFeed()
     // Read the epoch BEFORE deleting the manifest; epochs are unique per table.
     (floor until keepFrom).foreach { v =>
       val mp = manifestPath(v)

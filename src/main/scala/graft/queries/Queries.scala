@@ -643,6 +643,50 @@ object Queries {
         .orderBy("lsn")
     }),
 
+    // §2.1 S4 (DLX): two corrupt lines on the envelope bus — a truncated
+    // message and plain garbage — must neither crash the stream (the packed-
+    // LSN budget guard used to raise_error on the NULL fields) nor vanish
+    // silently (the per-table routing filter used to drop the NULL-route
+    // marker row): they quarantine as unknown_op, the delivery audit counts
+    // them, and every well-formed event still merges. Output = final state
+    // + quarantine reasons + the events_received metric, all oracle-exact.
+    "q_source_envelope_poison" -> ((s, dir) => {
+      import graft.feed.EnvelopeSource
+      val root = tempRoot("graft-q-envpoison")
+      val payload = StructType(Seq(
+        StructField("doc_id", StringType),
+        StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", IntegerType),
+        StructField("source", StringType)))
+      val feed = feedFromEvents(s, dir).filter(col(ChangeEvent.LSN) < 2000)
+      import s.implicits._
+      EnvelopeSource.toMessages(feed, "corpus", "documents", batchSize = 100)
+        .union(Seq("""{"transaction_id": "t-1", "created""",
+          "not json at all").toDF("value"))
+        .coalesce(1).write.text(s"$root/bus")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/bus", tableDir = s"$root/table",
+        checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+        payloadSchema = payload)
+      CdcRunner.startFromEnvelopes(s, cfg, "corpus", "documents").awaitTermination()
+      val lake = new graft.lake.LakeTable(cfg.tableDir)
+      val nullS = lit(null).cast(StringType)
+      val state = lake.read(s).select(lit("state").as("kind"), col("doc_id"),
+        array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+        col("n_tok"), col("source"), nullS.as("reason"))
+      val quar = lake.quarantine(s).select(lit("quarantine").as("kind"),
+        nullS.as("doc_id"), nullS.as("tokens_csv"),
+        lit(null).cast(IntegerType).as("n_tok"), nullS.as("source"),
+        col(graft.apply.MergeApply.QUARANTINE_REASON).as("reason"))
+      val received = lake.manifest.metrics("events_received")
+      val metric = s.range(1).select(lit("metric").as("kind"),
+        lit("events_received").as("doc_id"), nullS.as("tokens_csv"),
+        lit(received).cast(IntegerType).as("n_tok"), nullS.as("source"),
+        nullS.as("reason"))
+      state.unionAll(quar).unionAll(metric).orderBy("kind", "doc_id")
+    }),
+
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
     "q_source_fullload" -> ((s, dir) => {
       val root = tempRoot("graft-q-fl")
@@ -1308,6 +1352,34 @@ object Queries {
          |  CASE WHEN op='DELETE' THEN NULL ELSE n_tok END AS n_tok,
          |  CASE WHEN op='DELETE' THEN NULL ELSE source END AS source
          |FROM r ORDER BY lsn""".stripMargin,
+
+    // poisoned bus: the LWW fold over the well-formed events (the corrupt
+    // lines must not perturb the state), exactly two unknown_op quarantine
+    // rows, and events_received = well-formed ops + the two marker rows
+    "q_source_envelope_poison" ->
+      s"""WITH ev0 AS ($feedSql),
+         |ev AS (SELECT * FROM ev0 WHERE lsn < 2000),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id),
+         |state AS (
+         |  SELECT 'state' AS kind, doc_id,
+         |    array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |    n_tok, source, CAST(NULL AS VARCHAR) AS reason
+         |  FROM last WHERE last_op <> 'DELETE'),
+         |quar AS (
+         |  SELECT 'quarantine' AS kind, CAST(NULL AS VARCHAR) AS doc_id,
+         |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
+         |    CAST(NULL AS VARCHAR) AS source, 'unknown_op: null' AS reason
+         |  FROM range(2)),
+         |met AS (
+         |  SELECT 'metric' AS kind, 'events_received' AS doc_id,
+         |    CAST(NULL AS VARCHAR) AS tokens_csv,
+         |    CAST((SELECT count(*) + 2 FROM ev) AS INT) AS n_tok,
+         |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS reason)
+         |SELECT * FROM state UNION ALL SELECT * FROM quar UNION ALL
+         |SELECT * FROM met ORDER BY kind, doc_id""".stripMargin,
 
     // expected typed rows computed directly from events — the parse round-trip
     // must land exactly here

@@ -228,18 +228,7 @@ object CdcRunner {
       val cur = lake.manifest.currentSchema.fields
         .map(f => f.name -> f.dataType).toVector
       val simulated = chain.foldLeft(cur) { case (shape, (_, changes)) =>
-        changes.foldLeft(shape) { (s, c) =>
-          c match {
-            case graft.lake.AddColumn(n, dt, _) if !s.exists(_._1 == n) =>
-              s :+ (n -> dt)
-            case graft.lake.RenameColumn(f, t)
-                if s.exists(_._1 == f) && !s.exists(_._1 == t) =>
-              s.map { case (n, dt) => (if (n == f) t else n) -> dt }
-            case graft.lake.WidenColumn(n, to) =>
-              s.map { case (nm, dt) => nm -> (if (nm == n) to else dt) }
-            case _ => s
-          }
-        }
+        changes.foldLeft(shape)(graft.lake.SchemaChange.applyToShape)
       }
       if (simulated == cur) {
         lake.evolveRegistry(maxVer, Nil): Unit // watermark-only commit

@@ -116,6 +116,34 @@ class ChangeFeedCowSpec extends SparkSpec {
     assert(lake.recordsChangeFeed, "the _feed marker outlives vacuumed sidecars")
   }
 
+  test("pre-marker-era table: vacuum pins the _feed identity BEFORE GCing the " +
+    "epoch-dir evidence; the read accessor itself never writes") {
+    val root = tmpDir("graft-cfcow-premarker")
+    val cfg = mkCfg(root, "t",
+      JobConfig(mode = CdcMode.Upsert, buckets = 2, changeFeed = true),
+      filesPerTrigger = 1)
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 200, nDocs = 40)),
+      cfg.feedDir, nFiles = 2)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    // simulate a table whose sidecars were written by an older build: epoch
+    // dirs exist, the durable marker does not
+    val marker = java.nio.file.Paths.get(lake.dir, "changes", "_feed")
+    java.nio.file.Files.delete(marker)
+    // a read-only probe answers from the epoch dirs and does NOT recreate the
+    // marker (a getter with a write side effect shows spurious diffs on
+    // snapshot-copied table dirs)
+    assert(lake.recordsChangeFeed)
+    assert(!java.nio.file.Files.exists(marker),
+      "recordsChangeFeed must be a pure read")
+    // vacuum — the one operation that destroys the epoch-dir evidence —
+    // re-pins the identity first, so the feed default survives the GC
+    lake.vacuum(keepVersions = 1)
+    assert(java.nio.file.Files.exists(marker), "vacuum pins the feed identity")
+    assert(lake.recordsChangeFeed)
+  }
+
   test("maintenance inside the window leaves the CoW feed exact: compaction " +
     "consolidates the fragment list but adds no change rows") {
     val root = tmpDir("graft-cfcow-maint")

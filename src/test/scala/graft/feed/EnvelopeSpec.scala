@@ -154,6 +154,34 @@ class EnvelopeSpec extends SparkSpec {
     assert(state.sameElements(expected))
   }
 
+  test("a corrupt bus line survives parse, ROUTING and the LSN budget guard: " +
+    "quarantined as unknown_op and counted — never crashed on, never vanished") {
+    val root = tmpDir("graft-env-poison")
+    val events = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 50, nDocs = 10))
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+    import spark.implicits._
+    // a truncated message (connection cut mid-publish): from_json yields a
+    // null struct — historically this row crashed packedLsn's budget guard
+    // (NULL condition → raise_error branch) and, when that was bypassed,
+    // silently fell out of the per-table routing filter (NULL route fields)
+    EnvelopeSource.toMessages(events, "corpus", "documents", batchSize = 100)
+      .union(Seq("""{"transaction_id": "t-77", "created""").toDF("value"))
+      .coalesce(1).write.text(s"$root/bus")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/bus", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      payloadSchema = payload)
+    CdcRunner.startFromEnvelopes(spark, cfg, "corpus", "documents").awaitTermination()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    val q = lake.quarantine(spark).collect()
+    assert(q.length == 1, s"exactly the poison row quarantines: ${q.toSeq}")
+    assert(q(0).getAs[String](graft.apply.MergeApply.QUARANTINE_REASON)
+      .startsWith("unknown_op"), q(0).toString)
+    // the delivery audit counts it: 50 real ops + 1 marker row
+    assert(lake.manifest.metrics("events_received") == 51L)
+  }
+
   test("a key-less DELETE on the envelope wire is dropped like the WAL path's " +
     "(no-tuple-data) — no phantom null-key tombstone reaches the lake") {
     val root = tmpDir("graft-env-nullkey")
