@@ -43,7 +43,7 @@ object MergeApply {
 
   /** Replay epochs live far above any realistic streaming epoch count so they
     * can be recorded in the committed set (idempotence) without colliding. */
-  private val REPLAY_EPOCH_BASE = 1L << 40
+  private[graft] val REPLAY_EPOCH_BASE = 1L << 40
 
   /** Marker offset for POST-transform quarantine dirs (rows whose transform-
     * introduced merge key is null): distinct from streaming epochs (≪ 2^39)
@@ -105,9 +105,23 @@ object MergeApply {
     // a transform that legitimately rewrote n_tok (the user's explicit rule,
     // authoritative like on the normal path, which never re-checks post-
     // transform) would otherwise re-quarantine every drain attempt, forever.
+    // A replay epoch encodes its source arithmetically (REPLAY_EPOCH_BASE +
+    // (src+2)*64 + attempt), so post-transform LINEAGE is recoverable even
+    // when a crash between a replay's re-quarantine write and its marker
+    // write left the dir unmarked: walk the replay chain back to the
+    // original epoch and test ITS band. Depth-bounded — each replay level
+    // multiplies the epoch by 64, so 8 levels is already beyond Long range.
+    def postTransformLineage(e: Long): Boolean = {
+      var cur = e
+      var depth = 0
+      while (cur >= REPLAY_EPOCH_BASE && depth < 8) {
+        cur = (cur - REPLAY_EPOCH_BASE) / 64 - 2; depth += 1
+      }
+      cur >= POST_TRANSFORM_EPOCH_BASE && cur < REPLAY_EPOCH_BASE
+    }
     val postTransform =
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, POST_TRANSFORM_MARKER)) ||
-        (sourceEpoch >= POST_TRANSFORM_EPOCH_BASE && sourceEpoch < REPLAY_EPOCH_BASE)
+        postTransformLineage(sourceEpoch)
     val effCfg =
       if (!postTransform) cfg
       else {
@@ -120,13 +134,19 @@ object MergeApply {
       }
     val rows = fix(spark.read.parquet(dir).drop(QUARANTINE_REASON))
     val replayEpoch = REPLAY_EPOCH_BASE + (sourceEpoch + 2) * 64 + attempt
-    val res = applyBatch(spark, lake, rows, replayEpoch, effCfg)
     // rows re-quarantined from a post-transform source stay post-transform:
-    // propagate the marker so the NEXT drain attempt also strips the rules
-    if (postTransform &&
-        new java.io.File(lake.quarantineDir(replayEpoch)).isDirectory)
-      markPostTransform(lake.quarantineDir(replayEpoch))
-    res
+    // propagate the marker so the NEXT drain attempt also strips the rules.
+    // In a FINALLY, not after the return: applyBatch can throw AFTER the
+    // re-quarantine write (stop_if_error fires post-write, a commit
+    // conflict) and an unmarked replay dir would hand pipeline OUTPUT to the
+    // next drain as raw input (lineage derivation above is the last-resort
+    // net for a crash that skips even this)
+    try applyBatch(spark, lake, rows, replayEpoch, effCfg)
+    finally {
+      if (postTransform &&
+          new java.io.File(lake.quarantineDir(replayEpoch)).isDirectory)
+        markPostTransform(lake.quarantineDir(replayEpoch))
+    }
   }
 
   /** set GRAFT_PHASE_TIMING=1 to print per-phase timings to stderr */
@@ -191,12 +211,17 @@ object MergeApply {
         (col("tokens").isNotNull && col("n_tok").isNotNull &&
           col("n_tok") === size(col("tokens")))
     val opOk = opCol.isNotNull && opCol.isin(ChangeEvent.OPS.toSeq: _*)
+    // a NULL LSN has no place in the LWW order (max_by over a null is
+    // engine-defined, not replay semantics) — it is a malformed feed row
+    // (a corrupt envelope whose message-level fields nulled out, a hand-made
+    // parquet feed missing the column) and quarantines like the rest
+    val lsnOk = col(ChangeEvent.LSN).isNotNull
     // a NULL merge key can never equi-match: the CoW full-outer join would
     // insert a fresh null-key row EVERY epoch (unbounded, undeletable —
     // tombstones don't match either) while the MoR fold's sameKey dedupes
     // them — divergent results per storage strategy. Quarantine instead.
     val keyOk = cfg.keyCols.map(col(_).isNotNull).reduce(_ && _)
-    val invariantOk = opOk && keyOk && payloadOk
+    val invariantOk = opOk && lsnOk && keyOk && payloadOk
     // A DELETE carrying NO key at all is a WELL-FORMED protocol message, not
     // a malformed row: logical decoding emits key-less tombstones when the
     // source lacks replica identity, and the reference skips them
@@ -267,6 +292,8 @@ object MergeApply {
         // the operator can tell which was which and fix selectively
         val reason = when(!opOk,
             concat(lit("unknown_op: "), coalesce(opCol, lit("null"))))
+          .when(!lsnOk, lit("null_lsn: every change event must carry an LSN " +
+            "(LWW ordering is undefined without one)"))
           .when(!keyOk, lit("null_merge_key: " +
             s"key column(s) ${cfg.keyCols.mkString(",")} must be non-null"))
           .otherwise(lit("payload_invariant: tokens null or n_tok != size(tokens)"))

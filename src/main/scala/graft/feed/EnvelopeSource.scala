@@ -66,10 +66,18 @@ object EnvelopeSource {
     val packed = shiftleft(rel, 32) +
       shiftleft(xxhash64(txnId).bitwiseAND(lit(0xFFFFL)), 16) +
       shiftleft(page.cast(LongType), 10) + pos.cast(LongType)
-    when(inBudget, packed).otherwise(raise_error(format_string(
-      "envelope LSN field out of budget: created_at=%s (2020..2088 epoch-s), " +
-        "batch_page=%s (< 64), position=%s (< 1024)",
-      createdAt, page, pos)).cast(LongType))
+    // NULL message-level fields (created_at absent, or type-mismatched so
+    // PERMISSIVE from_json nulls the field while keeping operations) are a
+    // CORRUPTION shape, not a budget violation: raise_error here would wedge
+    // the stream permanently (it re-crashes on every checkpoint replay of
+    // that batch). A null LSN routes the row to the merge's quarantine split
+    // (null_lsn invariant) instead. Out-of-budget NON-null values stay loud —
+    // those are producer bugs a quarantine would hide.
+    when(createdAt.isNull || page.isNull || pos.isNull, lit(null).cast(LongType))
+      .when(inBudget, packed).otherwise(raise_error(format_string(
+        "envelope LSN field out of budget: created_at=%s (2020..2088 epoch-s), " +
+          "batch_page=%s (< 64), position=%s (< 1024)",
+        createdAt, page, pos)).cast(LongType))
   }
 
   /**
@@ -286,41 +294,58 @@ object EnvelopeSource {
     * source never reads it as a message. */
   private val HWM_MARKER = "_created_at_hwm"
 
+  /** Marker payload: the accounted max created_at and the count of message
+    * files OLDER than the marker's own slack window at write time. The count
+    * verifies the "files older than the marker were already accounted"
+    * assumption: a file moved INTO the bus with a preserved old mtime
+    * (`mv`/`Files.move` keeps it — the standard atomic-publish pattern), or
+    * a deleted old file, changes the old-file count and forces a full
+    * rescan instead of a silent LSN collision with the unseen file. */
+  private val hwmRe = """(\d+)\s+(\d+)""".r
+  private def readHwm(marker: java.nio.file.Path): Option[(Long, Long)] =
+    scala.util.Try(java.nio.file.Files.readString(marker).trim).toOption
+      .collect { case hwmRe(c, n) => (c.toLong, n.toLong) }
+
+  private def listMessageFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq
+    }
+
+  private def mtimeMs(p: java.nio.file.Path): Long = scala.util.Try(
+    java.nio.file.Files.getLastModifiedTime(p).toMillis).getOrElse(Long.MaxValue)
+
   /** Highest capture second already on the bus — every publish writes its
     * pages with a constant created_at, so reading just the FIRST line of
     * each message file covers all publishes regardless of who made them or
-    * whether their stats manifests survived. The marker bounds the scan:
-    * files older than it were all accounted when it was written (it is only
-    * ever written with the max of a scan that saw them); only files that
-    * appeared since — direct [[toMessages]] publishes included — are read,
-    * with a 2 s mtime slack for coarse-granularity filesystems. */
+    * whether their stats manifests survived. The marker bounds the scan to
+    * files NEWER than it (O(new publishes), not O(lifetime files)); the
+    * old-file count check falls back to the full scan whenever the
+    * accounted set changed shape under the marker. 2 s mtime slack for
+    * coarse-granularity filesystems. */
   private def maxCreatedAt(feedDir: String): Option[Long] = {
     val dir = java.nio.file.Paths.get(feedDir)
     if (!java.nio.file.Files.isDirectory(dir)) return None
+    val files = listMessageFiles(dir)
+    def readFirstLineCreatedAt(p: java.nio.file.Path): Option[Long] =
+      scala.util.Try(scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(p))(_.readLine())).toOption
+        .flatMap(l => Option(l))
+        .flatMap(l => createdAtRe.findFirstMatchIn(l).map(_.group(1).toLong))
     val marker = dir.resolve(HWM_MARKER)
-    val base: Option[Long] =
-      if (!java.nio.file.Files.isRegularFile(marker)) None
-      else scala.util.Try(
-        java.nio.file.Files.readString(marker).trim.toLong).toOption
-    val sinceMs: Option[Long] = base.flatMap(_ => scala.util.Try(
-      java.nio.file.Files.getLastModifiedTime(marker).toMillis - 2000L).toOption)
-    val values = scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
-            sinceMs.forall(s => scala.util.Try(
-              java.nio.file.Files.getLastModifiedTime(p).toMillis).toOption.forall(_ >= s))
-        }
-        .flatMap { p =>
-          scala.util.Try(scala.util.Using.resource(
-            java.nio.file.Files.newBufferedReader(p))(_.readLine())).toOption
-            .flatMap(l => Option(l))
-            .flatMap(l => createdAtRe.findFirstMatchIn(l).map(_.group(1).toLong))
-        }.toSeq
-    }
-    (base ++ values).reduceOption(_ max _)
+    val bounded = for {
+      (base, oldCount) <- readHwm(marker)
+      since <- scala.util.Try(
+        java.nio.file.Files.getLastModifiedTime(marker).toMillis - 2000L).toOption
+      (newer, older) = files.partition(mtimeMs(_) >= since)
+      // the accounted-set shape must match what the marker recorded, or the
+      // bound is unsound (moved-in old file / deleted old file) — full scan
+      if older.size.toLong == oldCount
+    } yield (base +: newer.flatMap(readFirstLineCreatedAt)).max
+    bounded.orElse(files.flatMap(readFirstLineCreatedAt).maxOption)
   }
 
   /** Advance (never regress) the [[HWM_MARKER]]; atomic tmp+move like every
@@ -329,11 +354,15 @@ object EnvelopeSource {
     val dir = java.nio.file.Paths.get(feedDir)
     if (!java.nio.file.Files.isDirectory(dir)) return
     val marker = dir.resolve(HWM_MARKER)
-    val current = scala.util.Try(
-      java.nio.file.Files.readString(marker).trim.toLong).toOption
+    val current = readHwm(marker).map(_._1)
     if (current.forall(_ < created)) {
+      // count the files that will classify as OLD on the next derivation:
+      // strictly older than now-2s (this publish's own files are newer and
+      // will be rescanned once — one or two first-line reads, by design)
+      val cutoff = System.currentTimeMillis() - 2000L
+      val oldCount = listMessageFiles(dir).count(mtimeMs(_) < cutoff)
       val tmp = dir.resolve(s".$HWM_MARKER.tmp-${System.nanoTime()}")
-      java.nio.file.Files.writeString(tmp, created.toString)
+      java.nio.file.Files.writeString(tmp, s"$created $oldCount")
       java.nio.file.Files.move(tmp, marker,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit

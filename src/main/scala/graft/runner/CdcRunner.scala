@@ -224,6 +224,28 @@ object CdcRunner {
     // the correct action — for a genuinely-fresh table a net-no-op chain
     // leaves the same final state either way (its intermediate versions
     // carry no data), so the skip is safe in both histories.
+    // a FIXED-schema (parquet) feed cannot express a rename mid-stream: the
+    // contract is a stream restart with the evolved payload schema
+    // (MultiTableSpec's schema_versions e2e). A v2-marked batch still
+    // carrying the OLD column shape means the feed was not evolved —
+    // evolving the lake anyway would null-fill the renamed column (and a
+    // renamed MERGE KEY would break the merge) silently from here on.
+    // Exception: when a LATER version ≤ maxVer renames something INTO this
+    // name, the batch's column is the evolved final shape of a name-reusing
+    // chain, not the stale pre-rename shape.
+    def staleShapeGuard(ver: Int, changes: Seq[SchemaChange]): Unit =
+      changes.foreach {
+        case graft.lake.RenameColumn(f, t)
+            if batch.columns.contains(f) && !batch.columns.contains(t) &&
+              !renamedIntoLater(registry, ver, maxVer, f) =>
+          throw new IllegalArgumentException(
+            s"schema_versions[$ver] renames '$f' -> '$t' but this batch " +
+              "still carries the old column shape — restart the stream " +
+              "with the evolved payload schema, or use a wire-format " +
+              "source (wal/envelope) whose versioned parse folds renames " +
+              "per row without a restart")
+        case _ => ()
+      }
     if (applied == 0L && chain.nonEmpty) {
       val cur = lake.manifest.currentSchema.fields
         .map(f => f.name -> f.dataType).toVector
@@ -231,32 +253,19 @@ object CdcRunner {
         changes.foldLeft(shape)(graft.lake.SchemaChange.applyToShape)
       }
       if (simulated == cur) {
+        // the guard runs HERE too: a rename whose source column the table no
+        // longer carries simulates as a no-op, but a BATCH still carrying it
+        // means the feed was never evolved — skipping silently would record
+        // the watermark and null-fill the renamed column's values forever
+        // after (the loud wedge turned into silent loss). A genuinely-final
+        // name-reusing chain passes via the renamedIntoLater exception.
+        chain.foreach { case (ver, changes) => staleShapeGuard(ver, changes) }
         lake.evolveRegistry(maxVer, Nil): Unit // watermark-only commit
         return
       }
     }
     chain.foreach { case (ver, changes) =>
-        // a FIXED-schema (parquet) feed cannot express a rename mid-stream:
-        // the contract is a stream restart with the evolved payload schema
-        // (MultiTableSpec's schema_versions e2e). A v2-marked batch still
-        // carrying the OLD column shape means the feed was not evolved —
-        // evolving the lake anyway would null-fill the renamed column (and a
-        // renamed MERGE KEY would break the merge) silently from here on.
-        // Exception: when a LATER version ≤ maxVer renames something INTO
-        // this name, the batch's column is the evolved final shape of a
-        // name-reusing chain, not the stale pre-rename shape
-        changes.foreach {
-          case graft.lake.RenameColumn(f, t)
-              if batch.columns.contains(f) && !batch.columns.contains(t) &&
-                !renamedIntoLater(registry, ver, maxVer, f) =>
-            throw new IllegalArgumentException(
-              s"schema_versions[$ver] renames '$f' -> '$t' but this batch " +
-                "still carries the old column shape — restart the stream " +
-                "with the evolved payload schema, or use a wire-format " +
-                "source (wal/envelope) whose versioned parse folds renames " +
-                "per row without a restart")
-          case _ => ()
-        }
+        staleShapeGuard(ver, changes)
         lake.evolveRegistry(ver, changes)
       }
   }

@@ -49,21 +49,23 @@ class ErrorPolicySpec extends SparkSpec {
       Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"), // good
       Row(2L, 1L, ts(2), null, 1, "k2", Seq(1), Int.box(1), "web"),     // null op
       Row(3L, 1L, ts(3), "UPDATE", 1, "k3", Seq(1, 2), null, "web"),    // null n_tok
-      Row(4L, 1L, ts(4), "INSERT", 1, null, Seq(1), Int.box(1), "web")) // null key
+      Row(4L, 1L, ts(4), "INSERT", 1, null, Seq(1), Int.box(1), "web"), // null key
+      Row(null, 1L, ts(5), "INSERT", 1, "k5", Seq(1), Int.box(1), "web")) // null lsn
     // a real feed arrives via a parquet READ, where nullable=false is
     // advisory — build with the all-nullable shape such a read delivers
     val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(bad, 2), readShape)
     val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
-    assert(res.metrics("events_quarantined") == 3L, res.metrics.toString)
-    assert(res.metrics("events_received") == 4L)
+    assert(res.metrics("events_quarantined") == 4L, res.metrics.toString)
+    assert(res.metrics("events_received") == 5L)
     assert(lake.read(spark).count() == 1, "only the good row lands")
     val q = spark.read.parquet(lake.quarantineDir(0L))
-      .select("lsn", MergeApply.QUARANTINE_REASON).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(q(2L).startsWith("unknown_op"), q.toString)
-    assert(q(3L).startsWith("payload_invariant"), q.toString)
-    assert(q(4L).startsWith("null_merge_key"), q.toString)
+      .select("doc_id", MergeApply.QUARANTINE_REASON).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q("k2").startsWith("unknown_op"), q.toString)
+    assert(q("k3").startsWith("payload_invariant"), q.toString)
+    assert(q(null).startsWith("null_merge_key"), q.toString)
+    assert(q("k5").startsWith("null_lsn"), q.toString)
   }
 
   test("null merge key under quarantine=false fails the batch (contract: " +
@@ -155,6 +157,41 @@ class ErrorPolicySpec extends SparkSpec {
     assert(out.length == 1, out.mkString(";"))
     val nTok = out(0).getAs[Number]("n_tok").longValue
     assert(nTok == 2L, s"pipeline must run ONCE (n_tok=2), not twice: got $nTok")
+  }
+
+  test("the post-transform marker survives a stop_if_error throw mid-drain: " +
+    "the re-quarantined rows stay marked (and lineage arithmetic covers a " +
+    "crash that skips even the finally)") {
+    import graft.rules.AddPrimaryKey
+    val job = JobConfig(transforms = Seq(AddPrimaryKey(Seq("source"), 0)))
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val in = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"),
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1), Int.box(1), null)) // DLX
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(in, 2), readShape)
+    MergeApply.applyBatch(spark, lake, df, 0L, job)
+    val qEpoch = MergeApply.POST_TRANSFORM_EPOCH_BASE
+    // drain WITHOUT fixing the null key, stop flag armed: applyBatch writes
+    // the re-quarantined rows, THEN stop_if_error throws — the finally must
+    // still mark the replay dir, or the next drain re-runs the rules on
+    // pipeline output
+    val stopJob = job.copy(errorPolicy = ErrorPolicy(stopOnInsertError = true))
+    val replayEpoch = MergeApply.REPLAY_EPOCH_BASE + (qEpoch + 2) * 64 + 1
+    intercept[IllegalStateException](
+      MergeApply.replayQuarantine(spark, lake, qEpoch, stopJob, attempt = 1))
+    assert(new java.io.File(lake.quarantineDir(replayEpoch)).isDirectory,
+      "the still-bad row re-quarantined under the replay epoch")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      lake.quarantineDir(replayEpoch), MergeApply.POST_TRANSFORM_MARKER)),
+      "marker propagated despite the throw")
+    // a second drain — of the REPLAY epoch, rules attached — strips them and
+    // lands the corrected row exactly once
+    val res = MergeApply.replayQuarantine(spark, lake, replayEpoch, job,
+      fix = _.withColumn("source", org.apache.spark.sql.functions.lit("fixed")),
+      attempt = 2)
+    assert(!res.skipped)
+    assert(lake.read(spark).where("doc_id = 'k2'").count() == 1)
   }
 
   test("a PARTIAL composite-key DELETE is malformed, not protocol: " +

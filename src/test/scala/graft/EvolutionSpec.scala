@@ -166,6 +166,32 @@ class EvolutionSpec extends SparkSpec {
     assert(lake.manifest.metrics(LakeTable.RegistryVerMetric) == 3L)
   }
 
+  test("the no-op-chain watermark skip still enforces the stale-batch-shape " +
+    "guard: a batch carrying the pre-rename column wedges LOUDLY — skipping " +
+    "would record the watermark and null-fill the renamed column forever") {
+    val root = tmpDir("graft-evo-staleskip")
+    val registry = Map(2 -> Seq(RenameColumn("source", "origin")))
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      schemaRegistry = registry)
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    // the table was evolved by an OLDER build: column already 'origin', no
+    // watermark metric — the rename SIMULATES as a no-op against this shape
+    lake.evolve(Seq(RenameColumn("source", "origin")))
+    // ...but the BATCH still carries 'source': the feed was never evolved.
+    // Recording the watermark here would silently null-fill 'origin' on
+    // every subsequent batch (the loud wedge turned into silent loss).
+    val batch = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 10, nDocs = 5, schemaVer = 2))
+    val e = intercept[IllegalArgumentException](
+      CdcRunner.applySchemaRegistry(lake, registry, batch))
+    assert(e.getMessage.contains("still carries the old column shape"),
+      e.getMessage)
+    assert(lake.manifest.metrics.getOrElse(LakeTable.RegistryVerMetric, 0L) == 0L,
+      "no watermark recorded on the refused path")
+  }
+
   test("null schema_ver rows evolve nothing and do not crash the registry scan") {
     val root = tmpDir("graft-evo-nullver")
     val registry = Map(2 -> Seq(AddColumn("lang", StringType)))

@@ -26,14 +26,20 @@ class EnvelopePoisonPropertySpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)))
 
   /** The corruption shapes a real bus produces: a publish cut mid-write, a
-    * non-JSON frame, well-formed JSON that is not an envelope, and an
-    * envelope whose operations array is null. All four make from_json yield
-    * a null struct or a null operations field — the marker-row path. */
+    * non-JSON frame, well-formed JSON that is not an envelope, an envelope
+    * whose operations array is null (all four → the null-op marker row →
+    * unknown_op), and an envelope with parseable operations but a missing
+    * created_at (PERMISSIVE from_json keeps the row, the packed LSN nulls
+    * out → null_lsn). The last shape used to raise_error in the budget
+    * guard and re-crash the stream on every checkpoint replay. */
   private val poisonPool = Seq(
     """{"transaction_id": "t-9", "created""",
     "not json at all",
     "{}",
-    """{"transaction_id":"x","created_at":1700000001,"batch_page":0,"operations":null}""")
+    """{"transaction_id":"x","created_at":1700000001,"batch_page":0,"operations":null}""",
+    """{"transaction_id":"x","batch_page":0,"operations":[{"schema_name":"corpus",""" +
+      """"table_name":"documents","operation":"INSERT","columns":[""" +
+      """{"name":"doc_id","type":"varchar","value":"poisoned"}]}]}""")
 
   test("streamed poisoned bus == clean replay; every poison line quarantined " +
     "and counted, any corruption shape, any position, any file split") {
@@ -90,8 +96,10 @@ class EnvelopePoisonPropertySpec extends SparkSpec {
         s"case $i (k=$k): poisoned state != clean replay")
       val q = lake.quarantine(spark).collect()
       assert(q.length == k, s"case $i: ${q.length} quarantined, want $k")
-      assert(q.forall(_.getAs[String](graft.apply.MergeApply.QUARANTINE_REASON)
-        .startsWith("unknown_op")), q.mkString(";"))
+      assert(q.forall { r =>
+        val reason = r.getAs[String](graft.apply.MergeApply.QUARANTINE_REASON)
+        reason.startsWith("unknown_op") || reason.startsWith("null_lsn")
+      }, q.mkString(";"))
       assert(lake.manifest.metrics("events_received") == nEvents + k,
         s"case $i: received ${lake.manifest.metrics("events_received")}, " +
           s"want ${nEvents + k}")
