@@ -107,10 +107,16 @@ object MergeApply {
     // transform) would otherwise re-quarantine every drain attempt, forever.
     // A replay epoch encodes its source arithmetically (REPLAY_EPOCH_BASE +
     // (src+2)*64 + attempt), so post-transform LINEAGE is recoverable even
-    // when a crash between a replay's re-quarantine write and its marker
-    // write left the dir unmarked: walk the replay chain back to the
-    // original epoch and test ITS band. Depth-bounded — each replay level
-    // multiplies the epoch by 64, so 8 levels is already beyond Long range.
+    // when a crash between a replay's re-quarantine write and the marker
+    // write in the finally left the dir unmarked: walk the replay chain back
+    // to the original epoch and test ITS band. The walk deliberately does
+    // NOT try to decode COMPOSITE values (POST_TRANSFORM_EPOCH_BASE + a
+    // replay epoch — the step-2b dir written during a replay): composites
+    // overlap the replay value range at depth ≥ 2, so no arithmetic can
+    // separate them — instead step-2b writes those dirs MARKER-FIRST
+    // (delete, marker, append-mode parquet), leaving no unmarked-data crash
+    // window to recover from. Depth-bounded — each replay level multiplies
+    // the epoch by 64, so 8 levels is already beyond Long range.
     def postTransformLineage(e: Long): Boolean = {
       var cur = e
       var depth = 0
@@ -143,9 +149,12 @@ object MergeApply {
     // net for a crash that skips even this)
     try applyBatch(spark, lake, rows, replayEpoch, effCfg)
     finally {
+      // best-effort (Try): an IO failure here must not SUPERSEDE the real
+      // batch exception in flight — the lineage derivation above still
+      // recovers the unmarked dir on the next drain
       if (postTransform &&
           new java.io.File(lake.quarantineDir(replayEpoch)).isDirectory)
-        markPostTransform(lake.quarantineDir(replayEpoch))
+        scala.util.Try(markPostTransform(lake.quarantineDir(replayEpoch))): Unit
     }
   }
 
@@ -378,14 +387,24 @@ object MergeApply {
                   "is disabled")
             // POST-transform rows can't share the raw quarantine dir (different
             // schema); a marker-offset epoch keeps them browsable + drainable,
-            // and the marker file tells the drain NOT to re-run the rules
+            // and the marker file tells the drain NOT to re-run the rules.
+            // MARKER-FIRST (delete for retry idempotence, marker, then
+            // append-mode parquet — overwrite mode would wipe the marker):
+            // data never exists without the marker, so a crash at ANY point
+            // cannot leave pipeline OUTPUT that the next drain would treat
+            // as raw input. During a replay, `epoch` here is a replay epoch
+            // and this composite value is arithmetically ambiguous — the
+            // marker is the ONLY signal for these dirs (see
+            // postTransformLineage in replayQuarantine).
             val qDir = lake.quarantineDir(POST_TRANSFORM_EPOCH_BASE + epoch)
+            graft.runner.CdcRunner.deleteRecursively(new java.io.File(qDir))
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(qDir))
+            markPostTransform(qDir)
             transformed.filter(nullKey)
               .withColumn(QUARANTINE_REASON, lit("null_merge_key: " +
                 s"transform-introduced key(s) ${introduced.mkString(",")} must " +
                 "be non-null for INSERT/UPDATE (rows are POST-transform)"))
-              .write.mode("overwrite").parquet(qDir)
-            markPostTransform(qDir)
+              .write.mode("append").parquet(qDir)
             Map("events_quarantined_post_transform" -> n)
           }
         }

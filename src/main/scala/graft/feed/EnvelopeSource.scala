@@ -157,20 +157,28 @@ object EnvelopeSource {
   }
 
   /** Single-table routing (the reference keeps only task tables,
-    * CDCManager.py:219-234). The corrupt-message marker row parseCore keeps
-    * (null op, null route — so bus poison quarantines instead of vanishing)
-    * must survive routing too: its route fields are NULL precisely BECAUSE
-    * the message was unparseable, and a bare equality filter evaluates
-    * three-valued NULL on them — silently re-dropping the row the marker
-    * exists to keep, on every runtime entry point. Only the all-null marker
-    * shape passes; a well-formed row for another table still routes away. */
+    * CDCManager.py:219-234). Rows with a NULL or PARTIAL route are
+    * CORRUPTION, not another table's traffic: the all-null marker row
+    * parseCore keeps for an unparseable message, and an envelope whose
+    * operation parsed but whose schema_name/table_name nulled out. A bare
+    * equality filter evaluates three-valued NULL on both and silently drops
+    * them — the exact vanishing the marker exists to prevent. Both shapes
+    * pass the filter; the second additionally gets its op NULLED so the
+    * merge's quarantine split captures it (with payload and LSN intact for
+    * inspection) instead of merging an unattributable row into THIS table.
+    * A well-formed row for another table (complete, non-matching route)
+    * still routes away. */
   private def routed(parsed: DataFrame,
-      schemaName: String, tableName: String): DataFrame =
-    parsed.filter(
-      (col("schema_name") === schemaName && col("table_name") === tableName) ||
-        (col(graft.model.ChangeEvent.OP).isNull &&
-          col("schema_name").isNull && col("table_name").isNull))
+      schemaName: String, tableName: String): DataFrame = {
+    val matches =
+      col("schema_name") === schemaName && col("table_name") === tableName
+    val broken = col("schema_name").isNull || col("table_name").isNull
+    parsed.filter(matches || broken)
+      .withColumn(graft.model.ChangeEvent.OP,
+        when(broken, lit(null).cast(StringType))
+          .otherwise(col(graft.model.ChangeEvent.OP)))
       .drop("schema_name", "table_name")
+  }
 
   /** [[parseVersioned]] routed to one configured table. */
   def parseVersionedForTable(
@@ -294,17 +302,32 @@ object EnvelopeSource {
     * source never reads it as a message. */
   private val HWM_MARKER = "_created_at_hwm"
 
-  /** Marker payload: the accounted max created_at and the count of message
-    * files OLDER than the marker's own slack window at write time. The count
-    * verifies the "files older than the marker were already accounted"
-    * assumption: a file moved INTO the bus with a preserved old mtime
-    * (`mv`/`Files.move` keeps it — the standard atomic-publish pattern), or
-    * a deleted old file, changes the old-file count and forces a full
-    * rescan instead of a silent LSN collision with the unseen file. */
-  private val hwmRe = """(\d+)\s+(\d+)""".r
-  private def readHwm(marker: java.nio.file.Path): Option[(Long, Long)] =
+  /** Marker payload: `created oldCount cutoffMs nameHash` — the accounted
+    * max created_at, plus a self-consistent description of the OLD file set
+    * (count + sorted-name hash of files with mtime < cutoffMs). The cutoff
+    * is STORED, not re-derived from the marker's mtime, so both sides
+    * classify files identically regardless of filesystem mtime granularity;
+    * the name hash (not just the count) verifies the "files older than the
+    * cutoff were already accounted" assumption — a file moved INTO the bus
+    * with a preserved old mtime (`mv`/`Files.move` keeps it — the standard
+    * atomic-publish pattern), a deleted old file, or an equal-count SWAP of
+    * the two all change the set and force a full rescan instead of a silent
+    * LSN collision with an unseen file. Older marker formats (bare created,
+    * or created+count) parse base-only: the bound is not trusted, the FULL
+    * scan runs, but the recorded high water still folds into the max — a
+    * retention-cleaned bus must never regress below it. */
+  private val hwmRe = """(\d+)\s+(\d+)\s+(\d+)\s+(-?\d+)""".r
+  private val hwmBaseRe = """(\d+)[\s\S]*""".r
+  private def readHwm(marker: java.nio.file.Path)
+      : Option[(Long, Option[(Long, Long, Int)])] =
     scala.util.Try(java.nio.file.Files.readString(marker).trim).toOption
-      .collect { case hwmRe(c, n) => (c.toLong, n.toLong) }
+      .collect {
+        case hwmRe(c, n, cut, h) => (c.toLong, Some((n.toLong, cut.toLong, h.toInt)))
+        case hwmBaseRe(c)        => (c.toLong, None)
+      }
+
+  private def nameHash(files: Seq[java.nio.file.Path]): Int =
+    files.map(_.getFileName.toString).sorted.mkString("\n").hashCode
 
   private def listMessageFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
     scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
@@ -322,10 +345,12 @@ object EnvelopeSource {
     * pages with a constant created_at, so reading just the FIRST line of
     * each message file covers all publishes regardless of who made them or
     * whether their stats manifests survived. The marker bounds the scan to
-    * files NEWER than it (O(new publishes), not O(lifetime files)); the
-    * old-file count check falls back to the full scan whenever the
-    * accounted set changed shape under the marker. 2 s mtime slack for
-    * coarse-granularity filesystems. */
+    * files newer than its stored cutoff (O(new publishes), not O(lifetime
+    * files)); the old-set count+hash check falls back to the full scan
+    * whenever the accounted set changed shape under the marker. The marker's
+    * recorded high water folds into BOTH paths: a bus whose old files were
+    * retention-cleaned must never derive a created_at the lake has already
+    * merged (LSN reuse = silent LWW drops). */
   private def maxCreatedAt(feedDir: String): Option[Long] = {
     val dir = java.nio.file.Paths.get(feedDir)
     if (!java.nio.file.Files.isDirectory(dir)) return None
@@ -335,17 +360,15 @@ object EnvelopeSource {
         java.nio.file.Files.newBufferedReader(p))(_.readLine())).toOption
         .flatMap(l => Option(l))
         .flatMap(l => createdAtRe.findFirstMatchIn(l).map(_.group(1).toLong))
-    val marker = dir.resolve(HWM_MARKER)
-    val bounded = for {
-      (base, oldCount) <- readHwm(marker)
-      since <- scala.util.Try(
-        java.nio.file.Files.getLastModifiedTime(marker).toMillis - 2000L).toOption
-      (newer, older) = files.partition(mtimeMs(_) >= since)
-      // the accounted-set shape must match what the marker recorded, or the
-      // bound is unsound (moved-in old file / deleted old file) — full scan
-      if older.size.toLong == oldCount
-    } yield (base +: newer.flatMap(readFirstLineCreatedAt)).max
-    bounded.orElse(files.flatMap(readFirstLineCreatedAt).maxOption)
+    val hwm = readHwm(dir.resolve(HWM_MARKER))
+    val bounded = hwm.collect { case (base, Some((oldCount, cutoff, oldHash))) =>
+      val (older, newer) = files.partition(mtimeMs(_) < cutoff)
+      if (older.size.toLong == oldCount && nameHash(older) == oldHash)
+        Some((base +: newer.flatMap(readFirstLineCreatedAt)).max)
+      else None
+    }.flatten
+    bounded.orElse(
+      (hwm.map(_._1).toSeq ++ files.flatMap(readFirstLineCreatedAt)).maxOption)
   }
 
   /** Advance (never regress) the [[HWM_MARKER]]; atomic tmp+move like every
@@ -356,13 +379,15 @@ object EnvelopeSource {
     val marker = dir.resolve(HWM_MARKER)
     val current = readHwm(marker).map(_._1)
     if (current.forall(_ < created)) {
-      // count the files that will classify as OLD on the next derivation:
-      // strictly older than now-2s (this publish's own files are newer and
-      // will be rescanned once — one or two first-line reads, by design)
+      // the cutoff is STORED so the next derivation classifies with the
+      // exact same boundary; 2 s back from now keeps this publish's own
+      // files (and anything racing the listing) on the rescanned-new side —
+      // one or two first-line reads per derivation, by design
       val cutoff = System.currentTimeMillis() - 2000L
-      val oldCount = listMessageFiles(dir).count(mtimeMs(_) < cutoff)
+      val old = listMessageFiles(dir).filter(mtimeMs(_) < cutoff)
       val tmp = dir.resolve(s".$HWM_MARKER.tmp-${System.nanoTime()}")
-      java.nio.file.Files.writeString(tmp, s"$created $oldCount")
+      java.nio.file.Files.writeString(tmp,
+        s"$created ${old.size} $cutoff ${nameHash(old)}")
       java.nio.file.Files.move(tmp, marker,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit

@@ -39,7 +39,12 @@ class EnvelopePoisonPropertySpec extends SparkSpec {
     """{"transaction_id":"x","created_at":1700000001,"batch_page":0,"operations":null}""",
     """{"transaction_id":"x","batch_page":0,"operations":[{"schema_name":"corpus",""" +
       """"table_name":"documents","operation":"INSERT","columns":[""" +
-      """{"name":"doc_id","type":"varchar","value":"poisoned"}]}]}""")
+      """{"name":"doc_id","type":"varchar","value":"poisoned"}]}]}""",
+    // parseable op, null ROUTE: unattributable — routed() nulls the op so the
+    // merge quarantines it (payload+lsn intact) instead of merging it here
+    """{"transaction_id":"x","created_at":1700000002,"batch_page":0,""" +
+      """"operations":[{"operation":"INSERT","columns":[""" +
+      """{"name":"doc_id","type":"varchar","value":"stray"}]}]}""")
 
   test("streamed poisoned bus == clean replay; every poison line quarantined " +
     "and counted, any corruption shape, any position, any file split") {
