@@ -24,15 +24,25 @@ class MultiProcessCommitSpec extends SparkSpec {
     // (build.sbt: Test / fork := true), so plain `java -cp` reaches the
     // compiled engine; the hammer never creates a SparkSession
     val cp = System.getProperty("java.class.path")
+    // THIS JVM's binary, not PATH's: the classes are built for its class-file
+    // version, and CI images routinely put an older JRE (or nothing) on PATH
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
     val procs = 3
     val n = 30
     val ps = (1 to procs).map { pid =>
-      new ProcessBuilder("java", "-cp", cp, "-Xmx512m",
+      new ProcessBuilder(javaBin, "-cp", cp, "-Xmx512m",
         "graft.tools.CommitStressMain", dir, pid.toString, n.toString)
         .redirectErrorStream(true).start()
     }
     val outs = ps.map { p =>
+      // bounded wait BEFORE draining: a wedged hammer (the hang a protocol
+      // regression would cause without its retry cap) fails in 120 s with
+      // whatever it printed, instead of blocking the suite forever
+      val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) p.destroyForcibly(): Unit
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(done, s"hammer did not finish in 120s:\n${out.takeRight(2000)}")
       (p.waitFor(), out)
     }
     outs.foreach { case (rc, out) =>

@@ -18,15 +18,10 @@ import graft.runner.{CdcRunner, RunnerConfig}
  */
 class CrossWirePropertySpec extends SparkSpec {
 
-  private val payload = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_id",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("tokens",
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
-    org.apache.spark.sql.types.StructField("n_tok",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("source",
-      org.apache.spark.sql.types.StringType)))
+  // the ONE payload definition RunnerConfig's default already creates the
+  // three tables from — a private re-declaration would silently diverge
+  private val payload =
+    org.apache.spark.sql.types.StructType(ChangeEvent.defaultPayloadFields)
 
   private def pgQuote(s: String): String = "'" + s.replace("'", "''") + "'"
 

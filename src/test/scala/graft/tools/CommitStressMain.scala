@@ -16,13 +16,20 @@ object CommitStressMain {
     val pid = pidS.toInt
     val n = nS.toInt
     var i = 0
+    var streak = 0
     while (i < n) {
       val epoch = pid * 100000L + i
       try {
         new LakeTable(dir).commit(epoch, Nil, Set.empty, Map("stress" -> 1L))
         i += 1
+        streak = 0
       } catch {
-        case _: ConcurrentCommitException => () // lost streak — retry the epoch
+        case e: ConcurrentCommitException =>
+          // bounded: a protocol regression into a permanent losing streak
+          // (the bug class this hammer exists to catch) must FAIL the spec
+          // loudly, not hang the suite in an unbounded retry loop
+          streak += 1
+          if (streak > 50) { System.err.println(e.getMessage); sys.exit(2) }
       }
     }
   }
