@@ -51,18 +51,9 @@ class Scd2PropertySpec extends SparkSpec {
     hist.toMap.filter(_._2.nonEmpty)
   }
 
-  private def runTrial(rows: Seq[Row], batches: Seq[Seq[Row]], label: String): Unit = {
-    val root = tmpDir("graft-scd2prop")
-    val cfg = RunnerConfig(
-      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
-      job = JobConfig(mode = CdcMode.Scd2, buckets = 4))
-    val lake = CdcRunner.ensureTable(spark, cfg)
-    batches.zipWithIndex.foreach { case (chunk, epoch) =>
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(chunk, 2), ChangeEvent.schema())
-      MergeApply.applyBatch(spark, lake, df, epoch.toLong, cfg.job)
-    }
-    // oracle folds in LSN order regardless of arrival order
+  /** Compare the table's full history against the LSN-ordered sequential
+    * fold of `rows` (arrival order is irrelevant by design). */
+  private def verify(lake: graft.lake.LakeTable, rows: Seq[Row], label: String): Unit = {
     val expected = oracle(rows.sortBy(_.getLong(0)))
     val actual = lake.read(spark).collect()
       .groupBy(_.getAs[String]("doc_id"))
@@ -74,6 +65,20 @@ class Scd2PropertySpec extends SparkSpec {
           r.getAs[scala.collection.Seq[Int]]("tokens").head)
       }.sortBy(_.start).toList).toMap
     assert(actual == expected, s"$label\n actual=$actual\n expected=$expected")
+  }
+
+  private def runTrial(rows: Seq[Row], batches: Seq[Seq[Row]], label: String): Unit = {
+    val root = tmpDir("graft-scd2prop")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Scd2, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    batches.zipWithIndex.foreach { case (chunk, epoch) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 2), ChangeEvent.schema())
+      MergeApply.applyBatch(spark, lake, df, epoch.toLong, cfg.job)
+    }
+    verify(lake, rows, label)
   }
 
   test("scd2 batched apply == sequential history fold, any stream, any batch split") {
@@ -98,6 +103,51 @@ class Scd2PropertySpec extends SparkSpec {
       // (lower LSN in a later epoch) must splice, not corrupt
       val shuffled = new scala.util.Random(trial).shuffle(rows)
       runTrial(rows, shuffled.grouped(17).toSeq, s"ooo-trial=$trial")
+    }
+  }
+
+  test("scd2 history survives ANY maintenance interleaving: shuffled CoW+MoR " +
+      "batches with re-delivery, compact/rescale/split/rewrite/vacuum/orphans " +
+      "between them — the chain rebuild is fold-equivalent on every layout") {
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(640L + trial)
+      val evs = Gen.listOfN(70, eventGen)(Gen.Parameters.default, Seed(211L + trial)).get
+      val rows = evs.zipWithIndex.map { case ((k, op, v), i) => mkRow(i + 1L, k, op, v) }
+      val shuffled = rnd.shuffle(rows)
+      val root = tmpDir("graft-scd2maint")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Scd2, buckets = 4))
+      val lake = CdcRunner.ensureTable(spark, cfg)
+      var epoch = 0L
+      var seen = Vector.empty[Row]
+      shuffled.grouped(12).foreach { chunk =>
+        // at-least-once upstream: re-deliver a few already-applied version rows
+        val redelivered =
+          if (seen.nonEmpty) rnd.shuffle(seen).take(rnd.nextInt(3)) else Nil
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rnd.shuffle(chunk ++ redelivered), 2),
+          ChangeEvent.schema())
+        MergeApply.applyBatch(spark, lake, df, epoch, cfg.job.copy(
+          merge = if (rnd.nextBoolean()) MergeStrategy.MergeOnRead
+                  else MergeStrategy.CopyOnWrite))
+        seen ++= chunk
+        epoch += 1
+        // a burst of 0-2 random maintenance transitions between batches:
+        // version-row deltas fold / migrate / GC on whatever layout they're in
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(6) match {
+            case 0 => lake.compact(spark, maxFilesPerBucket = 1 + rnd.nextInt(3),
+              maxDeltaFiles = 1 + rnd.nextInt(3))
+            case 1 => val b = lake.manifest.buckets; if (b < 32) lake.rescale(b * 2)
+            case 2 => lake.splitBuckets(spark, maxGroups = 1 + rnd.nextInt(3))
+            case 3 => lake.rewriteManifests()
+            case 4 => lake.vacuum(keepVersions = 2 + rnd.nextInt(3))
+            case 5 => lake.removeOrphans(olderThanMs = 0L)
+          }
+        }
+        verify(lake, seen, s"maint-trial=$trial epoch=$epoch")
+      }
     }
   }
 }
