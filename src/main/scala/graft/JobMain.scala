@@ -295,9 +295,10 @@ object JobMain {
         // pipeline re-drives RAW rows (renamed columns null-fill, filtered
         // rows apply). --settings <the task's settings.json> restores them.
         // Safe to pass unconditionally: POST-transform quarantine epochs
-        // (marker file / the 2^39 band) strip the rules inside
-        // replayQuarantine — their rows already carry the pipeline's output,
-        // and re-running it would double-apply modifiers.
+        // (marker file / the 2^39 band / the full-load sentinel −1, whose
+        // snapshot rows also ran the pipeline before their key check) strip
+        // the rules inside replayQuarantine — their rows already carry the
+        // pipeline's output, and re-running it would double-apply modifiers.
         val cfgRules = opt("--settings").map { sp =>
           val parsed = TaskSettings.parse(new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sp))))

@@ -41,6 +41,13 @@ object MergeApply {
   /** Reason column appended to quarantined rows (engine column, `_` prefix). */
   val QUARANTINE_REASON = "_error_reason"
 
+  /** The full-load snapshot's sentinel epoch ([[graft.runner.CdcRunner
+    * .fullLoad]]): its quarantine dir holds POST-transform SNAPSHOT rows —
+    * no change envelope — which [[replayQuarantine]] must both recognize
+    * (strip the already-run rules) and re-shape (synthesize the INSERT
+    * envelope) before re-driving. */
+  private[graft] val FULL_LOAD_EPOCH = -1L
+
   /** Replay epochs live far above any realistic streaming epoch count so they
     * can be recorded in the committed set (idempotence) without colliding. */
   private[graft] val REPLAY_EPOCH_BASE = 1L << 40
@@ -90,6 +97,15 @@ object MergeApply {
       fix: DataFrame => DataFrame = identity,
       attempt: Int = 0): BatchResult = {
     require(attempt >= 0 && attempt < 64, s"attempt $attempt out of range (0..63)")
+    // the replay-epoch encoding multiplies the source epoch by 64 per drain
+    // generation: a chain 4 deep on a post-transform band source (≥ 2^39)
+    // wraps Long, and a wrapped (negative) epoch is never recorded in the
+    // committed set — silently breaking the drain's idempotence contract.
+    // Refuse loudly before the arithmetic.
+    require(sourceEpoch <= (Long.MaxValue - REPLAY_EPOCH_BASE - 63) / 64 - 2,
+      s"replayQuarantine($sourceEpoch): replay chain too deep to encode a " +
+        "fresh replay epoch — fix the rows and re-drive an EARLIER dir in " +
+        "the chain (e.g. the original epoch) with a new attempt instead")
     val dir = lake.quarantineDir(sourceEpoch)
     require(new java.io.File(dir).isDirectory,
       s"no quarantined rows for epoch $sourceEpoch at $dir")
@@ -125,7 +141,11 @@ object MergeApply {
       }
       cur >= POST_TRANSFORM_EPOCH_BASE && cur < REPLAY_EPOCH_BASE
     }
-    val postTransform =
+    // The full-load quarantine ([[graft.runner.CdcRunner.fullLoad]]) also
+    // holds post-transform rows — the snapshot runs the rule pipeline before
+    // its key check — recognized by its sentinel epoch (covers dirs written
+    // before any marker existed).
+    val postTransform = sourceEpoch == FULL_LOAD_EPOCH ||
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, POST_TRANSFORM_MARKER)) ||
         postTransformLineage(sourceEpoch)
     val effCfg =
@@ -138,7 +158,20 @@ object MergeApply {
         cfg.copy(filters = Nil, transforms = Nil,
           keyCols = lake.manifest.keyCols, validatePayload = false)
       }
-    val rows = fix(spark.read.parquet(dir).drop(QUARANTINE_REASON))
+    val rows0 = fix(spark.read.parquet(dir).drop(QUARANTINE_REASON))
+    // Full-load quarantine rows are SNAPSHOT-shaped (no change envelope) —
+    // applyBatch would fail on the missing op/lsn columns. Re-drive them as
+    // the INSERTs the original snapshot would have written: lsn 0 and the
+    // full-load batch timestamp, so a fixed row lands exactly as if the
+    // original load had carried it (same LWW rank, same SCD2 start date).
+    // Keyed on column PRESENCE, not the epoch: a re-quarantined replay of a
+    // full-load drain already carries the synthesized envelope.
+    val rows =
+      if (rows0.columns.contains(ChangeEvent.OP)) rows0
+      else rows0
+        .withColumn(ChangeEvent.LSN, lit(0L))
+        .withColumn(ChangeEvent.TS, batchTimestamp(FULL_LOAD_EPOCH))
+        .withColumn(ChangeEvent.OP, lit(ChangeEvent.INSERT))
     val replayEpoch = REPLAY_EPOCH_BASE + (sourceEpoch + 2) * 64 + attempt
     // rows re-quarantined from a post-transform source stay post-transform:
     // propagate the marker so the NEXT drain attempt also strips the rules.
@@ -202,6 +235,40 @@ object MergeApply {
     // exactly-once: a re-delivered epoch is a no-op (idempotent commit)
     if (lake.isCommitted(epoch)) return BatchResult(epoch, skipped = true, Map.empty)
 
+    // loud, named — the invariant expressions below .reduce over the key set
+    // and an empty one would surface as a bare `empty.reduce` from deep
+    // inside plan construction (e.g. a caller passing a key-less manifest's
+    // keyCols straight through)
+    require(cfg.keyCols.nonEmpty,
+      "applyBatch: cfg.keyCols is empty — LWW/SCD2 merge semantics need at " +
+        "least one merge key column")
+
+    // The rule pipeline is compiled HERE, ahead of the quarantine split,
+    // because the split must know which key columns SURVIVE the pipeline
+    // (filters never change the schema, so compiling against the raw batch
+    // schema is exact); step 2 applies the same compile.
+    val spec = TableSpec("lake", "t", cfg.keyCols)
+    val compiled = TransformCompiler.compile(
+      cfg.transforms, spec, batch.schema, batchTimestamp(epoch))
+    val keys = compiled.outSpec.keyCols
+    require(keys.nonEmpty,
+      s"applyBatch: the transform pipeline removed every merge key " +
+        s"(pre-transform keys ${cfg.keyCols.mkString(",")}) — add_primary_key " +
+        "a replacement or drop the remove_primary_key rule")
+    // pre-transform NAMES of the keys that are still merge keys after the
+    // pipeline (renames preserve values, so checking the pre-name is exact)
+    val renamedPre = cfg.transforms.sortBy(_.priority).foldLeft(cfg.keyCols) {
+      case (ks, ModifyColumnName(from, to, _)) => ks.map(k => if (k == from) to else k)
+      case (ks, _)                             => ks
+    }
+    // A pre-transform key REMOVED by remove_primary_key is NOT a key of the
+    // table: its null is data, not corruption — the reference keys rows by
+    // the FINAL key set only, so quarantining on it would silently diverge.
+    // Keys the pipeline INTRODUCES are step 2b's check.
+    val checkedKeys = cfg.keyCols.zip(renamedPre).collect {
+      case (pre, post) if keys.contains(post) => pre
+    }
+
     // ── 1. quarantine split (DLX analogue): bad op, or payload invariant broken ──
     val opCol = col(ChangeEvent.OP)
     // the tokens/n_tok consistency check only applies to payloads that carry them;
@@ -229,7 +296,11 @@ object MergeApply {
     // insert a fresh null-key row EVERY epoch (unbounded, undeletable —
     // tombstones don't match either) while the MoR fold's sameKey dedupes
     // them — divergent results per storage strategy. Quarantine instead.
-    val keyOk = cfg.keyCols.map(col(_).isNotNull).reduce(_ && _)
+    // Only the SURVIVING keys (checkedKeys) are checked; when the pipeline
+    // replaces the whole key set the raw split has nothing to check.
+    val keyOk =
+      if (checkedKeys.isEmpty) lit(true)
+      else checkedKeys.map(col(_).isNotNull).reduce(_ && _)
     val invariantOk = opOk && lsnOk && keyOk && payloadOk
     // A DELETE carrying NO key at all is a WELL-FORMED protocol message, not
     // a malformed row: logical decoding emits key-less tombstones when the
@@ -242,8 +313,10 @@ object MergeApply {
     // permanent false positive in deliveryGap. A PARTIAL composite key stays
     // a quarantined invariant violation (null_merge_key) — that row is
     // malformed, not protocol.
-    val keylessDelete = opCol.isNotNull && opCol === ChangeEvent.DELETE &&
-      cfg.keyCols.map(col(_).isNull).reduce(_ && _)
+    val keylessDelete =
+      if (checkedKeys.isEmpty) lit(false)
+      else opCol.isNotNull && opCol === ChangeEvent.DELETE &&
+        checkedKeys.map(col(_).isNull).reduce(_ && _)
     val isBad = !invariantOk && !keylessDelete
     // Bad-row detection piggybacks on the first scan via observe(): no extra
     // pass over the batch when the feed is clean (the common case). Only when
@@ -304,7 +377,7 @@ object MergeApply {
           .when(!lsnOk, lit("null_lsn: every change event must carry an LSN " +
             "(LWW ordering is undefined without one)"))
           .when(!keyOk, lit("null_merge_key: " +
-            s"key column(s) ${cfg.keyCols.mkString(",")} must be non-null"))
+            s"key column(s) ${checkedKeys.mkString(",")} must be non-null"))
           .otherwise(lit("payload_invariant: tokens null or n_tok != size(tokens)"))
         bad.withColumn(QUARANTINE_REASON, reason)
           .write.mode("overwrite").parquet(lake.quarantineDir(epoch))
@@ -330,14 +403,11 @@ object MergeApply {
     }
 
     // ── 2. rule pipeline: filters (DELETE passthrough) then transforms ──
+    // (compiled above, ahead of step 1, so the split knows the key fate)
     val filtered =
       if (cfg.filters.isEmpty) good
       else good.filter(FilterCompiler.cdcPredicate(cfg.filters, good.schema, opCol))
-    val spec = TableSpec("lake", "t", cfg.keyCols)
-    val compiled = TransformCompiler.compile(
-      cfg.transforms, spec, filtered.schema, batchTimestamp(epoch))
     val transformed = compiled.apply(filtered)
-    val keys = compiled.outSpec.keyCols
 
     // ── 2b. keys INTRODUCED by the rule pipeline (add_primary_key, a created
     // key) escape the step-1 split, which can only check the PRE-transform
@@ -350,10 +420,6 @@ object MergeApply {
     // public reads on every storage strategy (driver-oracled by
     // q_multitable_routing's remove/add_primary_key route). Renamed
     // pre-checked keys are already covered (renames preserve values).
-    val renamedPre = cfg.transforms.sortBy(_.priority).foldLeft(cfg.keyCols) {
-      case (ks, ModifyColumnName(from, to, _)) => ks.map(k => if (k == from) to else k)
-      case (ks, _)                             => ks
-    }
     val introduced = keys.filterNot(renamedPre.contains)
     // Like step 1, detection piggybacks on the merge's first scan via
     // observe() — an eager count() here would re-evaluate the whole batch

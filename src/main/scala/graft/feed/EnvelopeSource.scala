@@ -168,7 +168,7 @@ object EnvelopeSource {
     * inspection) instead of merging an unattributable row into THIS table.
     * A well-formed row for another table (complete, non-matching route)
     * still routes away. */
-  private def routed(parsed: DataFrame,
+  private[feed] def routed(parsed: DataFrame,
       schemaName: String, tableName: String): DataFrame = {
     val matches =
       col("schema_name") === schemaName && col("table_name") === tableName

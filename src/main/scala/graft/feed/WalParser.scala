@@ -148,7 +148,7 @@ object WalParser {
       castToken(cleanToken(element_at(kv, f.name)), f.dataType).as(f.name)
     }
 
-    dml.select(Seq(
+    val parsed = dml.select(Seq(
       col("lsn"),
       col("xid").as(graft.model.ChangeEvent.TXN_ID),
       tsOfLsn(col("lsn")).as(graft.model.ChangeEvent.TS),
@@ -156,6 +156,27 @@ object WalParser {
       verOf(kv).as(graft.model.ChangeEvent.SCHEMA_VER),
       regexp_extract(line, LINE_RE, 1).as("schema_name"),
       regexp_extract(line, LINE_RE, 2).as("table_name")) ++ typedPayload: _*)
+
+    // Slot rows with a NULL xid or NULL data are CORRUPTION — the slot-read
+    // shape declares both non-null, but file sources don't enforce
+    // nullability. Every join in this parse (and the runner's pending stash)
+    // keys on xid, where NULL never matches: a bare parse would drop such a
+    // line with no quarantine and no count, the exact silent vanishing the
+    // envelope wire's corrupt-message marker exists to prevent. Same
+    // contract here: one null-op marker row per corrupt line (lsn/xid kept
+    // for inspection) that the merge's quarantine split records as
+    // unknown_op.
+    val markers = raw.filter(col("xid").isNull || col("data").isNull)
+      .select(Seq(
+        col("lsn"),
+        col("xid").as(graft.model.ChangeEvent.TXN_ID),
+        lit(null).cast(TimestampType).as(graft.model.ChangeEvent.TS),
+        lit(null).cast(StringType).as(graft.model.ChangeEvent.OP),
+        lit(null).cast(IntegerType).as(graft.model.ChangeEvent.SCHEMA_VER),
+        lit(null).cast(StringType).as("schema_name"),
+        lit(null).cast(StringType).as("table_name")) ++
+        payload.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    parsed.unionByName(markers)
   }
 
   /**
@@ -186,26 +207,26 @@ object WalParser {
     parsed.select(envelope ++ VersionedPayload.foldCols(p): _*)
   }
 
-  /** [[parseVersioned]] routed to one configured table. */
+  /** [[parseVersioned]] routed to one configured table. Routing shares
+    * [[EnvelopeSource.routed]]: a bare equality filter would silently drop
+    * the corrupt-line marker rows (NULL route) this parse keeps alive. */
   def parseVersionedForTable(
       raw: DataFrame,
       basePayload: StructType,
       registry: Map[Int, Seq[graft.lake.SchemaChange]],
       schemaName: String,
       tableName: String): DataFrame =
-    parseVersioned(raw, basePayload, registry)
-      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
-      .drop("schema_name", "table_name")
+    EnvelopeSource.routed(parseVersioned(raw, basePayload, registry),
+      schemaName, tableName)
 
   /** Parse + route to one configured table (drop others), yielding the exact
-    * ChangeEvent envelope+payload shape CdcRunner/MergeApply consume. */
+    * ChangeEvent envelope+payload shape CdcRunner/MergeApply consume (see
+    * [[parseVersionedForTable]] on why routing keeps NULL-route rows). */
   def parseForTable(
       raw: DataFrame,
       payload: StructType,
       schemaName: String,
       tableName: String,
       schemaVer: Int = 1): DataFrame =
-    parse(raw, payload, schemaVer)
-      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
-      .drop("schema_name", "table_name")
+    EnvelopeSource.routed(parse(raw, payload, schemaVer), schemaName, tableName)
 }

@@ -169,6 +169,30 @@ object LakeSync {
     } else false
   }
 
+  /** Bring the target's schema to the source's `head` schema by replaying
+    * the source's evolution from the history schema matching the target's
+    * ACTUAL shape — never from a stored cursor: a crash between evolve and
+    * the cursor commit leaves the target mid-window, and a later source
+    * evolution of the same field collapses in a diff (a→b then b→c diffs as
+    * a→c), so a cursor-based replay wedges on the never-matching first hop
+    * forever. ONE implementation for bootstrap and incremental — the two
+    * crash-recovery paths must never drift. */
+  private def evolveToHead(
+      source: LakeTable, target: LakeTable, head: Int, context: String): Unit = {
+    def shape(s: GraftSchema) = s.fields.map(f => (f.name, f.dataType))
+    val headSchema = source.schemaAt(head)
+    val tgtSchema = target.manifest.currentSchema
+    if (shape(tgtSchema) == shape(headSchema)) return
+    val base = source.schemaHistoryAt(head)
+      .find(s => shape(s) == shape(tgtSchema))
+      .getOrElse(throw new IllegalStateException(
+        s"sync $context: target schema at ${target.dir} matches no schema " +
+          "in the source's history — not a sync-managed table, or the " +
+          "source was rebuilt; delete the target to re-bootstrap"))
+    val diff = applicable(tgtSchema, headSchema, evolutionDiff(base, headSchema))
+    if (diff.nonEmpty) target.evolve(diff)
+  }
+
   // ── bootstrap: mirror one engine snapshot as the full-load epoch ──
   private def bootstrap(
       spark: SparkSession, source: LakeTable, target: LakeTable,
@@ -189,23 +213,8 @@ object LakeSync {
     // will start PAST the evolution, so the AddColumn/rename/widen would
     // never replay through a later window — the mirror would silently lack
     // the column forever. The target holds no data yet (guarded above), so
-    // replay the source's evolution onto its schema now: locate the history
-    // schema `create` captured (exact field-id diff from there), bring the
-    // target to the bootstrap head's schema, THEN mirror.
-    def shape(s: GraftSchema) = s.fields.map(f => (f.name, f.dataType))
-    val headSchema = source.schemaAt(head)
-    if (shape(target.manifest.currentSchema) != shape(headSchema)) {
-      val tgtSchema = target.manifest.currentSchema
-      val createdFrom = source.schemaHistoryAt(head)
-        .find(s => shape(s) == shape(tgtSchema))
-        .getOrElse(throw new IllegalStateException(
-          s"sync bootstrap: target schema at ${target.dir} matches no schema " +
-            s"in the source's history — not a sync-created table (or the " +
-            "source was rebuilt); delete the target to re-bootstrap"))
-      val diff = applicable(tgtSchema, headSchema,
-        evolutionDiff(createdFrom, headSchema))
-      if (diff.nonEmpty) target.evolve(diff)
-    }
+    // bring it to the bootstrap head's schema, THEN mirror.
+    evolveToHead(source, target, head, "bootstrap")
     val tm = target.manifest
     // salted bucket write (MergeApply.writeEpoch) — the mirror's largest-ever
     // write must not serialize a hot (zipf) bucket into one straggler task,
@@ -234,27 +243,7 @@ object LakeSync {
         "rebuilt? (delete the target to re-bootstrap)")
     if (from == head) return SyncResult(from, head, -2L, 0L, bootstrapped = false)
 
-    val headSchema = source.schemaAt(head)
-    // diff from the TARGET's actual shape located in the source's history —
-    // NOT from the cursor version: a crash between evolve and the cursor
-    // commit leaves the target mid-window, and a later source evolution of
-    // the same field collapses the chain (a→b then b→c diffs as a→c), so a
-    // replay from `from` wedges on the never-matching first hop forever.
-    // The bootstrap replay solves the identical problem the same way.
-    def shape(sc: GraftSchema) = sc.fields.map(f => (f.name, f.dataType))
-    val tgtSchema = target.manifest.currentSchema
-    val diff =
-      if (shape(tgtSchema) == shape(headSchema)) Nil
-      else {
-        val base = source.schemaHistoryAt(head)
-          .find(sc => shape(sc) == shape(tgtSchema))
-          .getOrElse(throw new IllegalStateException(
-            s"sync: target schema at ${target.dir} matches no schema in " +
-              "the source's history (source rebuilt?); delete the target " +
-              "to re-bootstrap"))
-        applicable(tgtSchema, headSchema, evolutionDiff(base, headSchema))
-      }
-    if (diff.nonEmpty) target.evolve(diff)
+    evolveToHead(source, target, head, "incremental")
 
     val changes = source.changeLog(spark, from, head)
     val payload = changes.columns.filterNot(_.startsWith("_"))

@@ -1658,11 +1658,20 @@ class LakeTable(val dir: String) {
     val cur = currentVersion
     var keepFrom = math.max(1, cur - keepVersions + 1)
     keepCommittedSinceMs.foreach { cutoff =>
-      // commit stamps are monotone per table (one writer, serialized commits):
-      // walk the kept window back until the next-older snapshot predates the cutoff
-      while (keepFrom > 1 && Files.exists(manifestPath(keepFrom - 1)) &&
-        ManifestJson.read(new String(Files.readAllBytes(manifestPath(keepFrom - 1))))
-          .committedAtMs >= cutoff) keepFrom -= 1
+      // commit stamps come from EACH WRITER'S clock: under the multi-process
+      // CAS commit protocol, skewed hosts can interleave non-monotone stamps,
+      // so a "walk back until the first pre-cutoff stamp" would stop above a
+      // later-stamped version and delete a snapshot committed after the
+      // cutoff. Scan the whole prunable window instead and keep from the
+      // EARLIEST version at/after the cutoff — skew then errs toward
+      // retaining (the walk stops at the first already-swept manifest, which
+      // bounds it exactly like the deletion pass below).
+      var v = keepFrom - 1
+      while (v >= 1 && Files.exists(manifestPath(v))) {
+        if (ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
+            .committedAtMs >= cutoff) keepFrom = v
+        v -= 1
+      }
     }
     // snapshots below keepFrom may already be gone (pruned by an earlier
     // vacuum) — guard every old-manifest access

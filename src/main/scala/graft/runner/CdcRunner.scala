@@ -118,7 +118,9 @@ object CdcRunner {
     fullLoad(spark, lake, snapshot0, cfg.job)
 
   def fullLoad(spark: SparkSession, lake: LakeTable, snapshot0: DataFrame, job: JobConfig): Unit = {
-    val epoch = -1L
+    // the sentinel epoch replayQuarantine recognizes as "post-transform
+    // snapshot rows, no change envelope" when draining this load's quarantine
+    val epoch = MergeApply.FULL_LOAD_EPOCH
     if (lake.isCommitted(epoch)) return
     val m = lake.manifest
     import graft.rules.{FilterCompiler, TableSpec, TransformCompiler}
@@ -623,7 +625,12 @@ object CdcRunner {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val commits = withPrev.filter(col("data").startsWith("COMMIT"))
           .select("xid").distinct()
-        withPrev.join(commits, Seq("xid"), "left_anti")
+        // corrupt slot rows (null xid/data — see WalParser's marker) never
+        // match a COMMIT, so the bare anti-join would re-stash them FOREVER;
+        // the parse below quarantines them THIS epoch, so stashing them too
+        // would re-quarantine a fresh copy every subsequent batch
+        withPrev.filter(col("xid").isNotNull && col("data").isNotNull)
+          .join(commits, Seq("xid"), "left_anti")
           .write.mode("overwrite").parquet(s"$stashRoot/epoch=$epoch")
         // with a schema registry, one stream parses EVERY registered payload
         // version (the wire format carries column names inline): per-row

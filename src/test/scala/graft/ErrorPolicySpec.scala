@@ -194,6 +194,92 @@ class ErrorPolicySpec extends SparkSpec {
     assert(lake.read(spark).where("doc_id = 'k2'").count() == 1)
   }
 
+  test("a pre-transform key REMOVED by remove_primary_key is not checked: " +
+    "its null is data, not corruption (the table keys by the FINAL set)") {
+    import graft.rules.{AddPrimaryKey, RemovePrimaryKey}
+    // keys become (source) AFTER the rules run; doc_id stays as a payload
+    // column. A null doc_id used to quarantine at step 1 — on a column that
+    // is not a merge key of the table — silently diverging from a reference
+    // that keys rows by the final key set only.
+    val job = JobConfig(transforms = Seq(
+      RemovePrimaryKey(Seq("doc_id"), 0), AddPrimaryKey(Seq("source"), 1)))
+    val lake = mkLake(job)
+    val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+    val rows = Seq(
+      Row(1L, 1L, ts(1), "INSERT", 1, null, Seq(1), Int.box(1), "web"), // lands
+      Row(2L, 1L, ts(2), "INSERT", 1, "k2", Seq(1), Int.box(1), null))  // DLX: null FINAL key
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), readShape)
+    val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+    assert(res.metrics.getOrElse("events_quarantined", 0L) == 0L,
+      s"null doc_id must NOT hit the raw DLX: ${res.metrics}")
+    assert(res.metrics("events_quarantined_post_transform") == 1L, res.metrics.toString)
+    val state = lake.read(spark).collect()
+    assert(state.length == 1 && state(0).getAs[String]("doc_id") == null,
+      s"the null-doc_id row lands keyed by source: ${state.mkString(";")}")
+  }
+
+  test("empty cfg.keyCols fails loudly by name, not with a bare empty.reduce") {
+    val job = JobConfig(keyCols = Nil)
+    val lake = mkLake(JobConfig())
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val e = intercept[IllegalArgumentException](
+      MergeApply.applyBatch(spark, lake, df, 0L, job))
+    assert(e.getMessage.contains("keyCols is empty"), e.getMessage)
+  }
+
+  test("a transform pipeline that removes EVERY merge key fails loudly") {
+    import graft.rules.RemovePrimaryKey
+    val job = JobConfig(transforms = Seq(RemovePrimaryKey(Seq("doc_id"), 0)))
+    val lake = mkLake(JobConfig())
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val e = intercept[IllegalArgumentException](
+      MergeApply.applyBatch(spark, lake, df, 0L, job))
+    assert(e.getMessage.contains("removed every merge key"), e.getMessage)
+  }
+
+  test("replayQuarantine refuses a chain too deep for the epoch encoding " +
+    "instead of wrapping Long and silently losing idempotence") {
+    val lake = mkLake(JobConfig())
+    val tooDeep = Long.MaxValue / 64 // (src+2)*64 alone would overflow
+    val e = intercept[IllegalArgumentException](
+      MergeApply.replayQuarantine(spark, lake, tooDeep, JobConfig()))
+    assert(e.getMessage.contains("too deep"), e.getMessage)
+  }
+
+  test("draining the FULL-LOAD quarantine synthesizes the INSERT envelope " +
+    "and strips the already-run rules — fixed snapshot rows land once") {
+    import graft.rules.ModifyColumn
+    import org.apache.spark.sql.functions._
+    // the load's pipeline doubles n_tok; validatePayload would re-flag the
+    // doubled value on the drain, so the strip matters twice here
+    val job = JobConfig(transforms = Seq(
+      ModifyColumn("n_tok", "math_expression",
+        expression = Some("value * 2"), priority = 0)))
+    val lake = mkLake(job)
+    val snap = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("k1", Seq(1, 2), Int.box(2), "web"),
+      Row(null, Seq(3), Int.box(1), "web")), 2),
+      StructType(ChangeEvent.defaultPayloadFields.map(_.copy(nullable = true))))
+    CdcRunner.fullLoad(spark, lake, snap, job)
+    assert(lake.read(spark).count() == 1)
+    // drain with the SAME cfg an operator's --settings would carry: the
+    // engine must recognize the sentinel epoch (no marker file exists for
+    // full-load dirs), add op/lsn/ts, and NOT double-apply the doubling
+    val res = MergeApply.replayQuarantine(spark, lake,
+      MergeApply.FULL_LOAD_EPOCH, job,
+      fix = _.withColumn("doc_id", lit("k2fixed")))
+    assert(!res.skipped && res.metrics.getOrElse("events_quarantined", 0L) == 0L,
+      res.metrics.toString)
+    val state = lake.read(spark).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[Number]("n_tok").longValue, r.getAs[Long]("_lsn"))).toMap
+    assert(state == Map("k1" -> ((4L, 0L)), "k2fixed" -> ((2L, 0L))),
+      s"doubled ONCE, lsn 0 like the original load: $state")
+    // idempotent: the same drain again is a no-op
+    assert(MergeApply.replayQuarantine(spark, lake,
+      MergeApply.FULL_LOAD_EPOCH, job).skipped)
+  }
+
   test("a PARTIAL composite-key DELETE is malformed, not protocol: " +
     "quarantined as null_merge_key, unlike the all-null key-less skip") {
     val job = JobConfig(keyCols = Seq("doc_id", "source"))

@@ -209,6 +209,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(deleted.nonEmpty, "old manifests pruned once past the age floor")
   }
 
+  test("vacuum age retention survives NON-monotone commit stamps (skewed " +
+    "multi-process writers): a version stamped after the cutoff is kept even " +
+    "below an earlier-stamped one") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft-maint-skew") + "/t"
+    val lake = new graft.lake.LakeTable(root)
+    lake.create(StructType(Seq(StructField("doc_id", StringType))), buckets = 2,
+      keyCols = Seq("doc_id"))
+    (0L to 4L).foreach(e => lake.commit(e, Nil, Set.empty))
+    // versions 1..6 exist; doctor the stamps the way two skewed hosts
+    // interleaving CAS commits would: v3 stamped AFTER the cutoff, v4 (the
+    // later version, slower clock) BEFORE it
+    val cutoff = 1000000L
+    def stamp(v: Int, ms: Long): Unit = {
+      val p = Paths.get(root, "manifests", f"v$v%06d.json")
+      val doctored = new String(Files.readAllBytes(p))
+        .replaceAll("\"committed_at_ms\"\\s*:\\s*\\d+", s""""committed_at_ms":$ms""")
+      Files.write(p, doctored.getBytes)
+    }
+    Seq(1 -> 10L, 2 -> 20L, 3 -> (cutoff + 1), 4 -> 30L, 5 -> (cutoff + 2),
+      6 -> (cutoff + 3)).foreach { case (v, ms) => stamp(v, ms) }
+    lake.vacuum(keepVersions = 1, keepCommittedSinceMs = Some(cutoff))
+    // the monotone-walk bug: stop at v4 (< cutoff) and delete v3 — a snapshot
+    // committed after the cutoff — breaking the keep-committed-since contract
+    assert(Files.exists(Paths.get(root, "manifests", "v000003.json")),
+      "v3 (stamped after the cutoff) must survive")
+    assert(lake.readVersion(spark, 3).count() == 0) // still resolvable
+    assert(!Files.exists(Paths.get(root, "manifests", "v000001.json")) &&
+      !Files.exists(Paths.get(root, "manifests", "v000002.json")),
+      "pre-cutoff prefix below the earliest kept version is still pruned")
+  }
+
   test("bucket-spec evolution: rescale mid-stream, reads/merges stay green, " +
     "splitBuckets migrates incrementally (CoW)") {
     val root = tmpDir("graft-maint-rescale")

@@ -161,6 +161,75 @@ class WalParserSpec extends SparkSpec {
       s"split txn recovered + second txn applied: ${docs.toSeq}")
   }
 
+  test("NULL xid / NULL data slot rows become quarantine-bound marker rows — " +
+    "the xid joins (and routing) would otherwise vanish them silently") {
+    // the raw shape declares xid/data non-null, but a parquet read does not
+    // enforce nullability: build with the all-nullable shape a real file
+    // source delivers
+    val shape = StructType(WalParser.rawSchema.fields.map(_.copy(nullable = true)))
+    val lines = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, "BEGIN 10"),
+      Row(2L, 10L, "table corpus.documents: INSERT: " +
+        "doc_id[character varying]:'d-1' n_tok[integer]:1"),
+      Row(3L, 10L, "COMMIT 10"),
+      Row(4L, null, "table corpus.documents: INSERT: " +
+        "doc_id[character varying]:'d-ghost' n_tok[integer]:1"), // null xid
+      Row(5L, 10L, null)), 2), shape)                            // null data
+    val ev = WalParser.parseForTable(lines, payload, "corpus", "documents")
+      .collect().sortBy(_.getAs[Long]("lsn"))
+    assert(ev.length == 3, s"1 parsed DML + 2 markers: ${ev.toSeq}")
+    assert(ev(0).getAs[String]("op") == "INSERT")
+    val markers = ev.filter(_.getAs[String]("op") == null)
+    assert(markers.length == 2 &&
+      markers.map(_.getAs[Long]("lsn")).toSet == Set(4L, 5L),
+      s"markers keep the lsn for inspection: ${markers.toSeq}")
+  }
+
+  test("a corrupt slot row quarantines ONCE end-to-end — counted in the " +
+    "delivery audit, never re-stashed into later epochs forever") {
+    import graft.model._
+    import graft.runner.{CdcRunner, RunnerConfig}
+    val root = tmpDir("graft-wal-corrupt")
+    val shape = StructType(WalParser.rawSchema.fields.map(_.copy(nullable = true)))
+    def mk(rows: Row*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), shape)
+    mk(
+      Row(1L, 1L, "BEGIN 1"),
+      Row(2L, 1L, "table corpus.documents: INSERT: doc_id[character varying]:'d-1' " +
+        "tokens[integer[]]:'{1}' n_tok[integer]:1 source[character varying]:'web'"),
+      Row(3L, 1L, "COMMIT 1"),
+      Row(4L, null, "table corpus.documents: INSERT: " +
+        "doc_id[character varying]:'d-ghost' n_tok[integer]:1"),
+      Row(5L, 1L, null)
+    ).coalesce(1).write.parquet(s"$root/feed")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+      payloadSchema = payload)
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    val lake = new graft.lake.LakeTable(cfg.tableDir)
+    assert(lake.read(spark).count() == 1)
+    val q1 = lake.quarantine(spark).collect()
+    assert(q1.length == 2, s"both corrupt lines quarantined: ${q1.toSeq}")
+    assert(q1.forall(_.getAs[String](graft.apply.MergeApply.QUARANTINE_REASON)
+      .startsWith("unknown_op")), q1.mkString(";"))
+    assert(lake.manifest.metrics("events_received") == 3L,
+      lake.manifest.metrics.toString) // 1 DML + 2 corrupt
+    // a later batch unions the pending stash: the corrupt rows must not be
+    // in it (a fresh quarantined copy every epoch, forever)
+    mk(
+      Row(6L, 2L, "BEGIN 2"),
+      Row(7L, 2L, "table corpus.documents: INSERT: doc_id[character varying]:'d-2' " +
+        "tokens[integer[]]:'{2}' n_tok[integer]:1 source[character varying]:'web'"),
+      Row(8L, 2L, "COMMIT 2")
+    ).coalesce(1).write.mode("append").parquet(s"$root/feed")
+    CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+    assert(lake.read(spark).count() == 2)
+    assert(lake.quarantine(spark).count() == 2, "no re-quarantined copies")
+    assert(lake.manifest.metrics("events_received") == 4L,
+      lake.manifest.metrics.toString)
+  }
+
   test("end-to-end: raw WAL line feed → streaming parse → upsert merge") {
     import graft.model._
     import graft.runner.{CdcRunner, RunnerConfig}
