@@ -136,6 +136,36 @@ object Queries {
        |  CAST(CASE WHEN op='DELETE' THEN 1 ELSE 0 END AS INT) AS is_deleted
        |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Expected output of a poisoned wire run (two corrupt lines riding a
+    * well-formed lsn<2000 feed): the LWW fold of the clean events, exactly
+    * two unknown_op quarantine rows, and events_received = clean ops + the
+    * two marker rows. ONE definition for both the envelope bus and the raw
+    * WAL feed — the two wires promise the identical corruption contract. */
+  private def poisonedWireOracle: String =
+    s"""WITH ev0 AS ($feedSql),
+       |ev AS (SELECT * FROM ev0 WHERE lsn < 2000),
+       |last AS (
+       |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+       |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+       |  FROM ev GROUP BY doc_id),
+       |state AS (
+       |  SELECT 'state' AS kind, doc_id,
+       |    array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+       |    n_tok, source, CAST(NULL AS VARCHAR) AS reason
+       |  FROM last WHERE last_op <> 'DELETE'),
+       |quar AS (
+       |  SELECT 'quarantine' AS kind, CAST(NULL AS VARCHAR) AS doc_id,
+       |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
+       |    CAST(NULL AS VARCHAR) AS source, 'unknown_op: null' AS reason
+       |  FROM range(2)),
+       |met AS (
+       |  SELECT 'metric' AS kind, 'events_received' AS doc_id,
+       |    CAST(NULL AS VARCHAR) AS tokens_csv,
+       |    CAST((SELECT count(*) + 2 FROM ev) AS INT) AS n_tok,
+       |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS reason)
+       |SELECT * FROM state UNION ALL SELECT * FROM quar UNION ALL
+       |SELECT * FROM met ORDER BY kind, doc_id""".stripMargin
+
   private def lwwFoldSql: String =
     s"""WITH ev AS ($feedSql),
        |last AS (
@@ -670,6 +700,82 @@ object Queries {
         job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
         payloadSchema = payload)
       CdcRunner.startFromEnvelopes(s, cfg, "corpus", "documents").awaitTermination()
+      val lake = new graft.lake.LakeTable(cfg.tableDir)
+      val nullS = lit(null).cast(StringType)
+      val state = lake.read(s).select(lit("state").as("kind"), col("doc_id"),
+        array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+        col("n_tok"), col("source"), nullS.as("reason"))
+      val quar = lake.quarantine(s).select(lit("quarantine").as("kind"),
+        nullS.as("doc_id"), nullS.as("tokens_csv"),
+        lit(null).cast(IntegerType).as("n_tok"), nullS.as("source"),
+        col(graft.apply.MergeApply.QUARANTINE_REASON).as("reason"))
+      val received = lake.manifest.metrics("events_received")
+      val metric = s.range(1).select(lit("metric").as("kind"),
+        lit("events_received").as("doc_id"), nullS.as("tokens_csv"),
+        lit(received).cast(IntegerType).as("n_tok"), nullS.as("source"),
+        nullS.as("reason"))
+      state.unionAll(quar).unionAll(metric).orderBy("kind", "doc_id")
+    }),
+
+    // §2.1 S2 (DLX): the same corruption contract on the RAW WAL wire — a
+    // NULL-xid and a NULL-data slot row (file sources do not enforce the
+    // shape's declared nullability). Both xid joins (the parse's committed
+    // semi-join, the runner's pending-stash anti-join) evaluate NULL ⇒ no
+    // match: a bare parse would neither apply nor quarantine such a line
+    // while the stash re-carried it FOREVER, re-quarantining a fresh copy
+    // every epoch. Two micro-batches (maxFilesPerTrigger=1, txn-aligned
+    // files) drive the stash path; the final state, exactly two unknown_op
+    // quarantine rows, and events_received are oracle-exact — the SAME
+    // oracle as the envelope poison query, because both wires promise the
+    // identical contract.
+    "q_source_wal_poison" -> ((s, dir) => {
+      import graft.feed.WalParser
+      val root = tempRoot("graft-q-walpoison")
+      val payload = StructType(Seq(
+        StructField("doc_id", StringType),
+        StructField("tokens", ArrayType(IntegerType)),
+        StructField("n_tok", IntegerType),
+        StructField("source", StringType)))
+      val feed = feedFromEvents(s, dir).filter(col(ChangeEvent.LSN) < 2000)
+      val eid = col(ChangeEvent.LSN)
+      val xid = col(ChangeEvent.TXN_ID)
+      val isDel = col(ChangeEvent.OP) === ChangeEvent.DELETE
+      // every txn commits and DELETEs carry their key (replica identity):
+      // the state oracle is then exactly the lsn<2000 LWW fold
+      val rest = concat(
+        lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("'"),
+        when(isDel, lit("")).otherwise(concat(
+          lit(" tokens[integer[]]:'{"),
+          array_join(col("tokens").cast("array<string>"), ","), lit("}'"),
+          lit(" n_tok[integer]:"), col("n_tok").cast(StringType),
+          lit(" source[character varying]:'"), col("source"), lit("'"))))
+      val dml = feed.select((eid * 10 + 5).as("lsn"), xid.as("xid"),
+        concat(lit("table corpus.documents: "), col(ChangeEvent.OP), lit(": "),
+          rest).as("data"))
+      val xids = feed.select(xid.as("xid")).distinct()
+      val begins = xids.select((col("xid") * 50).as("lsn"), col("xid"),
+        concat(lit("BEGIN "), col("xid")).as("data"))
+      val commits = xids.select((col("xid") * 50 + 49).as("lsn"), col("xid"),
+        concat(lit("COMMIT "), col("xid")).as("data"))
+      val wal = dml.unionAll(begins).unionAll(commits)
+      val shape = StructType(WalParser.rawSchema.fields.map(_.copy(nullable = true)))
+      val poison = s.createDataFrame(s.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9999991L, null, "table corpus.documents: " +
+          "INSERT: doc_id[character varying]:'d-ghost' n_tok[integer]:1"),
+        org.apache.spark.sql.Row(9999992L, 999777L, null)), 1), shape)
+      // txn-aligned split: eid<1000 ⇔ xid<200, so neither file cuts a txn;
+      // the poison rides file 1, file 2's batch then unions the stash
+      val firstHalf = col("xid") < 200
+      wal.filter(firstHalf).unionByName(poison)
+        .coalesce(1).write.parquet(s"$root/feed")
+      wal.filter(!firstHalf)
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table",
+        checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+        payloadSchema = payload, maxFilesPerTrigger = 1)
+      CdcRunner.startFromWal(s, cfg, "corpus", "documents").awaitTermination()
       val lake = new graft.lake.LakeTable(cfg.tableDir)
       val nullS = lit(null).cast(StringType)
       val state = lake.read(s).select(lit("state").as("kind"), col("doc_id"),
@@ -1356,30 +1462,11 @@ object Queries {
     // poisoned bus: the LWW fold over the well-formed events (the corrupt
     // lines must not perturb the state), exactly two unknown_op quarantine
     // rows, and events_received = well-formed ops + the two marker rows
-    "q_source_envelope_poison" ->
-      s"""WITH ev0 AS ($feedSql),
-         |ev AS (SELECT * FROM ev0 WHERE lsn < 2000),
-         |last AS (
-         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
-         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
-         |  FROM ev GROUP BY doc_id),
-         |state AS (
-         |  SELECT 'state' AS kind, doc_id,
-         |    array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
-         |    n_tok, source, CAST(NULL AS VARCHAR) AS reason
-         |  FROM last WHERE last_op <> 'DELETE'),
-         |quar AS (
-         |  SELECT 'quarantine' AS kind, CAST(NULL AS VARCHAR) AS doc_id,
-         |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
-         |    CAST(NULL AS VARCHAR) AS source, 'unknown_op: null' AS reason
-         |  FROM range(2)),
-         |met AS (
-         |  SELECT 'metric' AS kind, 'events_received' AS doc_id,
-         |    CAST(NULL AS VARCHAR) AS tokens_csv,
-         |    CAST((SELECT count(*) + 2 FROM ev) AS INT) AS n_tok,
-         |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS reason)
-         |SELECT * FROM state UNION ALL SELECT * FROM quar UNION ALL
-         |SELECT * FROM met ORDER BY kind, doc_id""".stripMargin,
+    "q_source_envelope_poison" -> poisonedWireOracle,
+
+    // poisoned RAW WAL feed: the SAME oracle — both wires promise the
+    // identical corruption contract (quarantine once, count, state intact)
+    "q_source_wal_poison" -> poisonedWireOracle,
 
     // expected typed rows computed directly from events — the parse round-trip
     // must land exactly here
