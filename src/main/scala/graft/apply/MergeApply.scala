@@ -139,7 +139,11 @@ object MergeApply {
       while (cur >= REPLAY_EPOCH_BASE && depth < 8) {
         cur = (cur - REPLAY_EPOCH_BASE) / 64 - 2; depth += 1
       }
-      cur >= POST_TRANSFORM_EPOCH_BASE && cur < REPLAY_EPOCH_BASE
+      // a chain rooted at the FULL-LOAD sentinel is post-transform too: its
+      // snapshot rows ran the pipeline before their key check, so a replay
+      // dir left unmarked by a crash must strip the rules like its source
+      (cur >= POST_TRANSFORM_EPOCH_BASE && cur < REPLAY_EPOCH_BASE) ||
+        cur == FULL_LOAD_EPOCH
     }
     // The full-load quarantine ([[graft.runner.CdcRunner.fullLoad]]) also
     // holds post-transform rows — the snapshot runs the rule pipeline before
@@ -164,10 +168,12 @@ object MergeApply {
     // the INSERTs the original snapshot would have written: lsn 0 and the
     // full-load batch timestamp, so a fixed row lands exactly as if the
     // original load had carried it (same LWW rank, same SCD2 start date).
-    // Keyed on column PRESENCE, not the epoch: a re-quarantined replay of a
-    // full-load drain already carries the synthesized envelope.
+    // Keyed on the EPOCH, not column presence: only the sentinel dir ever
+    // holds envelope-less rows (its replay dirs carry the synthesized
+    // envelope), while presence-probing would misfire on a snapshot payload
+    // that legitimately contains a column named `op`.
     val rows =
-      if (rows0.columns.contains(ChangeEvent.OP)) rows0
+      if (sourceEpoch != FULL_LOAD_EPOCH) rows0
       else rows0
         .withColumn(ChangeEvent.LSN, lit(0L))
         .withColumn(ChangeEvent.TS, batchTimestamp(FULL_LOAD_EPOCH))

@@ -280,6 +280,45 @@ class ErrorPolicySpec extends SparkSpec {
       MergeApply.FULL_LOAD_EPOCH, job).skipped)
   }
 
+  test("a full-load replay dir left UNMARKED by a crash is still recognized " +
+    "as post-transform (the lineage walk roots at the sentinel): the next " +
+    "drain must not re-run the rules") {
+    import graft.rules.ModifyColumn
+    import org.apache.spark.sql.functions._
+    val job = JobConfig(transforms = Seq(
+      ModifyColumn("n_tok", "math_expression",
+        expression = Some("value * 2"), priority = 0)))
+    val lake = mkLake(job)
+    val snap = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("k1", Seq(1, 2), Int.box(2), "web"),
+      Row(null, Seq(3), Int.box(1), "web")), 2),
+      StructType(ChangeEvent.defaultPayloadFields.map(_.copy(nullable = true))))
+    CdcRunner.fullLoad(spark, lake, snap, job)
+    // drain WITHOUT fixing the key: the still-bad row re-quarantines (with
+    // the synthesized envelope) under the full-load chain's replay epoch
+    val r1 = MergeApply.replayQuarantine(spark, lake,
+      MergeApply.FULL_LOAD_EPOCH, job)
+    assert(r1.metrics("events_quarantined") == 1L, r1.metrics.toString)
+    val replayEpoch =
+      MergeApply.REPLAY_EPOCH_BASE + (MergeApply.FULL_LOAD_EPOCH + 2) * 64
+    // simulate the crash window the walk exists for: the finally's marker
+    // write never happened
+    val marker = java.nio.file.Paths.get(
+      lake.quarantineDir(replayEpoch), MergeApply.POST_TRANSFORM_MARKER)
+    assert(java.nio.file.Files.deleteIfExists(marker),
+      "fixture must start from a marked replay dir")
+    // draining the UNMARKED replay dir with rules attached: the lineage walk
+    // resolves its chain to the sentinel and strips them — the doubling ran
+    // ONCE in the original load, never again
+    val r2 = MergeApply.replayQuarantine(spark, lake, replayEpoch, job,
+      fix = _.withColumn("doc_id", lit("k2fixed")), attempt = 1)
+    assert(!r2.skipped && r2.metrics.getOrElse("events_quarantined", 0L) == 0L,
+      r2.metrics.toString)
+    val n = lake.read(spark).where("doc_id = 'k2fixed'")
+      .select("n_tok").head().getAs[Number](0).longValue
+    assert(n == 2L, s"rules must NOT re-run on pipeline output: n_tok=$n")
+  }
+
   test("a PARTIAL composite-key DELETE is malformed, not protocol: " +
     "quarantined as null_merge_key, unlike the all-null key-less skip") {
     val job = JobConfig(keyCols = Seq("doc_id", "source"))
