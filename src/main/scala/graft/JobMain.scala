@@ -565,7 +565,8 @@ object JobMain {
           autoCompactEveryEpochs = settings.autoCompactEveryEpochs,
           autoCompactMaxDeltaFiles = settings.autoCompactMaxDeltaFiles,
           autoRescaleBytesPerBucket = settings.autoRescaleBytesPerBucket,
-          autoRescaleMaxGroups = settings.autoRescaleMaxGroups)
+          autoRescaleMaxGroups = settings.autoRescaleMaxGroups,
+          walOrphanEpochs = settings.walOrphanEpochs)
         val lake = CdcRunner.ensureTable(spark, cfg, reload = reload)
         if (settings.replicationType.startsWith("full_load")) {
           val snap = opt("--snapshot").getOrElse(throw new IllegalArgumentException(

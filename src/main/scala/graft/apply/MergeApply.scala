@@ -41,6 +41,15 @@ object MergeApply {
   /** Reason column appended to quarantined rows (engine column, `_` prefix). */
   val QUARANTINE_REASON = "_error_reason"
 
+  /** Op prefix marking a WAL transaction evicted by timeout
+    * ([[graft.runner.CdcRunner.startFromWal]] orphan eviction). Quarantine IS
+    * the intended destination for these rows, so they are excluded from the
+    * `stop_if_*_error` escalation below: eviction is a deterministic function
+    * of the retained stash, and a stop here would re-fail identically on
+    * every restart — permanently wedging the stream the eviction exists to
+    * un-wedge. */
+  val ORPHANED_OP_PREFIX = "orphaned_txn:"
+
   /** The full-load snapshot's sentinel epoch ([[graft.runner.CdcRunner
     * .fullLoad]]): its quarantine dir holds POST-transform SNAPSHOT rows —
     * no change envelope — which [[replayQuarantine]] must both recognize
@@ -398,7 +407,11 @@ object MergeApply {
         stop(ChangeEvent.INSERT, p.stopOnInsertError || p.stopOnUpsertError || p.stopOnScd2Error)
         stop(ChangeEvent.UPDATE, p.stopOnUpdateError || p.stopOnUpsertError || p.stopOnScd2Error)
         stop(ChangeEvent.DELETE, p.stopOnDeleteError)
-        val unknownOps = badByOp.keySet -- ChangeEvent.OPS
+        // deliberate timeout evictions (ORPHANED_OP_PREFIX) never escalate —
+        // see the constant's doc: stopping on one wedges the stream forever.
+        // (the key set can hold null: corrupt rows group under op = NULL)
+        val unknownOps = (badByOp.keySet -- ChangeEvent.OPS)
+          .filterNot(op => op != null && op.startsWith(ORPHANED_OP_PREFIX))
         if (unknownOps.nonEmpty &&
             (p.stopOnInsertError || p.stopOnUpdateError || p.stopOnDeleteError ||
               p.stopOnUpsertError || p.stopOnScd2Error))

@@ -108,14 +108,32 @@ object WalParser {
       tsOfLsn: Column => Column = l => timestamp_seconds(lit(1700000000L) + l)): DataFrame =
     parseCore(raw, payload, _ => lit(schemaVer), tsOfLsn)
 
+  /** Distinct xids whose COMMIT line is present. The xid comes from the slot
+    * row's xid column, falling back to the COMMIT line's own text
+    * (`COMMIT 1234` — test_decoding include-xids) when that column is NULL:
+    * a corrupt commit slot row is quarantined as a marker like any other
+    * corrupt line, but the line text is what the decoder emitted and is
+    * authoritative — without the fallback it would silently orphan its
+    * whole transaction (the DML re-stashed forever, never applied, never
+    * quarantined). Shared by the parse's committed-only semi-join and the
+    * runner's pending-stash anti-join so the two joins can never disagree
+    * about which transactions committed. */
+  private[graft] def commitXids(raw: DataFrame): DataFrame = {
+    val fromText = regexp_extract(col("data"), "^COMMIT\\s+(\\d+)", 1)
+    raw.filter(col("data").startsWith("COMMIT"))
+      .select(coalesce(col("xid"),
+        when(length(fromText) > 0, fromText.cast(LongType))).as("xid"))
+      .filter(col("xid").isNotNull)
+      .distinct()
+  }
+
   private def parseCore(
       raw: DataFrame,
       payload: StructType,
       verOf: Column => Column,
       tsOfLsn: Column => Column): DataFrame = {
     // committed transactions: xids that produced a COMMIT line
-    val commits = raw.filter(col("data").startsWith("COMMIT"))
-      .select(col("xid")).distinct()
+    val commits = commitXids(raw)
     // DML only: the `table ` prefix also matches non-DML slot lines (e.g.
     // `table public.t: TRUNCATE: (no-flags)`), for which every LINE_RE group
     // extracts as "" — the bare parse()/parseVersioned() would emit a phantom

@@ -52,6 +52,11 @@ object TaskSettings {
       /** bucket groups migrated per maintenance tick while a rescale is in
         * flight (bounds one tick's physical rewrite). */
       autoRescaleMaxGroups: Int,
+      /** engine extension (cdc_settings.wal_orphan_epochs): a WAL txn whose
+        * COMMIT has not arrived after this many micro-batches is evicted
+        * whole from the pending stash to quarantine (payload parsed,
+        * replay-drainable); 0 stashes forever. */
+      walOrphanEpochs: Int,
       scdCols: ScdCols,
       errorPolicy: ErrorPolicy,
       tables: Seq[TableRules],
@@ -203,6 +208,7 @@ object TaskSettings {
         (cdc \ "auto_rescale_bytes_per_bucket").extractOrElse[Long](0L),
       autoRescaleMaxGroups =
         (cdc \ "auto_rescale_max_groups").extractOrElse[Int](4),
+      walOrphanEpochs = (cdc \ "wal_orphan_epochs").extractOrElse[Int](16),
       scdCols = ScdCols(
         (scd2 \ "start_date_column_name").extractOrElse[String]("scd_start_date"),
         (scd2 \ "end_date_column_name").extractOrElse[String]("scd_end_date"),

@@ -109,6 +109,62 @@ object Queries {
   private def tokensSql(eid: String, nTok: String): String =
     s"list_transform(generate_series(1, $nTok), x -> CAST((($eid % ${ChangeFeed.VOCAB})*$TOK_A + x*$TOK_B) % ${ChangeFeed.VOCAB} AS INT))"
 
+  /** Payload schema of the synthesized WAL fixtures below — one definition
+    * shared by the WAL corruption queries for the same drift reason as
+    * [[lwwShape]]. */
+  private val walDocPayload = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+
+  /** The documents feed below `lsnCap` rendered as test_decoding slot lines:
+    * one DML line per event (lsn = eid*10+5), BEGIN/COMMIT framing per txn
+    * (xid*50 / xid*50+49; xid = eid/5 per [[feedFromEvents]], so an eid cut
+    * is txn-aligned at eid = 5·xid boundaries). ONE renderer for every WAL
+    * driver query — a wire-format tweak (quoting, the
+    * `doc_id[character varying]` template) that landed in one copy would
+    * silently leave the other oracle testing a stale format. */
+  private def walFixtureLines(s: SparkSession, dir: String, lsnCap: Long): DataFrame = {
+    val feed = feedFromEvents(s, dir).filter(col(ChangeEvent.LSN) < lsnCap)
+    val eid = col(ChangeEvent.LSN)
+    val xid = col(ChangeEvent.TXN_ID)
+    val isDel = col(ChangeEvent.OP) === ChangeEvent.DELETE
+    val rest = concat(
+      lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("'"),
+      when(isDel, lit("")).otherwise(concat(
+        lit(" tokens[integer[]]:'{"),
+        array_join(col("tokens").cast("array<string>"), ","), lit("}'"),
+        lit(" n_tok[integer]:"), col("n_tok").cast(StringType),
+        lit(" source[character varying]:'"), col("source"), lit("'"))))
+    val dml = feed.select((eid * 10 + 5).as("lsn"), xid.as("xid"),
+      concat(lit("table corpus.documents: "), col(ChangeEvent.OP), lit(": "),
+        rest).as("data"))
+    val xids = feed.select(xid.as("xid")).distinct()
+    val begins = xids.select((col("xid") * 50).as("lsn"), col("xid"),
+      concat(lit("BEGIN "), col("xid")).as("data"))
+    val commits = xids.select((col("xid") * 50 + 49).as("lsn"), col("xid"),
+      concat(lit("COMMIT "), col("xid")).as("data"))
+    dml.unionAll(begins).unionAll(commits)
+  }
+
+  /** Shared dump shape of the WAL corruption queries: lake state +
+    * caller-shaped quarantine rows + the events_received metric, as
+    * (kind, doc_id, tokens_csv, n_tok, source, reason). */
+  private def walKindDump(
+      s: SparkSession, lake: graft.lake.LakeTable, quar: DataFrame): DataFrame = {
+    val nullS = lit(null).cast(StringType)
+    val state = lake.read(s).select(lit("state").as("kind"), col("doc_id"),
+      array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+      col("n_tok"), col("source"), nullS.as("reason"))
+    val received = lake.manifest.metrics("events_received")
+    val metric = s.range(1).select(lit("metric").as("kind"),
+      lit("events_received").as("doc_id"), nullS.as("tokens_csv"),
+      lit(received).cast(IntegerType).as("n_tok"), nullS.as("source"),
+      nullS.as("reason"))
+    state.unionAll(quar).unionAll(metric).orderBy("kind", "doc_id")
+  }
+
   /** The LWW replay fold shared by every oracle whose final state is "the
     * per-key latest non-DELETE event" — upsert/default/mor pipelines, the
     * maintenance and rescale read-equivalence checks, and the quarantine
@@ -158,6 +214,38 @@ object Queries {
        |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
        |    CAST(NULL AS VARCHAR) AS source, 'unknown_op: null' AS reason
        |  FROM range(2)),
+       |met AS (
+       |  SELECT 'metric' AS kind, 'events_received' AS doc_id,
+       |    CAST(NULL AS VARCHAR) AS tokens_csv,
+       |    CAST((SELECT count(*) + 2 FROM ev) AS INT) AS n_tok,
+       |    CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS reason)
+       |SELECT * FROM state UNION ALL SELECT * FROM quar UNION ALL
+       |SELECT * FROM met ORDER BY kind, doc_id""".stripMargin
+
+  /** Expected output of the orphan-eviction run: the LWW fold of the
+    * committed lsn<1000 events, the never-committed txn's two INSERTs
+    * quarantined with their payload PARSED (reason
+    * `unknown_op: orphaned_txn:INSERT`), and events_received = committed
+    * ops + the two evicted rows, counted once. */
+  private def orphanedWalOracle: String =
+    s"""WITH ev0 AS ($feedSql),
+       |ev AS (SELECT * FROM ev0 WHERE lsn < 1000),
+       |last AS (
+       |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+       |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+       |  FROM ev GROUP BY doc_id),
+       |state AS (
+       |  SELECT 'state' AS kind, doc_id,
+       |    array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+       |    n_tok, source, CAST(NULL AS VARCHAR) AS reason
+       |  FROM last WHERE last_op <> 'DELETE'),
+       |quar AS (
+       |  SELECT 'quarantine' AS kind, 'd-orphan-1' AS doc_id,
+       |    '1,2' AS tokens_csv, CAST(2 AS INT) AS n_tok, 'wedge' AS source,
+       |    'unknown_op: orphaned_txn:INSERT' AS reason
+       |  UNION ALL
+       |  SELECT 'quarantine', 'd-orphan-2', '3,4,5', CAST(3 AS INT), 'wedge',
+       |    'unknown_op: orphaned_txn:INSERT'),
        |met AS (
        |  SELECT 'metric' AS kind, 'events_received' AS doc_id,
        |    CAST(NULL AS VARCHAR) AS tokens_csv,
@@ -731,33 +819,9 @@ object Queries {
     "q_source_wal_poison" -> ((s, dir) => {
       import graft.feed.WalParser
       val root = tempRoot("graft-q-walpoison")
-      val payload = StructType(Seq(
-        StructField("doc_id", StringType),
-        StructField("tokens", ArrayType(IntegerType)),
-        StructField("n_tok", IntegerType),
-        StructField("source", StringType)))
-      val feed = feedFromEvents(s, dir).filter(col(ChangeEvent.LSN) < 2000)
-      val eid = col(ChangeEvent.LSN)
-      val xid = col(ChangeEvent.TXN_ID)
-      val isDel = col(ChangeEvent.OP) === ChangeEvent.DELETE
       // every txn commits and DELETEs carry their key (replica identity):
       // the state oracle is then exactly the lsn<2000 LWW fold
-      val rest = concat(
-        lit("doc_id[character varying]:'"), col(ChangeEvent.DOC_ID), lit("'"),
-        when(isDel, lit("")).otherwise(concat(
-          lit(" tokens[integer[]]:'{"),
-          array_join(col("tokens").cast("array<string>"), ","), lit("}'"),
-          lit(" n_tok[integer]:"), col("n_tok").cast(StringType),
-          lit(" source[character varying]:'"), col("source"), lit("'"))))
-      val dml = feed.select((eid * 10 + 5).as("lsn"), xid.as("xid"),
-        concat(lit("table corpus.documents: "), col(ChangeEvent.OP), lit(": "),
-          rest).as("data"))
-      val xids = feed.select(xid.as("xid")).distinct()
-      val begins = xids.select((col("xid") * 50).as("lsn"), col("xid"),
-        concat(lit("BEGIN "), col("xid")).as("data"))
-      val commits = xids.select((col("xid") * 50 + 49).as("lsn"), col("xid"),
-        concat(lit("COMMIT "), col("xid")).as("data"))
-      val wal = dml.unionAll(begins).unionAll(commits)
+      val wal = walFixtureLines(s, dir, lsnCap = 2000)
       val shape = StructType(WalParser.rawSchema.fields.map(_.copy(nullable = true)))
       val poison = s.createDataFrame(s.sparkContext.parallelize(Seq(
         org.apache.spark.sql.Row(9999991L, null, "table corpus.documents: " +
@@ -774,23 +838,68 @@ object Queries {
         feedDir = s"$root/feed", tableDir = s"$root/table",
         checkpointDir = s"$root/cp",
         job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
-        payloadSchema = payload, maxFilesPerTrigger = 1)
+        payloadSchema = walDocPayload, maxFilesPerTrigger = 1)
       CdcRunner.startFromWal(s, cfg, "corpus", "documents").awaitTermination()
       val lake = new graft.lake.LakeTable(cfg.tableDir)
       val nullS = lit(null).cast(StringType)
-      val state = lake.read(s).select(lit("state").as("kind"), col("doc_id"),
-        array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
-        col("n_tok"), col("source"), nullS.as("reason"))
+      // the poison rows are unparseable: no payload survives to project
       val quar = lake.quarantine(s).select(lit("quarantine").as("kind"),
         nullS.as("doc_id"), nullS.as("tokens_csv"),
         lit(null).cast(IntegerType).as("n_tok"), nullS.as("source"),
         col(graft.apply.MergeApply.QUARANTINE_REASON).as("reason"))
-      val received = lake.manifest.metrics("events_received")
-      val metric = s.range(1).select(lit("metric").as("kind"),
-        lit("events_received").as("doc_id"), nullS.as("tokens_csv"),
-        lit(received).cast(IntegerType).as("n_tok"), nullS.as("source"),
-        nullS.as("reason"))
-      state.unionAll(quar).unionAll(metric).orderBy("kind", "doc_id")
+      walKindDump(s, lake, quar)
+    }),
+
+    // §2.1 S2 (orphan eviction): a transaction whose COMMIT never arrives —
+    // a wedged producer, a lost commit record — must neither loop in the
+    // pending stash forever nor vanish: after walOrphanEpochs micro-batches
+    // it evicts WHOLE to quarantine with its payload fully parsed
+    // (replayQuarantine-drainable) and is counted once by the delivery
+    // audit. Two orphan INSERTs ride file 1 of a three-file txn-aligned
+    // feed; eviction lands in epoch 2. File mtimes are stamped explicitly
+    // so the micro-batch order (hence the eviction epoch) is deterministic.
+    "q_source_wal_orphan" -> ((s, dir) => {
+      val root = tempRoot("graft-q-walorphan")
+      val wal = walFixtureLines(s, dir, lsnCap = 1000)
+      import s.implicits._
+      val orphan = Seq(
+        (8888880L, 999001L, "BEGIN 999001"),
+        (8888881L, 999001L, "table corpus.documents: INSERT: doc_id[character" +
+          " varying]:'d-orphan-1' tokens[integer[]]:'{1,2}' n_tok[integer]:2" +
+          " source[character varying]:'wedge'"),
+        (8888882L, 999001L, "table corpus.documents: INSERT: doc_id[character" +
+          " varying]:'d-orphan-2' tokens[integer[]]:'{3,4,5}' n_tok[integer]:3" +
+          " source[character varying]:'wedge'"))
+        .toDF("lsn", "xid", "data")
+      // txn-aligned thirds: eid<1000 ⇔ xid<200 (xid = eid/5), so no file
+      // cuts a txn; the orphan ages 0→1→2 and evicts in the third batch
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeFile(df: DataFrame, idx: Int): Unit = {
+        df.coalesce(1).write.mode("append").parquet(s"$root/feed")
+        new java.io.File(s"$root/feed").listFiles().foreach { f =>
+          if (f.getName.startsWith("part-") && stamped.add(f.getName)) {
+            f.setLastModified(1700000000000L + idx * 60000L); ()
+          }
+        }
+      }
+      writeFile(wal.filter(col("xid") < 70).unionByName(orphan), 0)
+      writeFile(wal.filter(col("xid") >= 70 && col("xid") < 140), 1)
+      writeFile(wal.filter(col("xid") >= 140), 2)
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table",
+        checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 4),
+        payloadSchema = walDocPayload, maxFilesPerTrigger = 1,
+        walOrphanEpochs = 2)
+      CdcRunner.startFromWal(s, cfg, "corpus", "documents").awaitTermination()
+      val lake = new graft.lake.LakeTable(cfg.tableDir)
+      // evicted rows carry their PARSED payload into quarantine
+      val quar = lake.quarantine(s).select(lit("quarantine").as("kind"),
+        col("doc_id"),
+        array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+        col("n_tok"), col("source"),
+        col(graft.apply.MergeApply.QUARANTINE_REASON).as("reason"))
+      walKindDump(s, lake, quar)
     }),
 
     // §2.1 S1/S5/S6: full-load snapshot → lake table → read back (identity)
@@ -1467,6 +1576,7 @@ object Queries {
     // poisoned RAW WAL feed: the SAME oracle — both wires promise the
     // identical corruption contract (quarantine once, count, state intact)
     "q_source_wal_poison" -> poisonedWireOracle,
+    "q_source_wal_orphan" -> orphanedWalOracle,
 
     // expected typed rows computed directly from events — the parse round-trip
     // must land exactly here

@@ -43,7 +43,25 @@ case class RunnerConfig(
     autoRescaleBytesPerBucket: Long = 0L,
     /** bucket groups migrated per maintenance tick while a rescale is in
       * flight — bounds one tick's physical rewrite. */
-    autoRescaleMaxGroups: Int = 4)
+    autoRescaleMaxGroups: Int = 4,
+    /** WAL wire only: a line whose COMMIT has not arrived after this many
+      * micro-batches is EVICTED from the pending stash to quarantine
+      * (reason `unknown_op: orphaned_txn:<op>`, payload fully parsed, so
+      * nothing is lost and replayQuarantine can re-drive it) instead of
+      * being re-copied forever. Eviction is per TRANSACTION and sticky: an
+      * evicted xid is remembered in a ledger, so lines of that txn arriving
+      * in LATER batches — including its COMMIT — also quarantine rather
+      * than tear the txn across lake state and quarantine. Logical decoding
+      * emits whole transactions, so only feed corruption (an unrecoverable
+      * COMMIT slot row) or a producer wedge can orphan lines this long;
+      * size it above the longest legitimate txn-spanning-files window
+      * (default 16 batches ≈ 64 files at the default maxFilesPerTrigger).
+      * Ledger entries expire 64 orphan windows after their eviction —
+      * long past any plausible straggler, far before a wrapped 32-bit xid
+      * could reuse the number. 0 disables NEW evictions; a ledger already
+      * written by earlier runs is still honored (its stickiness guards
+      * transactions already half-quarantined, not current policy). */
+    walOrphanEpochs: Int = 16)
 
 object CdcRunner {
 
@@ -132,6 +150,13 @@ object CdcRunner {
       MergeApply.batchTimestamp(epoch))
     val snapshot0T = compiled.apply(filtered)
     val keys = compiled.outSpec.keyCols
+    // same invariant applyBatch guards at the change seam: a keyless table
+    // cannot merge, and without the named error the first key expression
+    // below dies with a bare `empty.reduce` from inside plan construction
+    require(keys.nonEmpty,
+      s"full load: the transform pipeline removed every merge key " +
+        s"(pre-transform keys ${job.keyCols.mkString(",")}) — add_primary_key " +
+        "a replacement or drop the remove_primary_key rule")
     // null merge keys in the SNAPSHOT bypass every change-path guard and
     // would land as base rows the CoW join can never match again
     // (undeletable, publicly visible forever) while the MoR fold groups
@@ -583,6 +608,13 @@ object CdcRunner {
    * COMMIT has not arrived yet are carried forward in an epoch-keyed stash
    * under the checkpoint (see the foreachBatch body) and merge with the
    * batch that completes them; WalStashPropertySpec drives arbitrary splits.
+   * A transaction never completed within `cfg.walOrphanEpochs` micro-batches
+   * is evicted WHOLE to quarantine (payload parsed, reason
+   * `unknown_op: orphaned_txn:<op>`, replayQuarantine-drainable) so a lost
+   * COMMIT can neither wedge the stash forever nor vanish silently; an
+   * evicted xid stays in a carried-forward ledger, so any LATER arrival of
+   * that txn (straggler lines, even the COMMIT itself) joins it in
+   * quarantine instead of tearing the transaction in half.
    */
   def startFromWal(
       spark: SparkSession, cfg: RunnerConfig,
@@ -614,42 +646,138 @@ object CdcRunner {
         // file) so a RETRIED batch re-reads the same carry-in it saw the
         // first time; written BEFORE the merge so a crash between stash and
         // commit replays identically.
+        val AGE = "_stash_age" // epochs a stashed line has already waited
+        val rawCols = WalParser.rawSchema.fieldNames.toSeq.map(col)
         val prevStash = new java.io.File(s"$stashRoot/epoch=${epoch - 1}")
-        val withPrev =
-          (if (prevStash.isDirectory)
-            raw.unionByName(
-              spark.read.schema(WalParser.rawSchema).parquet(prevStash.getPath))
-          else raw)
+        val withAge =
+          (if (prevStash.isDirectory) {
+            // the stash is self-written parquet: its own schema carries AGE
+            // (a pre-AGE stash from an older checkpoint reads as age 1)
+            val p = spark.read.parquet(prevStash.getPath)
+            raw.withColumn(AGE, lit(0)).unionByName(
+              if (p.columns.contains(AGE)) p else p.withColumn(AGE, lit(1)))
+          } else raw.withColumn(AGE, lit(0)))
             // read by the stash anti-join AND the parse's own commit
             // semi-join — without the cache each pays a fresh file scan
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val commits = withPrev.filter(col("data").startsWith("COMMIT"))
-          .select("xid").distinct()
+        val withPrev = withAge.select(rawCols: _*)
+        // shared with the parse's committed semi-join (incl. the corrupt-
+        // COMMIT xid fallback) so the two joins can never disagree
+        val commits = WalParser.commitXids(withPrev)
         // corrupt slot rows (null xid/data — see WalParser's marker) never
         // match a COMMIT, so the bare anti-join would re-stash them FOREVER;
         // the parse below quarantines them THIS epoch, so stashing them too
         // would re-quarantine a fresh copy every subsequent batch
-        withPrev.filter(col("xid").isNotNull && col("data").isNotNull)
+        val pending = withAge.filter(col("xid").isNotNull && col("data").isNotNull)
           .join(commits, Seq("xid"), "left_anti")
+        // eviction is per TRANSACTION — a txn whose oldest line aged out
+        // leaves the stash WHOLE: evicting lines individually could leave a
+        // late-committing giant txn half-applied, half-quarantined
+        val maxAge = cfg.walOrphanEpochs
+        // evicted-xid LEDGER: a txn outliving the window can still emit
+        // lines (or its COMMIT itself) in LATER batches — half of it already
+        // sits in quarantine, so applying the late arrivals would tear the
+        // transaction silently across lake state and quarantine. The ledger
+        // ((xid, evictedAtEpoch) pairs, carried forward like the stash)
+        // routes every later arrival of an evicted txn to the same
+        // quarantine, keeping the txn whole and replay-drainable as a unit.
+        // It is driver-side state (a tiny text file, one eviction per line,
+        // rewritten without a Spark job) and PRUNED: an entry expires
+        // `ledgerRetention` epochs after its eviction. Unbounded retention
+        // would be wrong twice over — every future batch would pay the
+        // ledger predicate forever, and PostgreSQL xids are 32-bit and WRAP,
+        // so a stale entry would eventually quarantine an unrelated
+        // committed transaction that reused the xid. Retention must exceed
+        // the longest plausible straggler lateness (epochs, not wall time)
+        // and stay far below xid wrap; 64 orphan windows does both.
+        // An existing ledger is honored even with eviction disabled
+        // (maxAge=0): stickiness is a correctness invariant of PAST
+        // evictions, not of the current eviction policy.
+        val ledgerRetention = if (maxAge > 0) maxAge.toLong * 64 else 1024L
+        val ledgerPrev: Seq[(Long, Long)] =
+          readEvictionLedger(spark, s"$stashRoot/evicted=${epoch - 1}", epoch - 1)
+            .filter(_._2 > epoch - ledgerRetention)
+        val prevXids = ledgerPrev.map(_._1).toSet
+        // collected to the driver: the set is per-TXN xids (not rows) and an
+        // eviction is a rare producer-wedge event — this is the same one
+        // small job the previous emptiness probe paid, now also yielding
+        // the xids themselves
+        val expiredXids: Seq[Long] =
+          if (maxAge <= 0) Seq.empty
+          else pending.filter(col(AGE) >= maxAge).select("xid").distinct()
+            .collect().map(_.getLong(0)).filterNot(prevXids).sorted.toSeq
+        val ledger = ledgerPrev ++ expiredXids.map(x => (x, epoch))
+        val evictedAll = prevXids ++ expiredXids
+        // written BEFORE the merge, like the stash: a retried batch
+        // re-derives the identical ledger from retained inputs. Not written
+        // when empty — the steady state after retention pruning carries no
+        // ledger and pays nothing.
+        if (ledger.nonEmpty)
+          writeEvictionLedger(s"$stashRoot/evicted=$epoch", ledger)
+        // evicted txns never stash (their lines quarantine the batch they
+        // arrive in); null-xid corrupt markers are already excluded by the
+        // filter above, and pending's xids are non-null so the negated
+        // membership predicate has no three-valued-logic trap
+        (if (evictedAll.nonEmpty)
+          pending.filter(!col("xid").isInCollection(evictedAll))
+         else pending)
+          .withColumn(AGE, col(AGE) + 1)
           .write.mode("overwrite").parquet(s"$stashRoot/epoch=$epoch")
         // with a schema registry, one stream parses EVERY registered payload
         // version (the wire format carries column names inline): per-row
         // version detection + rename/widen normalization, so a batch mixing
         // v1 and v2 rows needs no restart — cfg.payloadSchema is the BASE
         // (version-1) payload in that case
-        val parsed =
+        def parseFeed(df: DataFrame) =
           if (cfg.schemaRegistry.nonEmpty)
-            WalParser.parseVersionedForTable(withPrev, cfg.payloadSchema,
+            WalParser.parseVersionedForTable(df, cfg.payloadSchema,
               cfg.schemaRegistry, schemaName, tableName)
-          else WalParser.parseForTable(withPrev, cfg.payloadSchema, schemaName, tableName)
+          else WalParser.parseForTable(df, cfg.payloadSchema, schemaName, tableName)
+        // ORPHAN EVICTION: every line of an evicted txn in this batch (aged
+        // out of the stash, or a late arrival matching the ledger) re-parses
+        // with a synthesized COMMIT (so the same parse decodes its payload)
+        // but with the op marked so the merge QUARANTINES it — uncommitted
+        // data must never apply, even when the real COMMIT finally shows up
+        // after the eviction. Nothing vanishes and nothing loops: reason +
+        // full payload are browsable under this epoch, and a
+        // replayQuarantine with fix = strip the op prefix re-drives them if
+        // the operator establishes the transaction really committed.
+        // Deterministic on a retried batch (a pure function of raw + the
+        // retained stash/ledger of epoch-1), like the stash write above.
+        // Gate: the dual-parse plan is built only when THIS batch actually
+        // carries lines of an evicted txn — newly expired lines are in the
+        // carried stash by construction; otherwise (a live ledger but a
+        // clean batch, the common case after an eviction) one cheap
+        // membership probe keeps the plan the plain single-parse shape.
+        val evicting = expiredXids.nonEmpty || (prevXids.nonEmpty &&
+          !withPrev.filter(col("xid").isInCollection(prevXids)).isEmpty)
+        val parsed = if (!evicting) parseFeed(withPrev) else {
+          // isNull keeps the corrupt-row markers on the live path (their
+          // quarantine reason is the parse's own, not the orphan mark);
+          // a bare negated isInCollection would three-value them away
+          val live = withPrev.filter(
+            col("xid").isNull || !col("xid").isInCollection(evictedAll))
+          val orphanLines = withPrev.filter(
+            col("xid").isNotNull && col("xid").isInCollection(evictedAll))
+          val synth = orphanLines.select(col("xid")).distinct().select(
+            lit(-1L).as("lsn"), col("xid"),
+            concat(lit("COMMIT "), col("xid")).as("data"))
+          val opCol = graft.model.ChangeEvent.OP
+          val orphans = parseFeed(orphanLines.unionByName(synth))
+            .withColumn(opCol,
+              concat(lit(MergeApply.ORPHANED_OP_PREFIX), col(opCol)))
+          parseFeed(live).unionByName(orphans)
+        }
         try processBatch(spark, lake, runCfg)(parsed, epoch)
-        finally { withPrev.unpersist(); () }
-        // the retry window only ever replays the LAST epoch: GC stashes
-        // older than epoch-1 (best-effort, idempotent on retry)
+        finally { withAge.unpersist(); () }
+        // the retry window only ever replays the LAST epoch: GC stashes and
+        // ledgers older than epoch-1 (best-effort, idempotent on retry; the
+        // ledger is cumulative, so only the newest copy matters)
         Option(new java.io.File(stashRoot).listFiles()).foreach(_.foreach { f =>
-          val tail = f.getName.stripPrefix("epoch=")
-          if (f.getName.startsWith("epoch=") &&
-              scala.util.Try(tail.toLong).toOption.exists(_ < epoch - 1))
+          val pref = Seq("epoch=", "evicted=").find(f.getName.startsWith)
+          val tail = pref.map(f.getName.stripPrefix)
+          if (tail.flatMap(t => scala.util.Try(t.toLong).toOption)
+              .exists(_ < epoch - 1))
             deleteRecursively(f)
         })
       }
@@ -658,6 +786,36 @@ object CdcRunner {
        else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
   }
 
+
+  /** Read the evicted-xid ledger carried under the WAL pending stash:
+    * a plain text file of `xid evictedAtEpoch` lines ([[writeEvictionLedger]]).
+    * A ledger left by a pre-retention checkpoint is a parquet DIRECTORY of
+    * bare xids: read it once via Spark and stamp every entry as evicted at
+    * `fallbackEpoch` (the newest possible time — it then lives a full
+    * retention window, the safe direction). */
+  private def readEvictionLedger(
+      spark: SparkSession, path: String, fallbackEpoch: Long): Seq[(Long, Long)] = {
+    val f = new java.io.File(path)
+    if (f.isFile) {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(x, e) = l.split(" ", 2); (x.toLong, e.toLong)
+      }.toList
+      finally src.close()
+    } else if (f.isDirectory)
+      spark.read.parquet(f.getPath).select("xid").collect()
+        .map(r => (r.getLong(0), fallbackEpoch)).sortBy(_._1).toSeq
+    else Seq.empty
+  }
+
+  /** Overwrite the epoch's ledger file — driver-side, no Spark job (the
+    * ledger is per-txn xids of a rare wedge event, not row-scale data). */
+  private def writeEvictionLedger(path: String, ledger: Seq[(Long, Long)]): Unit = {
+    val body = ledger.map { case (x, e) => s"$x $e" }.mkString("", "\n", "\n")
+    Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes("UTF-8")): Unit
+  }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // listFiles is null for a dir deleted concurrently (or an I/O error)

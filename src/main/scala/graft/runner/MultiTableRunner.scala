@@ -96,7 +96,8 @@ object MultiTableRunner {
         autoCompactEveryEpochs = cfg.settings.autoCompactEveryEpochs,
         autoCompactMaxDeltaFiles = cfg.settings.autoCompactMaxDeltaFiles,
         autoRescaleBytesPerBucket = cfg.settings.autoRescaleBytesPerBucket,
-        autoRescaleMaxGroups = cfg.settings.autoRescaleMaxGroups)
+        autoRescaleMaxGroups = cfg.settings.autoRescaleMaxGroups,
+        walOrphanEpochs = cfg.settings.walOrphanEpochs)
       val lake = CdcRunner.ensureTable(spark, runnerCfg)
       TableJob(rules, payload, lake, job, targetId)
     }

@@ -237,6 +237,19 @@ class ErrorPolicySpec extends SparkSpec {
     assert(e.getMessage.contains("removed every merge key"), e.getMessage)
   }
 
+  test("a FULL LOAD whose transform pipeline removes every merge key fails " +
+    "loudly by name, not with a bare empty.reduce from plan construction") {
+    import graft.rules.RemovePrimaryKey
+    val job = JobConfig(transforms = Seq(RemovePrimaryKey(Seq("doc_id"), 0)))
+    val lake = mkLake(JobConfig())
+    val snap = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("k1", Seq(1), Int.box(1), "web")), 1),
+      StructType(ChangeEvent.defaultPayloadFields))
+    val e = intercept[IllegalArgumentException](
+      CdcRunner.fullLoad(spark, lake, snap, job))
+    assert(e.getMessage.contains("removed every merge key"), e.getMessage)
+  }
+
   test("replayQuarantine refuses a chain too deep for the epoch encoding " +
     "instead of wrapping Long and silently losing idempotence") {
     val lake = mkLake(JobConfig())

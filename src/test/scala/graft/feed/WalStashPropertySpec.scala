@@ -50,10 +50,43 @@ class WalStashPropertySpec extends SparkSpec {
     }
   }
 
+  /** Split into files at the random cut points (sorted, deduped, bounded) —
+    * files deliberately NOT txn-aligned. */
+  private def splitAt(
+      all: Seq[(Long, Long, String)], cuts: Seq[Int]): Seq[Seq[(Long, Long, String)]] = {
+    val bounds = (cuts.map(_ % math.max(all.size - 1, 1)).filter(_ > 0)
+      .distinct.sorted :+ all.size).distinct
+    (0 +: bounds).sliding(2).collect {
+      case Seq(a, b) if b > a => all.slice(a, b)
+    }.toSeq
+  }
+
+  /** One parquet file per chunk, mtimes stamped EXPLICITLY in chunk order:
+    * the file source orders batches by modification time, and two writes
+    * landing in the same clock tick would otherwise process in random
+    * (UUID-name) order — the orphan property genuinely depends on arrival
+    * order (a COMMIT processed before its own DML re-stashes the DML
+    * commit-less until it evicts), and the base property depends on it too
+    * (that same reordering strands the DML forever). */
+  private def writeFeed(root: String, files: Seq[Seq[(Long, Long, String)]]): Unit = {
+    val stamped = scala.collection.mutable.Set[String]()
+    files.zipWithIndex.foreach { case (chunk, idx) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          chunk.map(r => Row(r._1, r._2, r._3)), 1),
+        WalParser.rawSchema)
+        .coalesce(1).write.mode("append").parquet(s"$root/feed")
+      new java.io.File(s"$root/feed").listFiles().foreach { f =>
+        if (f.getName.startsWith("part-") && stamped.add(f.getName)) {
+          f.setLastModified(1700000000000L + idx * 60000L); ()
+        }
+      }
+    }
+  }
+
   test("streamed WAL merge == one-batch parse, any txn set, any file split") {
     val caseGen = for {
       txns <- Gen.listOfN(8, txnGen)
-      // random cut points — files deliberately NOT txn-aligned
       cuts <- Gen.listOfN(4, Gen.choose(1, 30))
     } yield (txns, cuts)
     (1 to 4).foreach { i =>
@@ -61,23 +94,8 @@ class WalStashPropertySpec extends SparkSpec {
       val txns = rawTxns.zipWithIndex.map { case ((ks, c), x) => Txn(100L + x, ks, c) }
       val all = lines(txns)
       val root = tmpDir(s"graft-walprop-$i")
-      // split into files at the random cut points (sorted, deduped, bounded)
-      val bounds = (cuts.map(_ % math.max(all.size - 1, 1)).filter(_ > 0)
-        .distinct.sorted :+ all.size).distinct
-      val files = (0 +: bounds).sliding(2).collect {
-        case Seq(a, b) if b > a => all.slice(a, b)
-      }.toSeq
-      files.zipWithIndex.foreach { case (chunk, fi) =>
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            chunk.map(r => Row(r._1, r._2, r._3)), 1),
-          WalParser.rawSchema)
-          .coalesce(1).write.mode("append").parquet(s"$root/feed")
-        // one file per write; mtime order not needed (maxFilesPerTrigger=1
-        // just forces MANY batch boundaries, order within the feed is by
-        // LSN after parse)
-        val _ = fi
-      }
+      val files = splitAt(all, cuts)
+      writeFeed(root, files)
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table",
         checkpointDir = s"$root/cp",
@@ -102,6 +120,85 @@ class WalStashPropertySpec extends SparkSpec {
       assert(streamed.sameElements(oracle),
         s"case $i: streamed ${streamed.toSeq} != one-batch ${oracle.toSeq} " +
           s"(files=${files.map(_.size)}, txns=${txns.map(t => (t.xid, t.keys.size, t.committed))})")
+    }
+  }
+
+  /**
+   * Property: under the MOST aggressive eviction window (walOrphanEpochs=1),
+   * for ANY txn set and ANY file split, every transaction lands in EXACTLY
+   * one of three states — APPLIED (its commit arrived in time), QUARANTINED
+   * WHOLE (aged out; every DML line present exactly once, even lines or the
+   * COMMIT arriving after the eviction — the ledger), or STILL-STASHED (its
+   * lines reached the pending stash only in the final epochs). Uncommitted
+   * data never applies, the lake state is exactly the LWW fold of the
+   * applied txns, nothing vanishes, nothing double-counts.
+   */
+  test("orphan eviction, any split: per-txn atomicity (applied XOR " +
+    "quarantined-whole XOR stashed), exact state fold, exact audit count") {
+    val DmlRe = ".*doc_id\\[character varying\\]:'([^']+)' n_tok\\[integer\\]:(\\d+)".r
+    val caseGen = for {
+      txns <- Gen.listOfN(8, txnGen)
+      cuts <- Gen.listOfN(4, Gen.choose(1, 30))
+    } yield (txns, cuts)
+    (1 to 4).foreach { i =>
+      val (rawTxns, cuts) = caseGen(Gen.Parameters.default, Seed(8800L + i)).get
+      val txns = rawTxns.zipWithIndex.map { case ((ks, c), x) => Txn(100L + x, ks, c) }
+      val all = lines(txns)
+      val root = tmpDir(s"graft-walevprop-$i")
+      writeFeed(root, splitAt(all, cuts))
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table",
+        checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+        payloadSchema = payload, maxFilesPerTrigger = 1,
+        walOrphanEpochs = 1)
+      CdcRunner.startFromWal(spark, cfg, "corpus", "documents").awaitTermination()
+      val lake = new graft.lake.LakeTable(cfg.tableDir)
+      val ctx = s"case $i (txns=${txns.map(t => (t.xid, t.keys.size, t.committed))})"
+
+      // the generator's DML lines, re-derived from the wire text itself
+      val dml = all.collect { case (lsn, xid, DmlRe(k, n)) => (lsn, xid, k, n.toInt) }
+      // an all-applied case quarantines nothing: the empty frame carries only
+      // the engine columns, so probe before projecting payload columns
+      val quarDf = lake.quarantine(spark)
+      val quar =
+        if (!quarDf.columns.contains(ChangeEvent.LSN))
+          Array.empty[(Long, Long, String, Int)]
+        else quarDf
+          .select(ChangeEvent.LSN, ChangeEvent.TXN_ID, ChangeEvent.DOC_ID, "n_tok")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      val quarXids = quar.map(_._2).toSet
+      // final pending stash = the newest epoch dir (older ones are GC'd)
+      val stashXids = Option(
+        new java.io.File(s"${cfg.checkpointDir}/wal-pending").listFiles())
+        .getOrElse(Array.empty).filter(f => f.getName.startsWith("epoch="))
+        .sortBy(_.getName.stripPrefix("epoch=").toLong).lastOption
+        .map(d => scala.util.Try(
+          spark.read.parquet(d.getPath).select("xid").na.drop()
+            .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long]))
+        .getOrElse(Set.empty[Long])
+      assert((quarXids & stashXids).isEmpty,
+        s"$ctx: txns BOTH quarantined and still stashed: ${quarXids & stashXids}")
+      val applied = txns.map(_.xid).toSet -- quarXids -- stashXids
+      val uncommitted = txns.filter(!_.committed).map(_.xid).toSet
+      assert((uncommitted & applied).isEmpty,
+        s"$ctx: uncommitted txns applied: ${uncommitted & applied}")
+      // quarantined txns are quarantined WHOLE, each DML line exactly once
+      val expectQuar = dml.filter(d => quarXids(d._2)).sorted.toSeq
+      assert(quar.sorted.toSeq == expectQuar,
+        s"$ctx: quarantine ${quar.sorted.toSeq} != whole-txn DML $expectQuar")
+      // lake state == LWW fold of exactly the applied txns' DML
+      val expectState = dml.filter(d => applied(d._2))
+        .groupBy(_._3).map { case (k, rows) =>
+          val last = rows.maxBy(_._1); (k, last._4)
+        }.toSeq.sorted
+      val state = lake.read(spark).select("doc_id", "n_tok").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      assert(state == expectState, s"$ctx: state $state != fold $expectState")
+      // the delivery audit counted every applied + evicted DML line ONCE
+      val received = lake.manifest.metrics("events_received")
+      val expectN = dml.count(d => applied(d._2) || quarXids(d._2))
+      assert(received == expectN, s"$ctx: events_received $received != $expectN")
     }
   }
 }
