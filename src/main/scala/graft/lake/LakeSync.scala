@@ -114,7 +114,7 @@ object LakeSync {
     if (!target.exists) {
       target.create(sm.currentSchema.sparkSchema, buckets.getOrElse(sm.buckets),
         keyCols = sm.keyCols, tableMode = Manifest.LWW)
-      writeMarker(targetDir, sourceDir, merge)
+      writeMarker(targetDir, sourceDir, merge, sm.tableId)
       // pin the mirror's change-feed identity AT CREATION (durable marker),
       // not per call: re-deriving it from each call's arguments lets config
       // drift (a later cron invocation omitting the flag, or flipping the
@@ -125,17 +125,21 @@ object LakeSync {
       if (changeFeed.getOrElse(merge == MergeStrategy.CopyOnWrite))
         target.enableChangeFeed()
     }
-    checkMarker(targetDir, sourceDir, merge)
+    checkMarker(target, sourceDir, merge, sm.tableId)
+    // one head resolution serves the buckets guard and the offset read
+    // (checkMarker and resolveFeed take `target` for the same reason: a
+    // manifest resolve is a fragment fold, not a field access)
+    val tm0 = target.manifest
     // config drift surfaces loudly like the feed flag's: a buckets value on
     // an EXISTING mirror that disagrees with the table would otherwise be
     // silently ignored forever (rescale the mirror instead)
-    buckets.foreach(b => require(b == target.manifest.buckets,
-      s"mirror at $targetDir has ${target.manifest.buckets} buckets; " +
+    buckets.foreach(b => require(b == tm0.buckets,
+      s"mirror at $targetDir has ${tm0.buckets} buckets; " +
         s"buckets=$b on an existing mirror is ignored by creation and " +
         "indicates config drift — use LakeTable.rescale to grow it"))
 
     val feed = resolveFeed(target, merge, changeFeed)
-    val offset = target.manifest.metrics.getOrElse(OFFSET_METRIC, 0L).toInt
+    val offset = tm0.metrics.getOrElse(OFFSET_METRIC, 0L).toInt
     if (offset == 0) bootstrap(spark, source, target, head)
     else incremental(spark, source, target, offset, head, merge, feed)
   }
@@ -229,7 +233,8 @@ object LakeSync {
       if (files.forall(_.rows >= 0)) files.map(_.rows).sum
       else spark.read.parquet(target.dataDir(epoch)).count()
     target.commit(epoch, files, (0 until tm.buckets).toSet,
-      Map("full_load_rows" -> rows, OFFSET_METRIC -> head.toLong))
+      Map("full_load_rows" -> rows, OFFSET_METRIC -> head.toLong,
+        LakeTable.ReloadMetric -> 1L))
     SyncResult(0, head, epoch, rows, bootstrapped = true)
   }
 
@@ -244,6 +249,38 @@ object LakeSync {
     if (from == head) return SyncResult(from, head, -2L, 0L, bootstrapped = false)
 
     evolveToHead(source, target, head, "incremental")
+
+    // a TRUNCATE-AND-LOAD landing inside the window — the source's full load
+    // (epoch -1, e.g. a full_load_and_cdc task whose snapshot raced the
+    // first cron sync) or an upstream mirror's own reload re-mirror — cannot
+    // ride the change feed: the load replaced every bucket and keys it
+    // dropped left no tombstone, so no set of row changes reproduces it
+    // (changeLog refuses such windows loudly for exactly this reason).
+    // Re-mirror the source's engine state instead, as ONE bucket-replacing
+    // commit that advances the cursor — and bump ReloadMetric so a mirror
+    // chained off THIS one detects the reload the same way and propagates
+    // it. Scale: a full state copy, the same cost the source's own reload
+    // paid — rare by definition.
+    val fromMeta = source.snapshotMeta(from)
+    val headMeta = source.snapshotMeta(head)
+    def reloads(m: Manifest) = m.metrics.getOrElse(LakeTable.ReloadMetric, 0L)
+    val reloadInWindow =
+      (headMeta.isCommittedEpoch(-1L) && !fromMeta.isCommittedEpoch(-1L)) ||
+        reloads(headMeta) > reloads(fromMeta)
+    if (reloadInWindow) {
+      val tm = target.manifest
+      val epoch = math.max(tm.epochWatermark, -1L) + 1
+      val state = source.readState(spark, head)
+        .withColumn("_bucket", target.bucketExpr(tm.keyCols, tm.buckets))
+      val files = MergeApply.writeEpoch(spark, target, state, epoch, tm)
+      val rows =
+        if (files.forall(_.rows >= 0)) files.map(_.rows).sum
+        else spark.read.parquet(target.dataDir(epoch)).count()
+      target.commit(epoch, files, (0 until tm.buckets).toSet,
+        Map(OFFSET_METRIC -> (head - from).toLong,
+          LakeTable.ReloadMetric -> 1L))
+      return SyncResult(from, head, epoch, rows, bootstrapped = false)
+    }
 
     val changes = source.changeLog(spark, from, head)
     val payload = changes.columns.filterNot(_.startsWith("_"))
@@ -356,12 +393,19 @@ object LakeSync {
     Paths.get(targetDir, "sync_source.json")
 
   private def writeMarker(targetDir: String, sourceDir: String,
-      merge: MergeStrategy): Unit = {
+      merge: MergeStrategy, sourceTableId: String): Unit = {
     val tmp = Paths.get(targetDir, s".sync_source.json.tmp-${System.nanoTime()}")
-    Files.write(tmp, JsonMethods.compact(JsonMethods.render(JObject(
-      "source_dir" -> JString(sourceDir),
-      "merge" -> JString(MergeStrategy.name(merge))))).getBytes("UTF-8"))
-    Files.move(tmp, markerPath(targetDir), StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, JsonMethods.compact(JsonMethods.render(JObject(
+        "source_dir" -> JString(sourceDir),
+        "merge" -> JString(MergeStrategy.name(merge)),
+        "source_table_id" -> JString(sourceTableId)))).getBytes("UTF-8"))
+      // ATOMIC_MOVE, like every manifest writer: without it Files.move may
+      // fall back to copy+delete, and a crash mid-copy leaves a truncated
+      // marker that wedges every future sync at checkMarker's parse
+      Files.move(tmp, markerPath(targetDir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
   /** Validates the source binding and the PINNED merge strategy. The merge
@@ -373,28 +417,44 @@ object LakeSync {
     * epoch that wedges every changeLog window spanning it, permanently.
     * Config drift surfaces loudly instead; markers written before the pin
     * existed adopt THIS call's merge (one-time, same trust as creation). */
-  private def checkMarker(targetDir: String, sourceDir: String,
-      merge: MergeStrategy): Unit = {
+  private def checkMarker(target: LakeTable, sourceDir: String,
+      merge: MergeStrategy, sourceTableId: String): Unit = {
+    val targetDir = target.dir
     val p = markerPath(targetDir)
     if (!Files.exists(p)) {
       // markerless (crash between create and marker write): only adoptable
       // while the table has never committed ANYTHING — a table with data is
       // some other feed's target, and bootstrapping over it would merge feeds
-      val t = new LakeTable(targetDir)
-      require(t.manifest.committedEpochCount == 0L,
+      require(target.manifest.committedEpochCount == 0L,
         s"target at $targetDir has no sync_source.json marker but already " +
           "holds committed data — refusing to adopt it as a sync target")
-      writeMarker(targetDir, sourceDir, merge)
+      writeMarker(targetDir, sourceDir, merge, sourceTableId)
     } else {
       val parsed = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
-      val bound = parsed \ "source_dir" match {
-        case JString(s) => s
-        case _ => ""
+      def strField(name: String): Option[String] = parsed \ name match {
+        case JString(s) => Some(s)
+        case _ => None
       }
+      val bound = strField("source_dir").getOrElse("")
       require(bound == sourceDir,
         s"target at $targetDir replicates $bound; refusing to sync from " +
           s"$sourceDir (one upstream per target — epochs and the " +
           s"$OFFSET_METRIC cursor belong to its feed)")
+      // table IDENTITY, not just path: a source deleted and re-created at
+      // the same path with the same schema passes every shape check, but its
+      // version history is unrelated — the cursor would splice two feeds
+      // (`from <= head` only catches the rebuild while the new head is still
+      // BEHIND the cursor). The creation nonce survives nothing but the
+      // original table.
+      strField("source_table_id").filter(_.nonEmpty).foreach { pinnedId =>
+        require(sourceTableId == pinnedId,
+          s"target at $targetDir was bound to source table_id=$pinnedId but " +
+            s"$sourceDir now carries table_id=$sourceTableId — the source " +
+            "was rebuilt (its version history is unrelated to the sync " +
+            "cursor); delete the target to re-bootstrap from the new table")
+      }
+      val needsIdAdopt = sourceTableId.nonEmpty &&
+        !strField("source_table_id").exists(_.nonEmpty)
       parsed \ "merge" match {
         case JString(pinned) =>
           require(pinned == MergeStrategy.name(merge),
@@ -404,9 +464,12 @@ object LakeSync {
               "to sidecar-less copy-on-write wedges its changeLog windows " +
               "permanently). State the creation-time merge explicitly, or " +
               "re-bootstrap the mirror under the new mode")
+          // marker predates the table-id pin: adopt the current source's
+          // identity (one-time, same trust as creation)
+          if (needsIdAdopt) writeMarker(targetDir, sourceDir, merge, sourceTableId)
         case _ =>
           // marker predates the merge pin: adopt this call's value
-          writeMarker(targetDir, sourceDir, merge)
+          writeMarker(targetDir, sourceDir, merge, sourceTableId)
       }
     }
   }

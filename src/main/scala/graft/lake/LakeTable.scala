@@ -214,7 +214,14 @@ final case class Manifest(
     /** the streaming/maintenance epoch whose commit produced THIS version
       * ([[Manifest.NoEpoch]] for metadata-only versions) — lets changeLog map
       * a snapshot window back to the epochs whose change sidecars it spans. */
-    epoch: Long = Manifest.NoEpoch) {
+    epoch: Long = Manifest.NoEpoch,
+    /** creation nonce (UUID, minted once by [[LakeTable.create]] and carried
+      * by every later version): the table's IDENTITY, distinct from its
+      * path. A consumer holding a version cursor (LakeSync's offset) can
+      * detect that the path was deleted and re-created — same path, same
+      * schema, unrelated history — where every shape check passes and the
+      * cursor silently binds to the wrong table. Empty on pre-nonce tables. */
+    tableId: String = "") {
   def currentSchema: GraftSchema = schemas.find(_.schemaId == currentSchemaId).get
   def schemaById(id: Int): GraftSchema = schemas.find(_.schemaId == id).get
   def hasDeltas: Boolean = files.exists(_.isDelta)
@@ -306,7 +313,8 @@ object ManifestJson {
       "scd_cols" -> JArray(m.scdCols.toList.map(JString(_))),
       "committed_at_ms" -> JLong(m.committedAtMs),
       "delta_history" -> JBool(m.deltaHistory),
-      "epoch" -> JLong(m.epoch)
+      "epoch" -> JLong(m.epoch),
+      "table_id" -> JString(m.tableId)
     )
     JsonMethods.pretty(JsonMethods.render(j))
   }
@@ -358,7 +366,8 @@ object ManifestJson {
       },
       committedAtMs = (j \ "committed_at_ms").extractOrElse[Long](0L),
       deltaHistory = (j \ "delta_history").extractOrElse[Boolean](false),
-      epoch = (j \ "epoch").extractOrElse[Long](Manifest.NoEpoch))
+      epoch = (j \ "epoch").extractOrElse[Long](Manifest.NoEpoch),
+      tableId = (j \ "table_id").extractOrElse[String](""))
   }
 }
 
@@ -370,6 +379,16 @@ object LakeTable {
   /** Manifest-metrics key: highest schema-registry version already applied
     * to this table (see [[LakeTable.evolveRegistry]]). */
   val RegistryVerMetric = "registry_applied_ver"
+
+  /** Manifest-metrics key: cumulative count of TRUNCATE-AND-LOAD commits
+    * (the full load, LakeSync's reload re-mirror). A reload replaces every
+    * bucket, which a row-level change feed fundamentally cannot express
+    * (vanished keys leave no tombstone) — so [[LakeTable.changeLog]] REFUSES
+    * windows spanning a bump of this counter and consumers re-sync from
+    * state instead (LakeSync does so automatically, propagating the reload
+    * down a mirror chain). Summable (metrics merge by sum), so a window's
+    * reload is detectable as `at(to) > at(from)` from the two end metas. */
+  val ReloadMetric = "reload_count"
 
   /** Cap on per-group scan branches in a merge-on-read read plan. Below it,
     * each delta-bearing group is its own coalesced branch (zero shuffle);
@@ -612,14 +631,18 @@ class LakeTable(val dir: String) {
   private def readMeta(v: Int): Manifest =
     ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
 
-  private def resolve(v: Int): Manifest = {
-    val meta = readMeta(v)
+  private def resolve(v: Int): Manifest = resolveMeta(readMeta(v))
+
+  /** Fold an already-read snapshot meta into its file list — the split lets
+    * a caller that read the meta for other fields (vacuum) avoid a second
+    * JSON parse of the same manifest. */
+  private def resolveMeta(meta: Manifest): Manifest = {
     // pre-spec-tracking files could only have been written at the manifest's
     // bucket count (rescale records specs from day one) — patch them so every
     // downstream coverage check can rely on spec > 0
     val files = foldFragments(meta.fragments)
       .map(f => if (f.spec <= 0) f.copy(spec = meta.buckets) else f)
-    foldCache = Some((v, meta.fragments, files))
+    foldCache = Some((meta.version, meta.fragments, files))
     meta.copy(files = files)
   }
 
@@ -631,6 +654,17 @@ class LakeTable(val dir: String) {
 
   def exists: Boolean = currentVersion > 0
   def isCommitted(epoch: Long): Boolean = exists && manifest.isCommittedEpoch(epoch)
+
+  /** Snapshot METADATA at `version` — committed epochs, metrics, schema ids;
+    * `files` left empty (no fragment fold). One cheap JSON read, for
+    * version-cursor consumers (LakeSync) that need to compare the two ends
+    * of a window: did the full load land inside it, did [[LakeTable
+    * .ReloadMetric]] bump. */
+  def snapshotMeta(version: Int): Manifest = {
+    require(1 <= version && version <= currentVersion,
+      s"snapshotMeta: version $version outside 1..$currentVersion")
+    readMeta(version)
+  }
 
   /** Hidden-partitioning bucket expression over the merge keys. */
   def bucketExpr(keyCols: Seq[String], buckets: Int): Column =
@@ -723,7 +757,8 @@ class LakeTable(val dir: String) {
       s"key column '$k' not in table schema"))
     val m = Manifest(1, buckets, 1, Seq(GraftSchema.fromSpark(schema)), Nil,
       epochWatermark = -2L, recentEpochs = Set.empty, metrics = Map.empty,
-      keyCols = keyCols, tableMode = tableMode, scdCols = scdCols)
+      keyCols = keyCols, tableMode = tableMode, scdCols = scdCols,
+      tableId = java.util.UUID.randomUUID().toString)
     try writeManifest(m, None)
     catch {
       case _: CommitRace => // two processes raced table creation
@@ -1289,9 +1324,14 @@ class LakeTable(val dir: String) {
   def changeLog(spark: SparkSession, fromVersion: Int, toVersion: Int): DataFrame = {
     require(1 <= fromVersion && fromVersion <= toVersion && toVersion <= currentVersion,
       s"changeLog window ($fromVersion, $toVersion] outside 1..$currentVersion")
+    // fromVersion resolves FIRST: its fragment list is (normally) a prefix of
+    // toVersion's, so the second resolve extends the fold cache incrementally
+    // instead of each end paying a cold full fold — the other order can never
+    // reuse (the cache only extends forward)
+    val mFrom = resolve(fromVersion)
     val mTo = resolve(toVersion)
     val seen = scala.collection.mutable.Set.empty[String]
-    resolve(fromVersion).files.foreach(seen += _.path)
+    mFrom.files.foreach(seen += _.path)
     // fragment-diff, not per-version resolution: fragment lists only ever grow
     // by appending (or reset to ONE new fragment on consolidation), so a
     // fragment unseen at version v-1 is NEW and is read exactly once — driver
@@ -1300,10 +1340,26 @@ class LakeTable(val dir: String) {
     // carried into a consolidation fragment was either live at `fromVersion`
     // or added by an earlier window fragment — `seen` drops both.
     val fragsSeen = scala.collection.mutable.Set.empty[String]
-    fragsSeen ++= readMeta(fromVersion).fragments
+    fragsSeen ++= mFrom.fragments
     val added = Seq.newBuilder[DataFile]
+    var prevReloads = mFrom.metrics.getOrElse(LakeTable.ReloadMetric, 0L)
     ((fromVersion + 1) to toVersion).foreach { v =>
       val meta = readMeta(v)
+      // a TRUNCATE-AND-LOAD inside the window (the full load's epoch -1, or
+      // any commit bumping ReloadMetric — LakeSync's reload re-mirror) is
+      // not expressible as row changes: it replaces every bucket, and keys
+      // it dropped leave no tombstone, so serving "the changes" would
+      // silently miss the load's rows AND the implied deletes. Refuse
+      // loudly; checked FIRST so a reload version never falls through to
+      // the (also-loud, but misleading) missing-sidecar error below.
+      val reloads = meta.metrics.getOrElse(LakeTable.ReloadMetric, 0L)
+      if (meta.epoch == -1L || reloads > prevReloads)
+        throw new IllegalStateException(
+          s"changeLog($fromVersion, $toVersion): version $v is a " +
+            "truncate-and-load commit (full load / reload) — a row-level " +
+            "change feed cannot express it; re-sync consumers from state at " +
+            "or after this version (LakeSync re-mirrors automatically)")
+      prevReloads = reloads
       var newBase, newDelta = 0
       var replaced = false
       meta.fragments.foreach { name =>
@@ -1657,6 +1713,14 @@ class LakeTable(val dir: String) {
     require(keepVersions >= 1, s"vacuum(keepVersions=$keepVersions): must keep >= 1")
     val cur = currentVersion
     var keepFrom = math.max(1, cur - keepVersions + 1)
+    // ONE metadata parse per touched version, shared by the retention walk,
+    // the file sweep, the sidecar GC, and the kept-fragment set below — the
+    // same snapshot JSON used to be re-read up to three times per pruned
+    // version. Safe to cache for the whole call: a committed manifest file
+    // is immutable (the CAS publishes, never rewrites).
+    val metaCache = scala.collection.mutable.Map.empty[Int, Option[Manifest]]
+    def metaOf(v: Int): Option[Manifest] = metaCache.getOrElseUpdate(v,
+      if (!Files.exists(manifestPath(v))) None else Some(readMeta(v)))
     keepCommittedSinceMs.foreach { cutoff =>
       // commit stamps come from EACH WRITER'S clock: under the multi-process
       // CAS commit protocol, skewed hosts can interleave non-monotone stamps,
@@ -1667,17 +1731,18 @@ class LakeTable(val dir: String) {
       // retaining (the walk stops at the first already-swept manifest, which
       // bounds it exactly like the deletion pass below).
       var v = keepFrom - 1
-      while (v >= 1 && Files.exists(manifestPath(v))) {
-        if (ManifestJson.read(new String(Files.readAllBytes(manifestPath(v))))
-            .committedAtMs >= cutoff) keepFrom = v
+      var m = metaOf(v)
+      while (v >= 1 && m.isDefined) {
+        if (m.get.committedAtMs >= cutoff) keepFrom = v
         v -= 1
+        m = metaOf(v)
       }
     }
     // snapshots below keepFrom may already be gone (pruned by an earlier
     // vacuum) — guard every old-manifest access
     def filesOf(v: Int): Seq[String] =
-      if (!Files.exists(manifestPath(v))) Nil
-      else resolve(v).files.map(f => Paths.get(f.path).toAbsolutePath.toString)
+      metaOf(v).map(resolveMeta(_).files
+        .map(f => Paths.get(f.path).toAbsolutePath.toString)).getOrElse(Nil)
     // persisted low-water mark: everything below it was swept by an earlier
     // vacuum, so each run walks only the NEWLY pruned window instead of
     // re-probing version 1.. forever — at millions of versions (the cadence
@@ -1691,11 +1756,16 @@ class LakeTable(val dir: String) {
         scala.util.Try(new String(Files.readAllBytes(floorPath)).trim.toInt)
           .getOrElse(1)
       else 1)
+    // candidates resolve BEFORE the live set: both walks ascend, so the fold
+    // cache extends incrementally across the floor→cur span (and ends at the
+    // head, leaving the cache warm for the next reader) — live-first re-folds
+    // the old window cold and parks the cache on a pruned version
+    val candidates = (floor until keepFrom).flatMap(filesOf).distinct
     val live: Set[String] = (keepFrom to cur).flatMap(filesOf).toSet
     val dataRoot = Paths.get(dir, "data").toAbsolutePath
     val deleted = scala.collection.mutable.ListBuffer.empty[String]
     val emptied = scala.collection.mutable.LinkedHashSet.empty[Path]
-    (floor until keepFrom).flatMap(filesOf).distinct
+    candidates
       .filterNot(live.contains)
       .map(Paths.get(_))
       .foreach { p =>
@@ -1723,13 +1793,12 @@ class LakeTable(val dir: String) {
     // the feed. Vacuum is already a writer, so the pin belongs here, not in
     // the read accessor.
     if (recordsChangeFeed) enableChangeFeed()
-    // Read the epoch BEFORE deleting the manifest; epochs are unique per table.
+    // the epoch comes from the cached meta (read before any deletion);
+    // epochs are unique per table.
     (floor until keepFrom).foreach { v =>
-      val mp = manifestPath(v)
-      if (Files.exists(mp)) {
-        val e = ManifestJson.read(new String(Files.readAllBytes(mp))).epoch
-        if (e >= 0) {
-          val cd = Paths.get(changesDir(e))
+      metaOf(v).foreach { m =>
+        if (m.epoch >= 0) {
+          val cd = Paths.get(changesDir(m.epoch))
           if (Files.isDirectory(cd)) {
             scala.util.Using.resource(Files.walk(cd)) { w =>
               w.iterator().asScala.toSeq
@@ -1737,7 +1806,7 @@ class LakeTable(val dir: String) {
           }
         }
       }
-      if (Files.deleteIfExists(mp)) deleted += mp.toString
+      if (Files.deleteIfExists(manifestPath(v))) deleted += manifestPath(v).toString
     }
     // fragments referenced by no kept snapshot (superseded by a consolidation
     // rewrite, or a lost commit race's never-referenced loser) are dead too.
@@ -1750,12 +1819,8 @@ class LakeTable(val dir: String) {
     // deleted manifests inside this call's wider window — crashing here
     // would abort after files were deleted, losing the report and skipping
     // the fragment sweep
-    val keptFragments: Set[String] = (keepFrom to cur).flatMap { v =>
-      val mp = manifestPath(v)
-      if (Files.exists(mp))
-        ManifestJson.read(new String(Files.readAllBytes(mp))).fragments
-      else Nil
-    }.toSet
+    val keptFragments: Set[String] =
+      (keepFrom to cur).flatMap(v => metaOf(v).map(_.fragments).getOrElse(Nil)).toSet
     def fragSeq(name: String): Int =
       // digits up to the nonce separator, NOT a fixed width: seq 1,000,000+
       // renders 7 digits, and a truncated parse would misread an in-flight

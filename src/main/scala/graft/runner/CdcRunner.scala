@@ -203,7 +203,10 @@ object CdcRunner {
       if (files.forall(_.rows >= 0)) files.map(_.rows).sum
       else spark.read.parquet(lake.dataDir(epoch)).count()
     lake.commit(epoch, files, (0 until m.buckets).toSet,
-      Map("full_load_rows" -> loaded))
+      Map("full_load_rows" -> loaded,
+        // truncate-and-load marker: changeLog refuses windows spanning it
+        // and LakeSync re-mirrors (see LakeTable.ReloadMetric)
+        LakeTable.ReloadMetric -> 1L))
   }
 
   /** Schema registry: evolve the lake schema for EVERY registry version up to

@@ -67,9 +67,11 @@ class ChangeFeedCowSpec extends SparkSpec {
       lake.changeLog(spark, vAfterLoad, lake.currentVersion).count())
     assert(e.getMessage.contains("change_feed"), s"actionable message: ${e.getMessage}")
 
-    // with the flag ON, a window whose only unrecorded commit is the initial
-    // full load (epoch -1) is fine: consumers bootstrap from readVersion and
-    // follow changes after — the standard lake change-feed contract
+    // with the flag ON: a window STARTING at/after the full load serves the
+    // streamed changes (snapshot rows are not change rows), while a window
+    // SPANNING the load refuses loudly — truncate-and-load replaces every
+    // bucket and drops keys without tombstones, so no row-change set can
+    // express it (consumers re-sync from state; LakeSync re-mirrors)
     val on = mkCfg(root, "on",
       JobConfig(mode = CdcMode.Upsert, buckets = 4, changeFeed = true))
     ChangeFeed.writeFeed(
@@ -77,12 +79,16 @@ class ChangeFeedCowSpec extends SparkSpec {
       on.feedDir, nFiles = 2)
     val lakeOn = CdcRunner.ensureTable(spark, on)
     CdcRunner.fullLoad(spark, lakeOn, ChangeFeed.seedSnapshot(spark, 20), on)
+    val vLoaded = lakeOn.currentVersion
     CdcRunner.runAvailableNow(spark, on)
-    val cl = lakeOn.changeLog(spark, 1, lakeOn.currentVersion)
+    val cl = lakeOn.changeLog(spark, vLoaded, lakeOn.currentVersion)
     assert(cl.count() > 0, "streamed changes served")
     // snapshot rows (_lsn = 0, never in the event feed) are not change rows
     assert(cl.filter(col("_lsn") === 0L).count() == 0,
       "full-load rows excluded from the change feed")
+    val eSpan = intercept[IllegalStateException](
+      lakeOn.changeLog(spark, 1, lakeOn.currentVersion).count())
+    assert(eSpan.getMessage.contains("truncate-and-load"), eSpan.getMessage)
   }
 
   test("vacuum GC's the change sidecars of pruned snapshots, keeps reachable ones") {

@@ -584,6 +584,81 @@ class LakeSyncSpec extends SparkSpec {
     assert(loud <= 3, s"loud failures should be the rare swap cases, got $loud/12")
   }
 
+  test("a FULL LOAD (truncate-and-load) inside a sync window re-mirrors the " +
+    "source state and PROPAGATES down a mirror chain via the reload counter") {
+    val root = tmpDir("graft-lakesync-fl")
+    val cfg = morCfg(root)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 400, nDocs = 60))
+    ChangeFeed.writeFeed(feed.filter(col("lsn") <= 200), cfg.feedDir, nFiles = 2)
+    val source = CdcRunner.ensureTable(spark, cfg)
+    // CDC only — NO full load yet: both mirrors bootstrap before it exists
+    CdcRunner.runAvailableNow(spark, cfg)
+    val m1Dir = s"$root/mirror1"
+    val m2Dir = s"$root/mirror2"
+    assert(LakeSync.sync(spark, cfg.tableDir, m1Dir).bootstrapped)
+    assert(LakeSync.sync(spark, m1Dir, m2Dir).bootstrapped)
+    // the once-per-lifetime full load lands AFTER the bootstraps, alongside
+    // more CDC — both inside the next window. The load TRUNCATES: rows from
+    // the first CDC wave not re-delivered by the snapshot or the second
+    // wave are GONE from the source, so no set of row changes can express
+    // the window — sync must re-mirror state
+    CdcRunner.fullLoad(spark, source, ChangeFeed.seedSnapshot(spark, 80), cfg)
+    ChangeFeed.writeFeed(feed.filter(col("lsn") > 200), cfg.feedDir,
+      nFiles = 2, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val r2 = LakeSync.sync(spark, cfg.tableDir, m1Dir)
+    assert(!r2.bootstrapped && r2.rows > 0)
+    val m1 = new LakeTable(m1Dir)
+    // snapshot-only rows (ids 60-79, untouchable by the 60-doc feed) came
+    // through, and whole-state equality holds — including the truncation
+    assert(m1.read(spark).filter(col("_lsn") === 0L).count() > 0,
+      "full-load rows reached the mirror")
+    assert(sortedRows(m1.read(spark)) == sortedRows(source.read(spark)),
+      "mirror == source across a reload-in-window sync")
+    assert(sortedRows(m1.readState(spark, m1.currentVersion)) ==
+      sortedRows(source.readState(spark, source.currentVersion)),
+      "engine state (per-row _lsn + tombstones) equal too")
+    // the reload PROPAGATES: the chained mirror detects mirror1's re-mirror
+    // commit (reload counter bump) and re-mirrors in turn
+    val r2b = LakeSync.sync(spark, m1Dir, m2Dir)
+    assert(!r2b.bootstrapped && r2b.rows > 0)
+    val m2 = new LakeTable(m2Dir)
+    assert(sortedRows(m2.read(spark)) == sortedRows(source.read(spark)),
+      "second-hop mirror == source after reload propagation")
+    // steady state resumes: later windows ride the change feed again
+    ChangeFeed.writeFeed(
+      ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 100, nDocs = 60))
+        .withColumn("lsn", col("lsn") + 1000), cfg.feedDir,
+      nFiles = 1, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    LakeSync.sync(spark, cfg.tableDir, m1Dir)
+    LakeSync.sync(spark, m1Dir, m2Dir)
+    assert(sortedRows(m2.read(spark)) == sortedRows(source.read(spark)),
+      "chain converges incrementally after the reload")
+  }
+
+  test("a source REBUILT at the same path with the same schema is refused by " +
+    "table identity, even once its new head passes the cursor") {
+    val root = tmpDir("graft-lakesync-rebuild")
+    val cfg = morCfg(root)
+    val feed = ChangeFeed.events(spark, ChangeFeed.FeedSpec(nEvents = 300, nDocs = 50))
+    ChangeFeed.writeFeed(feed, cfg.feedDir, nFiles = 2)
+    CdcRunner.ensureTable(spark, cfg)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val targetDir = s"$root/mirror"
+    LakeSync.sync(spark, cfg.tableDir, targetDir)
+    // rebuild: same path, same schema, UNRELATED history — and drive the new
+    // head PAST the cursor so the `from <= head` guard alone cannot catch it
+    CdcRunner.deleteRecursively(new java.io.File(cfg.tableDir))
+    CdcRunner.deleteRecursively(new java.io.File(cfg.checkpointDir))
+    CdcRunner.ensureTable(spark, cfg)
+    ChangeFeed.writeFeed(feed, cfg.feedDir, nFiles = 4, append = true)
+    CdcRunner.runAvailableNow(spark, cfg)
+    val e = intercept[IllegalArgumentException](
+      LakeSync.sync(spark, cfg.tableDir, targetDir))
+    assert(e.getMessage.contains("rebuilt"), e.getMessage)
+  }
+
   test("scd2 sources are refused (no row-level feed contract)") {
     val root = tmpDir("graft-lakesync-scd2")
     val cfg = RunnerConfig(
