@@ -21,8 +21,28 @@ import org.apache.spark.sql.types._
  */
 /** Numeric-array element access shared by the vector kernels: every numeric
   * element type reads as double (the old HOF formulations cast too); anything
-  * else is rejected at construction, not silently misread at eval. */
+  * else is rejected at ANALYSIS ([[check]], wired into every kernel's
+  * checkInputDataTypes), not at execution mid-job — elemType's throw is only
+  * the unreachable backstop behind it. */
 private[functions] object VecElem {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType, _) => true
+    case _ => false
+  }
+
+  /** Analysis-time input contract: without it a `vec_dot(array(0.1, 0.2), e)`
+    * (array<decimal> — numeric but unsupported) passes analysis and kills the
+    * job at execution with a misleading runtime error. */
+  def check(children: Seq[Expression], what: String): TypeCheckResult =
+    children.zipWithIndex.collectFirst {
+      case (e, i) if !supported(e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$what: argument ${i + 1} must be array<float|double|int|bigint|" +
+            s"smallint>, got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
   def elemType(e: Expression, what: String): DataType = e.dataType match {
     case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType | ShortType), _) => et
     case other => throw new IllegalArgumentException(
@@ -64,6 +84,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "vec_dot"
   // length mismatch → null even when inputs are non-null
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecElem.check(children, prettyName)
 
   private lazy val leftET = VecElem.elemType(left, prettyName)
   private lazy val rightET = VecElem.elemType(right, prettyName)
@@ -136,6 +158,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecElem.check(children, prettyName)
 
   private lazy val leftET = VecElem.elemType(left, prettyName)
   private lazy val rightET = VecElem.elemType(right, prettyName)
@@ -226,6 +250,8 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   override def prettyName: String = "hyperplane_sig"
   // a null ELEMENT poisons the signature → null (see DotProduct's contract)
   override def nullable: Boolean = child.nullable || VecElem.containsNull(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecElem.check(children, prettyName)
 
   private lazy val elemT = VecElem.elemType(child, prettyName)
   private lazy val cn = VecElem.containsNull(child)
@@ -234,11 +260,12 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     val acc = new Array[Double](planes)
+    val hvs = HyperplaneSig.hashesUpTo(n)
     var i = 0
     while (i < n) {
       if (cn && x.isNullAt(i)) return null
       val v = VecElem.read(elemT, x, i)
-      val hv = XXH64.hashLong(i.toLong, 42L)
+      val hv = hvs(i)
       var h = 0
       while (h < planes) {
         acc(h) += (if (((hv >>> h) & 1L) == 0L) v else -v)
@@ -262,10 +289,10 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val hv = ctx.freshName("hv")
+      val hvs = ctx.freshName("hvs")
       val v = ctx.freshName("v")
       val sig = ctx.freshName("sig")
       val getV = VecElem.getter(elemT, a, i)
-      val xxh = classOf[XXH64].getName
       val nullScan =
         if (cn) {
           val j = ctx.freshName("j")
@@ -278,9 +305,10 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
          |$nullScan
          |if (!${ev.isNull}) {
          |  double[] $acc = new double[$planes];
+         |  long[] $hvs = graft.functions.HyperplaneSig.hashesUpTo($n);
          |  for (int $i = 0; $i < $n; $i++) {
          |    double $v = $getV;
-         |    long $hv = $xxh.hashLong((long) $i, 42L);
+         |    long $hv = $hvs[$i];
          |    for (int $h = 0; $h < $planes; $h++) {
          |      $acc[$h] += ((($hv >>> $h) & 1L) == 0L) ? $v : -$v;
          |    }
@@ -298,6 +326,28 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
     copy(child = c)
 }
 
+object HyperplaneSig {
+  /** Per-dimension plane hashes, shared by eval and codegen: the hash
+    * depends ONLY on the dimension index, so recomputing it per row spent
+    * (rows × dims) identical XXH64 calls on the declared hot path. Grown on
+    * demand, published by volatile reference swap — a racing grower at worst
+    * recomputes the same deterministic values; readers always hold a fully
+    * initialized array (each grow fills a fresh copy before publishing). */
+  @volatile private var hashCache: Array[Long] = Array.emptyLongArray
+
+  def hashesUpTo(n: Int): Array[Long] = {
+    var a = hashCache
+    if (a.length < n) {
+      val old = a.length
+      a = java.util.Arrays.copyOf(a, n)
+      var i = old
+      while (i < n) { a(i) = XXH64.hashLong(i.toLong, 42L); i += 1 }
+      hashCache = a
+    }
+    a
+  }
+}
+
 /**
  * Probe cells for IVF ANN: the `probes` centroid indices with the highest
  * dot(v, ĉ) (centroids pre-normalized, so the ranking equals cosine ranking),
@@ -308,11 +358,22 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
 case class NearestCells(child: Expression, centroids: Array[Array[Double]], probes: Int)
   extends UnaryExpression {
   require(probes >= 1 && probes <= centroids.length)
+  // ragged centroids would make the dimension contract below unstatable
+  require(centroids.forall(_.length == centroids(0).length),
+    "nearest_cells: centroids must share one dimensionality")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
   // a null ELEMENT poisons every dot score → null probe list (the caller's
-  // explode() then yields no rows: the vector simply joins nothing)
+  // explode() then yields no rows: the vector simply joins nothing).
+  // Same for a DIMENSION MISMATCH (wrong codebook / wrong model config):
+  // truncating the dot to the shorter prefix would rank every row by a
+  // plausible-looking but wrong score — the exact silent-partial result
+  // vec_dot/vec_cosine's null contract exists to prevent
   override def nullable: Boolean = child.nullable || VecElem.containsNull(child)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecElem.check(children, prettyName)
+
+  private val dim = centroids(0).length
 
   private lazy val elemT = VecElem.elemType(child, prettyName)
   private lazy val cn = VecElem.containsNull(child)
@@ -351,6 +412,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n != dim) return null
     if (cn) {
       var i = 0
       while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
@@ -359,10 +421,9 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      val d = math.min(n, cent.length)
       var acc = 0.0
       var i = 0
-      while (i < d) {
+      while (i < n) {
         acc += VecElem.read(elemT, x, i) * cent(i)
         i += 1
       }
@@ -376,7 +437,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
     nullSafeCodeGen(ctx, ev, a => {
       val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
       val n = ctx.freshName("n"); val scores = ctx.freshName("scores")
-      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val out = ctx.freshName("out")
       val used = ctx.freshName("used"); val p = ctx.freshName("p")
       val best = ctx.freshName("best"); val bs = ctx.freshName("bs")
@@ -388,13 +449,13 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
         } else ""
       s"""
          |int $n = $a.numElements();
+         |if ($n != $dim) { ${ev.isNull} = true; }
          |$nullScan
          |if (!${ev.isNull}) {
          |double[] $scores = new double[$mat.length];
          |for (int $c = 0; $c < $mat.length; $c++) {
-         |  int $d = java.lang.Math.min($n, $mat[$c].length);
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $d; $i++) { $acc += ($getV) * $mat[$c][$i]; }
+         |  for (int $i = 0; $i < $n; $i++) { $acc += ($getV) * $mat[$c][$i]; }
          |  $scores[$c] = $acc;
          |}
          |int[] $out = new int[$probes];

@@ -88,6 +88,17 @@ object FilterCompiler {
         s"filter ${f.filterType} on ${f.columnName}: column must be date/timestamp, got $other")
     }
 
+  /** The string ops' sibling of [[requireDateCol]]: startsWith on a numeric
+    * column either dies later as an unnamed DATATYPE_MISMATCH or implicitly
+    * casts and matches against the stringified value — both violate this
+    * file's fail-at-compile-with-the-rule-named contract. */
+  private def requireStringCol(f: FilterCfg, schema: StructType): Unit =
+    resolveCol(f, schema).dataType match {
+      case StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"filter ${f.filterType} on ${f.columnName}: column must be string, got $other")
+    }
+
   /** Compile one filter rule to a Catalyst predicate. */
   def compile(f: FilterCfg, schema: StructType): Column = {
     val c = col(resolveCol(f, schema).name)
@@ -111,16 +122,27 @@ object FilterCompiler {
       case "greater_than_or_equal"       => c >= v
       case "less_than"                   => c < v
       case "less_than_or_equal"          => c <= v
-      case "in"                          => c.isin(f.values: _*)
-      case "not_in"                      => !c.isin(f.values: _*)
+      // empty `values` would compile to drop-EVERYTHING (isin() is false for
+      // every row) / keep-everything — the silent-drain failure mode, from
+      // nothing more than writing `value` instead of `values` in settings
+      case "in"                          => require(f.values.nonEmpty,
+                                              s"filter in on ${f.columnName}: empty values list")
+                                            c.isin(f.values: _*)
+      case "not_in"                      => require(f.values.nonEmpty,
+                                              s"filter not_in on ${f.columnName}: empty values list")
+                                            !c.isin(f.values: _*)
       case "is_null"                     => c.isNull
       case "is_not_null"                 => c.isNotNull
-      case "starts_with"                 => c.startsWith(rawV.toString)
-      case "ends_with"                   => c.endsWith(rawV.toString)
+      case "starts_with"                 => requireStringCol(f, schema)
+                                            c.startsWith(rawV.toString)
+      case "ends_with"                   => requireStringCol(f, schema)
+                                            c.endsWith(rawV.toString)
       // literal substring match — the reference's Polars str.contains is regex by
       // accident (Filter.py:388-422); we match the documented intent (SURVEY §2.2).
-      case "contains"                    => c.contains(rawV.toString)
-      case "not_contains"                => !c.contains(rawV.toString)
+      case "contains"                    => requireStringCol(f, schema)
+                                            c.contains(rawV.toString)
+      case "not_contains"                => requireStringCol(f, schema)
+                                            !c.contains(rawV.toString)
       case "between"                     => c.between(lo, hi)
       case "not_between"                 => !c.between(lo, hi)
       case "date_equals"                 => c === dv

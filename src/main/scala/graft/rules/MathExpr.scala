@@ -68,6 +68,33 @@ object MathExpr {
   }
   private def rightAssoc(c: Char): Boolean = c == '^' || c == '~'
 
+  /** Infix-shape validation: each token must arrive where the grammar allows
+    * it. The stack machine below happily ACCEPTS postfix/adjacent forms —
+    * 'value value *' evaluates to value² with only the leftover-count check —
+    * while the reference's Python eval raises SyntaxError on the same string;
+    * a typo'd rule must fail at compile, not silently compute something
+    * plausible. */
+  private def validateInfix(toks: List[Tok], expr: String): Unit = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"math_expression: $what in '$expr'")
+    var expectOperand = true
+    toks.foreach {
+      case Num(_) | Value =>
+        if (!expectOperand) fail("two adjacent operands (missing operator)")
+        expectOperand = false
+      case LPar =>
+        if (!expectOperand) fail("'(' after an operand (missing operator)")
+      case RPar =>
+        if (expectOperand) fail("')' after an operator (missing operand)")
+      case Op('~') =>
+        if (!expectOperand) fail("misplaced unary '-'")
+      case Op(c) =>
+        if (expectOperand) fail(s"operator '$c' missing its left operand")
+        expectOperand = true
+    }
+    if (expectOperand) fail("dangling trailing operator")
+  }
+
   /** Compile the DSL string to a Column over `valueCol` (the `value` placeholder). */
   def compile(expr: String, valueCol: Column): Column = {
     val out = scala.collection.mutable.Stack.empty[Column]
@@ -90,7 +117,9 @@ object MathExpr {
       })
     }
 
-    tokenize(expr).foreach {
+    val toks = tokenize(expr)
+    validateInfix(toks, expr)
+    toks.foreach {
       case Num(v)  => out.push(lit(v))
       case Value   => out.push(valueCol.cast("double"))
       case LPar    => ops.push(LPar)

@@ -226,7 +226,12 @@ object TransformCompiler {
       case ModifyTableName(t, _)  => outSpec = outSpec.copy(targetTableName = t)
       case ModifyColumnName(from, to, _) =>
         requireCols(schema, Seq(from), "modify_column_name")
-        require(!schema.fieldNames.contains(to), s"modify_column_name: '$to' already exists")
+        // CASE-INSENSITIVE uniqueness: Spark resolves names case-insensitively
+        // by default, so renaming to a name differing only in case from an
+        // existing column yields AMBIGUOUS_REFERENCE on the next resolution —
+        // a case-sensitive guard here would wave it through
+        require(!schema.fieldNames.exists(n => n.equalsIgnoreCase(to) && n != from),
+          s"modify_column_name: '$to' already exists")
         schema = StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
         outSpec = outSpec.copy(keyCols = outSpec.keyCols.map(k => if (k == from) to else k))
         steps += (_.withColumnRenamed(from, to))
@@ -234,10 +239,20 @@ object TransformCompiler {
         requireCols(schema, cols, "add_primary_key")
         outSpec = outSpec.copy(keyCols = (outSpec.keyCols ++ cols).distinct)
       case RemovePrimaryKey(cols, _) =>
+        // a typo'd name would filter nothing and silently keep merging on
+        // the key the operator believed was removed — validate like
+        // add_primary_key does
+        cols.foreach(c => require(outSpec.keyCols.contains(c),
+          s"remove_primary_key: '$c' is not a current key column " +
+            s"(keys: ${outSpec.keyCols.mkString(", ")})"))
         outSpec = outSpec.copy(keyCols = outSpec.keyCols.filterNot(cols.contains))
       case t: CreateColumn =>
-        // name uniqueness — ColumnCreator.py:86-108
-        require(!schema.fieldNames.contains(t.newColumnName),
+        // name uniqueness — ColumnCreator.py:86-108. Case-insensitive:
+        // withColumn resolves case-insensitively, so a same-name-different-
+        // case create would silently REPLACE the existing column while the
+        // tracked schema appended a new field — every later write would see
+        // a schema that no longer matches the frame
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(t.newColumnName)),
           s"create_column: '${t.newColumnName}' already exists")
         val (expr, fieldType) = compileCreate(t, schema, batchTs)
         schema = StructType(schema.fields :+ StructField(t.newColumnName, fieldType))

@@ -324,6 +324,61 @@ class SimilaritySpec extends SparkSpec {
     assert(gen == interp, "generated code must match interpreted eval")
     assert(gen.values.toSet.size > 1, "signatures spread across buckets")
   }
+
+  test("kernel input contract fails at ANALYSIS, not mid-job: numeric-but-" +
+    "unsupported element types (decimal literals) are named before launch") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // array(0.1, 0.2) is array<decimal(1,1)> — pre-contract this passed
+    // analysis and killed the job at execution with a misleading error
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      df.select(graft.functions.VectorOps.vec_dot(
+        col("embedding"),
+        array(lit(BigDecimal(0.1)), lit(BigDecimal(0.2)))).as("d")).collect())
+    assert(e.getMessage.contains("vec_dot"), e.getMessage)
+  }
+
+  test("nearest_cells: a dimension mismatch (wrong codebook) yields NULL " +
+    "probes like vec_dot — never a silently truncated prefix score") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows = Seq(
+      (0L, Array(0.9f, 0.1f)),          // matched dims → real probes
+      (1L, Array(0.9f, 0.1f, 0.5f)))    // 3-dim vector vs 2-dim codebook
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.functions.VectorOps.nearest_cells(
+        col("embedding"), cents, probes = 1).as("cells"))
+      .orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Int](1).toList == List(0), rows(0).toString)
+    assert(rows(1).isNullAt(1), "mismatched dims must yield null probes")
+    intercept[IllegalArgumentException](graft.functions.VectorOps.nearest_cells(
+      col("embedding"), Array(Array(1.0), Array(0.0, 1.0)), probes = 1))
+  }
+
+  test("hyperplane_sig per-dimension hash cache grows correctly: a short " +
+    "vector first must not truncate or corrupt a longer vector's signature") {
+    import spark.implicits._
+    def sig(v: Array[Float]): Long =
+      Seq(Tuple1(v)).toDF("e")
+        .select(graft.functions.VectorOps.hyperplane_sig(col("e"), 16).as("s"))
+        .head().getLong(0)
+    val short = Array.tabulate(4)(i => (i + 1).toFloat)
+    val long = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val s1 = sig(short) // primes the cache at 4 dims
+    val l1 = sig(long)  // forces a grow to 64
+    assert(sig(short) == s1 && sig(long) == l1, "cache-grow must be stable")
+    // ground truth recomputed directly from the XXH64 plane definition
+    val expected = {
+      val acc = new Array[Double](16)
+      long.zipWithIndex.foreach { case (v, i) =>
+        val hv = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 42L)
+        (0 until 16).foreach(h =>
+          acc(h) += (if (((hv >>> h) & 1L) == 0L) v.toDouble else -v.toDouble))
+      }
+      (0 until 16).foldLeft(0L)((s, h) => if (acc(h) > 0) s | (1L << h) else s)
+    }
+    assert(l1 == expected, s"sig $l1 != direct recompute $expected")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

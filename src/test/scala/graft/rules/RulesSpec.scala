@@ -36,6 +36,20 @@ class MathExprSpec extends SparkSpec {
     intercept[IllegalArgumentException](MathExpr.compile("value +", col("x")))
     intercept[IllegalArgumentException](MathExpr.compile("(value + 1", col("x")))
   }
+
+  test("rejects postfix/adjacent forms the stack machine would silently " +
+    "accept — Python raises SyntaxError on these, so must we") {
+    // 'value value *' would otherwise compute value² with no error
+    intercept[IllegalArgumentException](MathExpr.compile("value value *", col("x")))
+    intercept[IllegalArgumentException](MathExpr.compile("1 2 +", col("x")))
+    intercept[IllegalArgumentException](MathExpr.compile("value 2", col("x")))
+    intercept[IllegalArgumentException](MathExpr.compile("* value", col("x")))
+    intercept[IllegalArgumentException](MathExpr.compile("value (2 + 1)", col("x")))
+    intercept[IllegalArgumentException](MathExpr.compile("value + ()", col("x")))
+    // the valid forms around them still parse
+    assert(eval("value * (2 + 1)", 2.0) == 6.0)
+    assert(eval("-(value + 1)", 2.0) == -3.0)
+  }
 }
 
 class FilterCompilerSpec extends SparkSpec {
@@ -144,6 +158,36 @@ class FilterCompilerSpec extends SparkSpec {
   }
 }
 
+class FilterGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((1L, "alpha", 10.0)).toDF("id", "name", "score")
+
+  test("empty in/not_in values list fails at compile — isin() would " +
+    "silently drain (or keep) the ENTIRE table") {
+    val e = intercept[IllegalArgumentException](
+      FilterCompiler.compile(FilterCfg("name", "in"), df.schema))
+    assert(e.getMessage.contains("empty values"), e.getMessage)
+    intercept[IllegalArgumentException](
+      FilterCompiler.compile(FilterCfg("name", "not_in"), df.schema))
+    // non-empty still compiles and matches
+    assert(df.filter(FilterCompiler.compile(
+      FilterCfg("name", "in", values = Seq("alpha")), df.schema)).count() == 1)
+  }
+
+  test("string ops validate the column dtype with the rule named, like the " +
+    "date ops — not a later unnamed DATATYPE_MISMATCH or an implicit cast") {
+    Seq("starts_with", "ends_with", "contains", "not_contains").foreach { op =>
+      val e = intercept[IllegalArgumentException](FilterCompiler.compile(
+        FilterCfg("score", op, value = Some("1")), df.schema))
+      assert(e.getMessage.contains("must be string") && e.getMessage.contains(op),
+        s"$op: ${e.getMessage}")
+    }
+    assert(df.filter(FilterCompiler.compile(
+      FilterCfg("name", "starts_with", value = Some("al")), df.schema)).count() == 1)
+  }
+}
+
 class TransformCompilerSpec extends SparkSpec {
   import spark.implicits._
 
@@ -232,6 +276,31 @@ class TransformCompilerSpec extends SparkSpec {
       ModifyColumn("x", "uppercase")))) // numeric col
     intercept[IllegalArgumentException](run(Seq(
       ModifyColumn("s", "extract_year")))) // string col
+  }
+
+  test("name-uniqueness guards are CASE-INSENSITIVE like Spark's resolver: " +
+    "a same-name-different-case create would silently REPLACE the column " +
+    "while the tracked schema appended a second field") {
+    val e = intercept[IllegalArgumentException](run(Seq(
+      CreateColumn("S", "literal", value = Some("x"), valueType = Some("varchar")))))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // rename onto an existing name differing only in case → AMBIGUOUS later
+    intercept[IllegalArgumentException](run(Seq(
+      ModifyColumnName("s", "K", priority = 0))))
+    // a pure case-change rename of the SAME column is legitimate
+    val (out, _) = run(Seq(ModifyColumnName("s", "S", priority = 0)))
+    assert(out.columns.contains("S"))
+  }
+
+  test("remove_primary_key validates its names like add_primary_key: a typo " +
+    "must not silently keep merging on the key it claimed to remove") {
+    val e = intercept[IllegalArgumentException](run(Seq(
+      RemovePrimaryKey(Seq("kk"), priority = 0))))
+    assert(e.getMessage.contains("not a current key column"), e.getMessage)
+    val (_, outSpec) = run(Seq(
+      AddPrimaryKey(Seq("s"), priority = 0),
+      RemovePrimaryKey(Seq("k"), priority = 1)))
+    assert(outSpec.keyCols == Seq("s"))
   }
 
   test("pgType: length-qualified varchar and USER-DEFINED degrade to string " +
