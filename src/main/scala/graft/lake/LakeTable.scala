@@ -124,6 +124,19 @@ final case class ColRange(
     case (Some(lo), Some(hi)) => lo <= k && k <= hi
     case _ => true
   }
+  /** Whether the two ranges PROVABLY share no value — false whenever either
+    * side lacks stats (absence of evidence never prunes). Since every row's
+    * key lies inside its file's range, two files holding the same key value
+    * always intersect; disjointness therefore proves no shared key. */
+  def provablyDisjoint(o: ColRange): Boolean =
+    ((minS, maxS, o.minS, o.maxS) match {
+      case (Some(lo), Some(hi), Some(olo), Some(ohi)) =>
+        DataFile.utf8Cmp(hi, olo) < 0 || DataFile.utf8Cmp(ohi, lo) < 0
+      case _ => false
+    }) || ((minN, maxN, o.minN, o.maxN) match {
+      case (Some(lo), Some(hi), Some(olo), Some(ohi)) => hi < olo || ohi < lo
+      case _ => false
+    })
 }
 
 final case class DataFile(
@@ -1205,6 +1218,70 @@ class LakeTable(val dir: String) {
     }
   }
 
+  /** Base files inside delta-bearing groups whose footer key range PROVABLY
+    * intersects no delta file's range hold no delta-touched key (a shared key
+    * value lies inside both files' ranges, so disjoint ranges prove no shared
+    * key) — their rows pass through resolution unchanged, exactly like a
+    * group with no deltas at all. Splitting them out of the fold is
+    * metadata-only: they read at full scan parallelism instead of inside the
+    * group's single coalesced fold task, and the fold sorts only data that
+    * can actually change. On the common CDC shape — monotone numeric PKs,
+    * delta windows touching recent keys — this passes the bulk of an aged
+    * table straight through; hash-random keys yield full-range files that
+    * never prune, and lose nothing (the check is per-file metadata).
+    *
+    * SCD2 guard: a key's version chain spans base files (the write salt
+    * includes `_lsn`), and [[rebuildScd2Local]] re-chains whatever rows reach
+    * it — a chain split between pass-through and fold would be re-chained
+    * from a PARTIAL suffix (the fold would null the end date and re-flag
+    * `current` on an old version it mistakes for the last). A pruned file
+    * must therefore also be range-disjoint from every base file that STAYS
+    * in the fold, so every chain lands wholly on one side; mutually
+    * overlapping files may still be pruned TOGETHER (their chains pass
+    * through as-written). Computed per group to a fixpoint: un-pruning a
+    * file grows the kept set, which can invalidate other candidates.
+    *
+    * Soundness leans on two existing write invariants: committed rows never
+    * carry null merge keys (every ingest path quarantines them, so footer
+    * min/max describe ALL rows), and base files are fold OUTPUTS (pass-through
+    * needs no dedup — the cold path already assumes both).
+    *
+    * Returns (files that still need the fold, files safe to read cold). */
+  private[graft] def pruneUntouchedBase(hot: Seq[DataFile], m: Manifest,
+      gran: Int): (Seq[DataFile], Seq[DataFile]) = {
+    val keyFids = m.keyCols.flatMap(k => m.currentSchema.byName(k)).map(_.id)
+    // stats alignment by FIELD ID: a file written before a key-column rename
+    // carries stats under its write-time name — looking the current name up
+    // directly would silently miss (or, after a swap-rename, hit the WRONG
+    // column's stats and prune incorrectly)
+    def statsFor(f: DataFile, fid: Int): Option[ColRange] =
+      m.schemaById(f.schemaId).byId(fid).flatMap(wf => f.keyStats.get(wf.name))
+    def disjoint(a: DataFile, b: DataFile): Boolean =
+      keyFids.exists { fid =>
+        statsFor(a, fid).zip(statsFor(b, fid))
+          .exists { case (ra, rb) => ra.provablyDisjoint(rb) }
+      }
+    val keep = Seq.newBuilder[DataFile]
+    val cold = Seq.newBuilder[DataFile]
+    hot.groupBy(_.bucket % gran).values.foreach { group =>
+      val (deltas, bases) = group.partition(_.isDelta)
+      var pruned = bases.filter(b => deltas.forall(disjoint(b, _)))
+      if (pruned.nonEmpty) {
+        var kept = bases.filterNot(pruned.contains)
+        var changed = true
+        while (changed) {
+          val (ok, clash) = pruned.partition(p => kept.forall(disjoint(p, _)))
+          changed = clash.nonEmpty
+          pruned = ok
+          kept ++= clash
+        }
+        keep ++= deltas ++ kept
+        cold ++= pruned
+      } else keep ++= group
+    }
+    (keep.result(), cold.result())
+  }
+
   /**
    * Read a file set with merge-on-read deltas resolved. Data files are
    * disjoint by bucket (hidden hash partitioning), so every key's rows —
@@ -1227,7 +1304,11 @@ class LakeTable(val dir: String) {
     require(gran > 0, "delta resolution needs spec-tracked files")
     def g(f: DataFile): Int = f.bucket % gran
     val hotGroups = files.filter(_.isDelta).map(g).toSet
-    val (hot, cold) = files.partition(f => hotGroups.contains(g(f)))
+    val (hot0, cold0) = files.partition(f => hotGroups.contains(g(f)))
+    // untouched-base split (see pruneUntouchedBase): base files provably
+    // holding no delta-touched key leave the fold for the cold scan
+    val (hot, pruned) = pruneUntouchedBase(hot0, m, gran)
+    val cold = cold0 ++ pruned
     def fold(df: DataFrame): DataFrame =
       if (m.tableMode == Manifest.SCD2) rebuildScd2Local(df, m)
       else resolveLwwLocal(df, m.keyCols)

@@ -177,6 +177,92 @@ class MorSpec extends SparkSpec {
     assert(revived.length == 1 && revived(0).getAs[String]("source") == "books")
   }
 
+  test("untouched-base pruning: the fixpoint over footer ranges (unit, metadata only)") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.lake.{ColRange, GraftField, GraftSchema, Manifest}
+    val v1 = GraftSchema(1, Seq(GraftField(1, "id", LongType)))
+    val m = Manifest(version = 1, buckets = 2, currentSchemaId = 1, schemas = Seq(v1),
+      files = Nil, epochWatermark = -2L, recentEpochs = Set.empty, metrics = Map.empty,
+      keyCols = Seq("id"))
+    def f(path: String, lo: Long, hi: Long, kind: String, sid: Int = 1,
+        col: String = "id") =
+      DataFile(path, 0, sid, 10, kind, spec = 2,
+        keyStats = Map(col -> ColRange(minN = Some(lo), maxN = Some(hi))))
+    val lake = new LakeTable(tmpDir("graft-prune-unit"))
+
+    // disjoint base leaves the fold
+    val d = f("d1", 200, 299, DataFile.DELTA)
+    assert(lake.pruneUntouchedBase(Seq(f("b1", 0, 99, DataFile.BASE), d), m, 2)
+      ._2.map(_.path) == Seq("b1"))
+    // base overlapping the delta stays; a disjoint base overlapping THAT one
+    // is un-pruned by the fixpoint (an SCD2 chain could span the two)
+    val (keep2, cold2) = lake.pruneUntouchedBase(
+      Seq(f("b1", 0, 99, DataFile.BASE), f("b2", 50, 250, DataFile.BASE), d), m, 2)
+    assert(cold2.isEmpty && keep2.size == 3)
+    // mutually-overlapping bases, both delta-disjoint, prune TOGETHER
+    // (chains spanning only pruned files pass through as-written)
+    assert(lake.pruneUntouchedBase(
+      Seq(f("b1", 0, 99, DataFile.BASE), f("b2", 50, 150, DataFile.BASE), d), m, 2)
+      ._2.map(_.path).toSet == Set("b1", "b2"))
+    // missing stats never prune
+    assert(lake.pruneUntouchedBase(
+      Seq(DataFile("b1", 0, 1, 10, DataFile.BASE, spec = 2), d), m, 2)._2.isEmpty)
+    // stats align by FIELD ID across a key-column rename: the old file's
+    // stats live under its write-time name
+    val w1 = GraftSchema(1, Seq(GraftField(1, "doc", StringType)))
+    val w2 = GraftSchema(2, Seq(GraftField(1, "doc_id", StringType)))
+    val m2 = m.copy(currentSchemaId = 2, schemas = Seq(w1, w2), keyCols = Seq("doc_id"))
+    def sf(path: String, lo: String, hi: String, kind: String, sid: Int, col: String) =
+      DataFile(path, 0, sid, 10, kind, spec = 2,
+        keyStats = Map(col -> ColRange(minS = Some(lo), maxS = Some(hi))))
+    assert(lake.pruneUntouchedBase(Seq(
+      sf("old", "a", "f", DataFile.BASE, sid = 1, col = "doc"),
+      sf("d", "m", "z", DataFile.DELTA, sid = 2, col = "doc_id")), m2, 2)
+      ._2.map(_.path) == Seq("old"))
+  }
+
+  test("untouched-base pruning e2e: aged base passes the fold; an update re-captures " +
+    "exactly its bucket; reads stay oracle-equal throughout") {
+    val root = tmpDir("graft-mor-prune")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead, buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    val schema = ChangeEvent.schema()
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def batch(epoch: Long, rows: Seq[Row]): Unit =
+      graft.apply.MergeApply.applyBatch(spark, lake,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema),
+        epoch, cfg.job)
+    def doc(i: Int) = f"doc-$i%04d"
+    // aged data: 200 monotone keys, folded to per-bucket base files
+    batch(0, (0 until 200).map(i =>
+      Row(i.toLong, 1L, ts(i.toLong), "INSERT", 1, doc(i), Seq(i), Int.box(1), "web")))
+    lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+    // a new wave strictly ABOVE every aged key: every bucket's base range
+    // ends below the wave's, so the whole base generation leaves the fold
+    batch(1, (5000 until 5040).map(i =>
+      Row(i.toLong, 2L, ts(i.toLong), "INSERT", 1, doc(i), Seq(i), Int.box(1), "web")))
+    val m1 = lake.manifest
+    val (hot1, cold1) = lake.pruneUntouchedBase(m1.files, m1, m1.files.map(_.spec).min)
+    assert(cold1.nonEmpty && cold1.forall(!_.isDelta), "aged base files pruned")
+    assert(hot1.forall(_.isDelta), "only the new wave's deltas still fold")
+    assert(lake.read(spark).count() == 240)
+
+    // one UPDATE to an aged key pulls exactly that bucket's base back into
+    // the fold (its delta file's range now reaches down to the old key)
+    batch(2, Seq(Row(9000L, 3L, ts(9000L), "UPDATE", 1, doc(5), Seq(99), Int.box(1), "books")))
+    val m2 = lake.manifest
+    val (hot2, cold2) = lake.pruneUntouchedBase(m2.files, m2, m2.files.map(_.spec).min)
+    val touchedBucket = lake.bucketOfKey(doc(5), m2.buckets)
+    assert(hot2.exists(f => !f.isDelta && f.bucket == touchedBucket),
+      "the updated key's base file folds again")
+    assert(cold2.exists(!_.isDelta), "untouched buckets' bases stay pruned")
+    val got = lake.read(spark).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("source")).toMap
+    assert(got.size == 240 && got(doc(5)) == "books" && got(doc(6)) == "web")
+  }
+
   test("changeLog: window deltas == per-key winners of that wave; survives in-window compaction") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("graft-mor-cl")
