@@ -1062,6 +1062,56 @@ object Queries {
         .transform(lwwShape)
     }),
 
+    // untouched-base pruning under the driver's oracle (round 5): an aged
+    // generation (doc_id < doc-000008) folded to per-bucket base, a fresh
+    // delta wave strictly above it, then one touch of the highest aged key.
+    // The read must equal the whole-feed LWW fold + the touch, AND the
+    // metric row hashes a computed boolean against a constant-true oracle:
+    // the untouched aged base files provably left the fold while the touched
+    // key's bucket folded its base again — if pruning regressed to never
+    // firing (or to pruning the touched bucket), the driver fails this
+    // query, not just a scala test.
+    "q_lake_prune_aged" -> ((s, dir) => {
+      val root = tempRoot("graft-q-prune")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+          buckets = 4))
+      val lake = CdcRunner.ensureTable(s, cfg)
+      val ev = feedFromEvents(s, dir)
+      val bound = "doc-000008" // users 0..7 exist at every sf (aged side non-empty)
+      graft.apply.MergeApply.applyBatch(s, lake,
+        ev.filter(col(ChangeEvent.DOC_ID) < bound), 0L, cfg.job)
+      lake.compact(s, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+      graft.apply.MergeApply.applyBatch(s, lake,
+        ev.filter(col(ChangeEvent.DOC_ID) >= bound), 1L, cfg.job)
+      val touch = s.range(1).select(
+        lit(9000000L).as(ChangeEvent.LSN), lit(0L).as(ChangeEvent.TXN_ID),
+        timestamp_seconds(lit(1700000000L)).as(ChangeEvent.TS),
+        lit(ChangeEvent.UPDATE).as(ChangeEvent.OP), lit(1).as(ChangeEvent.SCHEMA_VER),
+        lit("doc-000007").as(ChangeEvent.DOC_ID),
+        tokensExpr(lit(9000000L), lit(3)).as("tokens"),
+        lit(3).as("n_tok"), lit("touched").as("source"))
+      graft.apply.MergeApply.applyBatch(s, lake, touch, 2L, cfg.job)
+      // the prune decision exactly as readResolved computes it
+      val m = lake.manifest
+      val gran = m.files.map(_.spec).min
+      val hotG = m.files.filter(_.isDelta).map(_.bucket % gran).toSet
+      val (hot, cold) = lake.pruneUntouchedBase(
+        m.files.filter(f => hotG.contains(f.bucket % gran)), m, gran)
+      val fired = cold.nonEmpty && cold.forall(!_.isDelta) &&
+        hot.exists(f => !f.isDelta &&
+          f.bucket == lake.bucketOfKey("doc-000007", m.buckets))
+      val nullS = lit(null).cast(StringType)
+      val state = lake.read(s).select(lit("state").as("kind"), col("doc_id"),
+        array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+        col("n_tok"), col("source"))
+      val metric = s.range(1).select(lit("metric").as("kind"),
+        lit("prune_fired").as("doc_id"), nullS.as("tokens_csv"),
+        lit(null).cast(IntegerType).as("n_tok"), lit(fired.toString).as("source"))
+      state.unionAll(metric).orderBy("kind", "doc_id")
+    }),
+
     // bucket-spec evolution end-to-end: ingest at 4 buckets, rescale to 8
     // mid-feed (metadata-only; merges continue on the mixed-spec table —
     // copy-on-write rewrites whole pre-split groups), then migrate physically
@@ -1550,6 +1600,32 @@ object Queries {
     // compaction + vacuum are read-equivalent: same fold as the plain upsert
     "q_lake_maintenance" ->
       lwwFoldSql,
+
+    // aged-base pruning: the state is the whole-feed LWW fold plus the
+    // synthetic touch of doc-000007 (lsn 9000000 beats every event_id); the
+    // metric row pins prune_fired to TRUE — computed on the Spark side from
+    // the manifest's actual prune decision
+    "q_lake_prune_aged" ->
+      s"""WITH ev0 AS ($feedSql),
+         |ev AS (
+         |  SELECT lsn, op, doc_id, n_tok, eid, source FROM ev0
+         |  UNION ALL
+         |  SELECT 9000000, 'UPDATE', 'doc-000007', 3, 9000000, 'touched'),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id),
+         |state AS (
+         |  SELECT 'state' AS kind, doc_id,
+         |    array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |    n_tok, source
+         |  FROM last WHERE last_op <> 'DELETE'),
+         |met AS (
+         |  SELECT 'metric' AS kind, 'prune_fired' AS doc_id,
+         |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
+         |    'true' AS source)
+         |SELECT * FROM state UNION ALL SELECT * FROM met
+         |ORDER BY kind, doc_id""".stripMargin,
 
     // expected parse of the synthesized envelope bus: packed arrival-order LSN
     // ((created_at−base)≪32 | txnhash16≪16 | page≪10 | pos) recomputed from
