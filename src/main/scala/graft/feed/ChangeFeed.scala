@@ -161,4 +161,30 @@ object ChangeFeed {
     }
     graft.runner.CdcRunner.deleteRecursively(new java.io.File(tmp))
   }
+
+  /**
+   * Append each chunk of a RAW WAL-line feed as ONE parquet file under
+   * `dir`, mtimes stamped in chunk order (base + idx·step). The streaming
+   * file source orders pending files by mtime and tie-breaks equal mtimes
+   * by random UUID part-file name, so any fixture whose semantics depend on
+   * BATCH ORDER (which epoch a split transaction's COMMIT lands in, which
+   * epoch an orphan evicts in) must stamp explicitly — two writes landing
+   * in one clock tick would otherwise process in random order. One recipe,
+   * shared by the driver fixture and the WAL specs, so a change to the
+   * ordering scheme can never leave a test encoding a different arrival
+   * order than the fixture it mirrors.
+   */
+  def writeRawChunks(chunks: Seq[DataFrame], dir: String,
+      baseMs: Long = 1700000000000L, stepMs: Long = 60000L): Unit = {
+    val stamped = scala.collection.mutable.Set[String]()
+    chunks.zipWithIndex.foreach { case (df, idx) =>
+      df.coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles().foreach { f =>
+        if (f.getName.startsWith("part-") && stamped.add(f.getName))
+          require(f.setLastModified(baseMs + idx * stepMs),
+            s"cannot set mtime on $f — this filesystem cannot encode feed " +
+              "arrival order; use a POSIX-mtime-capable feed directory")
+      }
+    }
+  }
 }

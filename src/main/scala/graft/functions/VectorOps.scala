@@ -368,8 +368,12 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
   // Same for a DIMENSION MISMATCH (wrong codebook / wrong model config):
   // truncating the dot to the shorter prefix would rank every row by a
   // plausible-looking but wrong score — the exact silent-partial result
-  // vec_dot/vec_cosine's null contract exists to prevent
-  override def nullable: Boolean = child.nullable || VecElem.containsNull(child)
+  // vec_dot/vec_cosine's null contract exists to prevent.
+  // Always true: the mismatch null is data-dependent (array LENGTH, which
+  // the type system can't see), so even a non-nullable containsNull=false
+  // child can produce null — deriving this from the child would make the
+  // codegen write an isNull that is a constant-false literal.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     VecElem.check(children, prettyName)
 

@@ -873,18 +873,10 @@ object Queries {
         .toDF("lsn", "xid", "data")
       // txn-aligned thirds: eid<1000 ⇔ xid<200 (xid = eid/5), so no file
       // cuts a txn; the orphan ages 0→1→2 and evicts in the third batch
-      val stamped = scala.collection.mutable.Set[String]()
-      def writeFile(df: DataFrame, idx: Int): Unit = {
-        df.coalesce(1).write.mode("append").parquet(s"$root/feed")
-        new java.io.File(s"$root/feed").listFiles().foreach { f =>
-          if (f.getName.startsWith("part-") && stamped.add(f.getName)) {
-            f.setLastModified(1700000000000L + idx * 60000L); ()
-          }
-        }
-      }
-      writeFile(wal.filter(col("xid") < 70).unionByName(orphan), 0)
-      writeFile(wal.filter(col("xid") >= 70 && col("xid") < 140), 1)
-      writeFile(wal.filter(col("xid") >= 140), 2)
+      graft.feed.ChangeFeed.writeRawChunks(Seq(
+        wal.filter(col("xid") < 70).unionByName(orphan),
+        wal.filter(col("xid") >= 70 && col("xid") < 140),
+        wal.filter(col("xid") >= 140)), s"$root/feed")
       val cfg = RunnerConfig(
         feedDir = s"$root/feed", tableDir = s"$root/table",
         checkpointDir = s"$root/cp",

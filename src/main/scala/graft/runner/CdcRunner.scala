@@ -702,11 +702,13 @@ object CdcRunner {
             .filter(_._2 > epoch - ledgerRetention)
         val prevXids = ledgerPrev.map(_._1).toSet
         // collected to the driver: the set is per-TXN xids (not rows) and an
-        // eviction is a rare producer-wedge event — this is the same one
-        // small job the previous emptiness probe paid, now also yielding
-        // the xids themselves
+        // eviction is a rare producer-wedge event. Gated on a carried stash:
+        // fresh batch rows enter at AGE=0 and maxAge >= 1, so without
+        // stash(N-1) on disk no row can satisfy AGE >= maxAge — skipping the
+        // probe keeps the steady-state hot path (no split txns) free of an
+        // extra per-batch driver job
         val expiredXids: Seq[Long] =
-          if (maxAge <= 0) Seq.empty
+          if (maxAge <= 0 || !prevStash.isDirectory) Seq.empty
           else pending.filter(col(AGE) >= maxAge).select("xid").distinct()
             .collect().map(_.getLong(0)).filterNot(prevXids).sorted.toSeq
         val ledger = ledgerPrev ++ expiredXids.map(x => (x, epoch))
@@ -796,13 +798,20 @@ object CdcRunner {
     * bare xids: read it once via Spark and stamp every entry as evicted at
     * `fallbackEpoch` (the newest possible time — it then lives a full
     * retention window, the safe direction). */
-  private def readEvictionLedger(
+  private[graft] def readEvictionLedger(
       spark: SparkSession, path: String, fallbackEpoch: Long): Seq[(Long, Long)] = {
     val f = new java.io.File(path)
     if (f.isFile) {
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().filter(_.nonEmpty).map { l =>
-        val Array(x, e) = l.split(" ", 2); (x.toLong, e.toLong)
+        l.split(" ", 2) match {
+          case Array(x, e) => (x.toLong, e.toLong)
+          // loud, named failure: silently skipping a line would drop a past
+          // eviction and tear that transaction across lake and quarantine
+          case _ => sys.error(s"corrupt eviction ledger $path: line '$l' " +
+            "(expected 'xid evictedAtEpoch'); restore or delete the ledger " +
+            "after verifying no evicted transaction is still in flight")
+        }
       }.toList
       finally src.close()
     } else if (f.isDirectory)
@@ -812,12 +821,28 @@ object CdcRunner {
   }
 
   /** Overwrite the epoch's ledger file — driver-side, no Spark job (the
-    * ledger is per-txn xids of a rare wedge event, not row-scale data). */
-  private def writeEvictionLedger(path: String, ledger: Seq[(Long, Long)]): Unit = {
+    * ledger is per-txn xids of a rare wedge event, not row-scale data).
+    * fsync + ATOMIC_MOVE, like every manifest writer: a torn ledger line
+    * would crash [[readEvictionLedger]] on every restart and wedge the
+    * stream — the exact failure class the ledger exists to prevent. The
+    * process-crash ordering argument (torn ledger ⇒ uncommitted batch ⇒
+    * retry rewrites it) does not cover power loss, where the checkpoint
+    * commit can reach disk while an unforced ledger page does not. */
+  private[graft] def writeEvictionLedger(path: String, ledger: Seq[(Long, Long)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val body = ledger.map { case (x, e) => s"$x $e" }.mkString("", "\n", "\n")
     Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      body.getBytes("UTF-8")): Unit
+    val target = Paths.get(path)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8"))): Unit
+      ch.force(true)
+    } finally ch.close()
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

@@ -38,21 +38,15 @@ class WalOrphanSpec extends SparkSpec {
     Row(lsn, xid, "table corpus.documents: INSERT: doc_id[character " +
       s"varying]:'$key' n_tok[integer]:$n")
 
-  /** Mtimes stamped explicitly: every test here depends on BATCH ORDER
-    * (which epoch evicts, which epoch the straggler lands in), and the file
-    * source tie-breaks equal mtimes by random UUID name. */
-  private def writeFiles(root: String, files: Seq[Seq[Row]]): Unit = {
-    val stamped = scala.collection.mutable.Set[String]()
-    files.zipWithIndex.foreach { case (chunk, idx) =>
-      spark.createDataFrame(spark.sparkContext.parallelize(chunk, 1), nullableRaw)
-        .coalesce(1).write.mode("append").parquet(s"$root/feed")
-      new java.io.File(s"$root/feed").listFiles().foreach { f =>
-        if (f.getName.startsWith("part-") && stamped.add(f.getName)) {
-          f.setLastModified(1700000000000L + idx * 60000L); ()
-        }
-      }
-    }
-  }
+  /** Mtimes stamped explicitly (the shared [[ChangeFeed.writeRawChunks]]
+    * recipe): every test here depends on BATCH ORDER (which epoch evicts,
+    * which epoch the straggler lands in), and the file source tie-breaks
+    * equal mtimes by random UUID name. */
+  private def writeFiles(root: String, files: Seq[Seq[Row]]): Unit =
+    graft.feed.ChangeFeed.writeRawChunks(
+      files.map(chunk => spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), nullableRaw)),
+      s"$root/feed")
 
   /** The drain recipe the feature promises: strip the orphan op mark so the
     * rows re-drive as their original ops. Built from the production constant
@@ -260,5 +254,26 @@ class WalOrphanSpec extends SparkSpec {
     val q = lake.quarantine(spark).select("doc_id").collect().map(_.getString(0))
     assert(q.sameElements(Array("d-w")),
       s"the orphan quarantined instead of wedging the stream: ${q.toSeq}")
+  }
+
+  test("eviction ledger: atomic round-trip, no tmp residue, and a corrupt " +
+    "line fails LOUDLY (silently skipping one would drop a past eviction " +
+    "and tear that transaction across lake state and quarantine)") {
+    val root = tmpDir("graft-walledger")
+    val path = s"$root/stash/evicted=7"
+    val ledger = Seq((4100000000L, 5L), (42L, 7L)) // past-wrap-sized xid too
+    CdcRunner.writeEvictionLedger(path, ledger)
+    assert(CdcRunner.readEvictionLedger(spark, path, 7L) == ledger)
+    // the fsync+ATOMIC_MOVE recipe must leave no staging file behind — a
+    // stale .tmp would survive the epoch GC sweep forever
+    val residue = new java.io.File(s"$root/stash").listFiles().map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(residue.isEmpty, residue.toSeq.toString)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "123 5\ntorn-line-no-space\n".getBytes("UTF-8"))
+    val e = intercept[RuntimeException](
+      CdcRunner.readEvictionLedger(spark, path, 7L))
+    assert(e.getMessage.contains("eviction ledger"), e.getMessage)
+    assert(e.getMessage.contains("torn-line-no-space"), e.getMessage)
   }
 }

@@ -61,28 +61,19 @@ class WalStashPropertySpec extends SparkSpec {
     }.toSeq
   }
 
-  /** One parquet file per chunk, mtimes stamped EXPLICITLY in chunk order:
-    * the file source orders batches by modification time, and two writes
-    * landing in the same clock tick would otherwise process in random
-    * (UUID-name) order — the orphan property genuinely depends on arrival
-    * order (a COMMIT processed before its own DML re-stashes the DML
-    * commit-less until it evicts), and the base property depends on it too
-    * (that same reordering strands the DML forever). */
-  private def writeFeed(root: String, files: Seq[Seq[(Long, Long, String)]]): Unit = {
-    val stamped = scala.collection.mutable.Set[String]()
-    files.zipWithIndex.foreach { case (chunk, idx) =>
-      spark.createDataFrame(
+  /** One parquet file per chunk, mtimes stamped EXPLICITLY in chunk order
+    * (the shared [[ChangeFeed.writeRawChunks]] recipe): the orphan property
+    * genuinely depends on arrival order (a COMMIT processed before its own
+    * DML re-stashes the DML commit-less until it evicts), and the base
+    * property depends on it too (that same reordering strands the DML
+    * forever). */
+  private def writeFeed(root: String, files: Seq[Seq[(Long, Long, String)]]): Unit =
+    graft.feed.ChangeFeed.writeRawChunks(
+      files.map(chunk => spark.createDataFrame(
         spark.sparkContext.parallelize(
           chunk.map(r => Row(r._1, r._2, r._3)), 1),
-        WalParser.rawSchema)
-        .coalesce(1).write.mode("append").parquet(s"$root/feed")
-      new java.io.File(s"$root/feed").listFiles().foreach { f =>
-        if (f.getName.startsWith("part-") && stamped.add(f.getName)) {
-          f.setLastModified(1700000000000L + idx * 60000L); ()
-        }
-      }
-    }
-  }
+        WalParser.rawSchema)),
+      s"$root/feed")
 
   test("streamed WAL merge == one-batch parse, any txn set, any file split") {
     val caseGen = for {

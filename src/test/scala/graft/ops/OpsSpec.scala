@@ -355,6 +355,23 @@ class SimilaritySpec extends SparkSpec {
       col("embedding"), Array(Array(1.0), Array(0.0, 1.0)), probes = 1))
   }
 
+  test("nearest_cells on a NON-NULLABLE containsNull=false child: the " +
+    "mismatch null is data-dependent, so nullable must not be derived from " +
+    "the child (a constant-false isNull would break the generated code)") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // array(lit...) is non-nullable with containsNull=false — toDF columns
+    // are nullable and would mask the bug
+    val out = spark.range(1).select(
+      graft.functions.VectorOps.nearest_cells(
+        array(lit(0.9), lit(0.1)), cents, probes = 1).as("ok"),
+      graft.functions.VectorOps.nearest_cells(
+        array(lit(0.9), lit(0.1), lit(0.5)), cents, probes = 1).as("bad"))
+    assert(out.schema("ok").nullable && out.schema("bad").nullable)
+    val r = out.head()
+    assert(r.getSeq[Int](0).toList == List(0), r.toString)
+    assert(r.isNullAt(1), "3-dim vector vs 2-dim codebook must yield null")
+  }
+
   test("hyperplane_sig per-dimension hash cache grows correctly: a short " +
     "vector first must not truncate or corrupt a longer vector's signature") {
     import spark.implicits._
