@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -411,6 +412,29 @@ object LakeTable {
     * first task launches). Override: -Dgraft.lake.maxFoldBranches=N. */
   def maxFoldBranches: Int =
     sys.props.get("graft.lake.maxFoldBranches").map(_.toInt).getOrElse(512)
+
+  /** Row-level untouched-base prune (the refinement under the file-level
+    * [[LakeTable.pruneUntouchedBase]]): when the base rows of the
+    * delta-bearing groups outnumber their delta rows by at least this
+    * factor, a read builds a bloom filter of the delta key hashes and
+    * splits UNTOUCHED base ROWS out of the bucket-local fold — they skip
+    * the one-task-per-group constraint AND the in-partition sort, scanning
+    * at full parallelism instead. Hash-random key workloads, which the
+    * file-level (footer key-range) prune can never touch, prune here.
+    * Below the ratio the extra base scan outweighs the sort saved; the
+    * fold-everything path is used unchanged. 0 disables.
+    * Override: -Dgraft.lake.rowPruneMinRatio=N. */
+  def rowPruneMinRatio: Long =
+    sys.props.get("graft.lake.rowPruneMinRatio").map(_.toLong).getOrElse(8L)
+
+  /** Delta-row cap for the row-level prune's bloom (≈1 byte/key at the 3%
+    * fpp used): past it the filter would be too large to ship comfortably
+    * with the plan, and a delta that big is overdue for compaction anyway —
+    * the read falls back to the plain fold. */
+  def rowPruneMaxDeltaKeys: Long =
+    sys.props.get("graft.lake.rowPruneMaxDeltaKeys").map(_.toLong).getOrElse(1L << 25)
+
+  private[lake] val rowPruneFpp = 0.03
 
   /** Balanced (tree-shaped) unionAll: Catalyst analysis over a left-deep
     * N-branch union chain is quadratic in N; the balanced tree keeps plan
@@ -1295,7 +1319,8 @@ class LakeTable(val dir: String) {
    * is the same contract the write/compaction path already has (a bucket is
    * sized to one task).
    */
-  private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile]): DataFrame = {
+  private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile],
+      rowPrune: Boolean = false): DataFrame = {
     if (!files.exists(_.isDelta)) return readFiles(spark, m, files)
     // group identity under (possibly mixed) bucket specs: bucket % coarsest
     // live spec — pre-rescale files are coarser, so grouping at the coarsest
@@ -1309,6 +1334,24 @@ class LakeTable(val dir: String) {
     // holding no delta-touched key leave the fold for the cold scan
     val (hot, pruned) = pruneUntouchedBase(hot0, m, gran)
     val cold = cold0 ++ pruned
+    // row-level refinement (see buildDeltaKeyBloom): with a bloom of the
+    // delta key hashes, every group scan keeps only rows that MIGHT carry a
+    // delta key — delta rows always probe true (no false negatives for
+    // members), untouched base rows leave the fold and its in-partition
+    // sort for a second, fully parallel scan on the cold side. This is the
+    // prune that fires on hash-random keys, where footer key ranges all
+    // interleave and the file-level split above is a no-op. Whole-table
+    // reads only (rowPrune): the per-group readResolved calls in
+    // compact/splitBuckets and the per-merge readBuckets must not pay a
+    // driver-blocking bloom-build job each — their group-local inputs are
+    // delta-heavy by construction, exactly where the split cannot win.
+    val bloom = if (rowPrune) buildDeltaKeyBloom(spark, m, hot) else None
+    val probe: DataFrame => DataFrame = bloom match {
+      case None => identity
+      case Some(bf) => df => df.filter(
+        graft.functions.BloomProbe.bloom_key_might_contain(
+          xxhash64(m.keyCols.map(col): _*), bf))
+    }
     def fold(df: DataFrame): DataFrame =
       if (m.tableMode == Manifest.SCD2) rebuildScd2Local(df, m)
       else resolveLwwLocal(df, m.keyCols)
@@ -1318,7 +1361,8 @@ class LakeTable(val dir: String) {
         // Exchange); balanced union keeps Catalyst analysis O(N log N) instead
         // of the quadratic left-deep chain
         LakeTable.unionBalanced(
-          hot.groupBy(g).values.map(fs => readFiles(spark, m, fs).coalesce(1)).toSeq)
+          hot.groupBy(g).values.map(fs =>
+            probe(readFiles(spark, m, fs)).coalesce(1)).toSeq)
           .transform(fold)
       } else {
         // thousands of delta-bearing groups: a single Catalyst plan over that
@@ -1331,20 +1375,61 @@ class LakeTable(val dir: String) {
         // drops to the RDD layer immediately anyway, so nothing is lost by
         // leaving Catalyst early.)
         val branches = hot.groupBy(g).values
-          .map(fs => readFiles(spark, m, fs).coalesce(1)).toSeq
+          .map(fs => probe(readFiles(spark, m, fs)).coalesce(1)).toSeq
         val schema = branches.head.schema
         val union = spark.sparkContext.union(branches.map(_.queryExecution.toRdd))
         fold(org.apache.spark.sql.graftbridge.Bridge
           .internalCreateDataFrame(spark, union, schema))
       }
-    if (cold.isEmpty) resolved else resolved.unionByName(readFiles(spark, m, cold))
+    // bloom-passed base rows: provably untouched, read at full parallelism
+    // beside the cold files (their bytes ARE scanned twice — once filtered
+    // into the fold, once negated here — which is what the build gate's
+    // base/delta ratio prices against the sort they skip)
+    val passed = bloom match {
+      case None => None
+      case Some(bf) =>
+        val bases = hot.filterNot(_.isDelta)
+        if (bases.isEmpty) None
+        else Some(readFiles(spark, m, bases).filter(
+          !graft.functions.BloomProbe.bloom_key_might_contain(
+            xxhash64(m.keyCols.map(col): _*), bf)))
+    }
+    val withPassed = passed.fold(resolved)(resolved.unionByName)
+    if (cold.isEmpty) withPassed else withPassed.unionByName(readFiles(spark, m, cold))
+  }
+
+  /**
+   * Build the bloom filter of delta key hashes for [[readResolved]]'s
+   * row-level untouched-base prune, or None when the split cannot pay:
+   *  - base rows must outnumber delta rows by [[LakeTable.rowPruneMinRatio]]
+   *    (the fold keeps at most ~deltaRows/baseRows + fpp of the base, so the
+   *    ratio bounds both the sort saved and the double-scan wasted);
+   *  - delta rows are capped ([[LakeTable.rowPruneMaxDeltaKeys]]) so the
+   *    filter stays small enough to ride the plan (~1 byte/key at 3% fpp);
+   *    a delta past the cap is overdue for compaction, not for cleverness.
+   * The build itself is one aggregate job over ONLY the delta files' key
+   * columns — the small side, by the gate above. Row counts come from the
+   * manifest (exact, recorded at commit), so gating is metadata-only.
+   */
+  private[graft] def buildDeltaKeyBloom(
+      spark: SparkSession, m: Manifest, hot: Seq[DataFile]): Option[BloomFilter] = {
+    val ratio = LakeTable.rowPruneMinRatio
+    if (ratio <= 0 || m.keyCols.isEmpty) return None
+    val (deltas, bases) = hot.partition(_.isDelta)
+    val deltaRows = deltas.map(_.rows).sum
+    val baseRows = bases.map(_.rows).sum
+    if (deltaRows <= 0 || deltaRows > LakeTable.rowPruneMaxDeltaKeys ||
+        baseRows < deltaRows * ratio) return None
+    val hashed = readFiles(spark, m, deltas)
+      .select(xxhash64(m.keyCols.map(col): _*).as("_kh"))
+    Some(hashed.stat.bloomFilter("_kh", deltaRows, LakeTable.rowPruneFpp))
   }
 
   /** Read the whole table at the current snapshot/schema (tombstones hidden,
     * deltas resolved). */
   def read(spark: SparkSession): DataFrame = {
     val m = manifest
-    withoutTombstones(readResolved(spark, m, m.files))
+    withoutTombstones(readResolved(spark, m, m.files, rowPrune = true))
   }
 
   /** Time travel: read the table as of snapshot `version` (snapshot isolation —
@@ -1352,7 +1437,7 @@ class LakeTable(val dir: String) {
     * vacuumed). */
   def readVersion(spark: SparkSession, version: Int): DataFrame = {
     val m = resolve(version)
-    withoutTombstones(readResolved(spark, m, m.files))
+    withoutTombstones(readResolved(spark, m, m.files, rowPrune = true))
   }
 
   /** The table schema as of snapshot `version` (metadata time travel — used by
@@ -1376,7 +1461,7 @@ class LakeTable(val dir: String) {
     * silently diverge from the source. */
   def readState(spark: SparkSession, version: Int): DataFrame = {
     val m = resolve(version)
-    readResolved(spark, m, m.files)
+    readResolved(spark, m, m.files, rowPrune = true)
   }
 
   /**

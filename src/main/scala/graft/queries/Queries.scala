@@ -1104,6 +1104,58 @@ object Queries {
       state.unionAll(metric).orderBy("kind", "doc_id")
     }),
 
+    // ROW-level untouched-base pruning under the driver's oracle (round 5):
+    // the whole feed folded to per-bucket base, then two touches at the
+    // EXTREMES of the id range — the delta footer ranges bracket every base
+    // file's, so the file-level prune provably cannot fire and the bloom
+    // split is the only prune in play. The read must equal the whole-feed
+    // LWW fold + touches, and three computed booleans hash against a
+    // constant-true oracle: the bloom built (the base/delta gate fired — it
+    // needs ≥16 hot-group base rows, true from sf 0.01 up), the file prune
+    // was the expected no-op, and the probe landed in the executed plan.
+    "q_lake_prune_rows" -> ((s, dir) => {
+      val root = tempRoot("graft-q-rowprune")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+          buckets = 4))
+      val lake = CdcRunner.ensureTable(s, cfg)
+      val ev = feedFromEvents(s, dir)
+      graft.apply.MergeApply.applyBatch(s, lake, ev, 0L, cfg.job)
+      lake.compact(s, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+      val ids = ev.agg(min(ChangeEvent.DOC_ID), max(ChangeEvent.DOC_ID)).head()
+      def touch(lsn: Long, id: String) = s.range(1).select(
+        lit(lsn).as(ChangeEvent.LSN), lit(0L).as(ChangeEvent.TXN_ID),
+        timestamp_seconds(lit(1700000000L)).as(ChangeEvent.TS),
+        lit(ChangeEvent.UPDATE).as(ChangeEvent.OP), lit(1).as(ChangeEvent.SCHEMA_VER),
+        lit(id).as(ChangeEvent.DOC_ID),
+        tokensExpr(lit(lsn), lit(3)).as("tokens"),
+        lit(3).as("n_tok"), lit("rowtouch").as("source"))
+      graft.apply.MergeApply.applyBatch(s, lake,
+        touch(9000001L, ids.getString(0)).unionAll(touch(9000002L, ids.getString(1))),
+        1L, cfg.job)
+      val m = lake.manifest
+      val gran = m.files.map(_.spec).min
+      val hotG = m.files.filter(_.isDelta).map(_.bucket % gran).toSet
+      val hot = m.files.filter(f => hotG.contains(f.bucket % gran))
+      val fileNoop = lake.pruneUntouchedBase(hot, m, gran)._2.isEmpty
+      val bloomFired = lake.buildDeltaKeyBloom(s, m, hot).nonEmpty
+      val df = lake.read(s)
+      val probePlanned = df.queryExecution.executedPlan.toString
+        .contains("bloom_key_might_contain")
+      val nullS = lit(null).cast(StringType)
+      val state = df.select(lit("state").as("kind"), col("doc_id"),
+        array_join(col("tokens").cast("array<string>"), ",").as("tokens_csv"),
+        col("n_tok"), col("source"))
+      def met(name: String, v: Boolean) = s.range(1).select(
+        lit("metric").as("kind"), lit(name).as("doc_id"), nullS.as("tokens_csv"),
+        lit(null).cast(IntegerType).as("n_tok"), lit(v.toString).as("source"))
+      state.unionAll(met("bloom_fired", bloomFired))
+        .unionAll(met("file_prune_noop", fileNoop))
+        .unionAll(met("probe_planned", probePlanned))
+        .orderBy("kind", "doc_id")
+    }),
+
     // bucket-spec evolution end-to-end: ingest at 4 buckets, rescale to 8
     // mid-feed (metadata-only; merges continue on the mixed-spec table —
     // copy-on-write rewrites whole pre-split groups), then migrate physically
@@ -1616,6 +1668,38 @@ object Queries {
          |  SELECT 'metric' AS kind, 'prune_fired' AS doc_id,
          |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
          |    'true' AS source)
+         |SELECT * FROM state UNION ALL SELECT * FROM met
+         |ORDER BY kind, doc_id""".stripMargin,
+
+    // row-level pruning: the state is the whole-feed LWW fold plus touches
+    // of the lowest and highest doc ids (lsn 9000001/9000002 beat every
+    // event_id); the three metric rows pin bloom_fired / file_prune_noop /
+    // probe_planned to TRUE — computed Spark-side from the manifest's
+    // actual gate decision and the executed plan
+    "q_lake_prune_rows" ->
+      s"""WITH ev0 AS ($feedSql),
+         |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM ev0),
+         |ev AS (
+         |  SELECT lsn, op, doc_id, n_tok, eid, source FROM ev0
+         |  UNION ALL
+         |  SELECT 9000001, 'UPDATE', (SELECT lo FROM bounds), 3, 9000001, 'rowtouch'
+         |  UNION ALL
+         |  SELECT 9000002, 'UPDATE', (SELECT hi FROM bounds), 3, 9000002, 'rowtouch'),
+         |last AS (
+         |  SELECT doc_id, arg_max(op, lsn) AS last_op, arg_max(eid, lsn) AS eid,
+         |    arg_max(n_tok, lsn) AS n_tok, arg_max(source, lsn) AS source
+         |  FROM ev GROUP BY doc_id),
+         |state AS (
+         |  SELECT 'state' AS kind, doc_id,
+         |    array_to_string(${tokensSql("eid", "n_tok")}, ',') AS tokens_csv,
+         |    n_tok, source
+         |  FROM last WHERE last_op <> 'DELETE'),
+         |met AS (
+         |  SELECT 'metric' AS kind, m.name AS doc_id,
+         |    CAST(NULL AS VARCHAR) AS tokens_csv, CAST(NULL AS INT) AS n_tok,
+         |    'true' AS source
+         |  FROM (VALUES ('bloom_fired'), ('file_prune_noop'),
+         |    ('probe_planned')) m(name))
          |SELECT * FROM state UNION ALL SELECT * FROM met
          |ORDER BY kind, doc_id""".stripMargin,
 
