@@ -138,6 +138,65 @@ class MorRowPruneSpec extends SparkSpec {
     assert(rows.length == nKeys + touches.size)
   }
 
+  test("bloom prune across a rescale + key rename: mixed-spec groups and " +
+    "mixed writer schemas probe consistently; read == unpruned throughout") {
+    // Aged base at spec 4 under the ORIGINAL key name, then: rescale(8)
+    // (metadata-only — the touches below write at spec 8, the base stays at
+    // spec 4) and a KEY rename (the touches write schema id 2, the base
+    // carries the stats and data under the old name). The bloom build hashes
+    // the CURRENT key name over field-id-projected reads on BOTH sides, so
+    // the probe must stay consistent across spec and schema groups — the two
+    // evolution axes a 100-TB table accretes while its deltas age.
+    val nKeys = 400
+    val root = tmpDir("graft-rowprune-evolve")
+    val cfg = RunnerConfig(
+      feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+      job = JobConfig(mode = CdcMode.Upsert, merge = MergeStrategy.MergeOnRead,
+        buckets = 4))
+    val lake = CdcRunner.ensureTable(spark, cfg)
+    apply(lake, cfg, 0L,
+      (1 to nKeys).map(k => mkRow(k.toLong, k, "INSERT", v = k % 9 + 1)))
+    lake.compact(spark, maxFilesPerBucket = Int.MaxValue, maxDeltaFiles = 1)
+    lake.rescale(8)
+    lake.evolve(Seq(graft.lake.RenameColumn("doc_id", "document_id")))
+    assert(lake.manifest.keyCols == Seq("document_id"),
+      "key rename must follow into the manifest's key set")
+    val touches = Seq(1 -> "UPDATE", 400 -> "UPDATE", 57 -> "DELETE",
+      133 -> "UPDATE", 290 -> "UPDATE", 11 -> "DELETE", 342 -> "UPDATE")
+    val touchRows = touches.zipWithIndex.map { case ((k, op), i) =>
+      mkRow(nKeys + 100L + i, k, op, v = 99)
+    }
+    MergeApply.applyBatch(spark, lake,
+      spark.createDataFrame(spark.sparkContext.parallelize(touchRows, 2),
+        ChangeEvent.schema()).withColumnRenamed("doc_id", "document_id"),
+      1L, cfg.job.copy(keyCols = Seq("document_id")))
+    val m = lake.manifest
+    assert(m.files.map(_.spec).distinct.toSet == Set(4, 8),
+      "the shape under test is MIXED specs (pre-rescale base, post-rescale deltas)")
+    assert(m.files.map(_.schemaId).distinct.size == 2,
+      "the shape under test is MIXED writer schemas")
+    assert(!filePruneFired(lake))
+    assert(bloomBuilt(lake))
+    val df = lake.read(spark)
+    assert(df.queryExecution.executedPlan.toString.contains("bloom_key_might_contain"))
+    val expected = (1 to nKeys).flatMap { k =>
+      touches.reverse.find(_._1 == k) match {
+        case Some((_, "DELETE")) => None
+        case Some((_, _))        => Some(f"doc-$k%09d" -> 99)
+        case None                => Some(f"doc-$k%09d" -> (k % 9 + 1))
+      }
+    }.toMap
+    def state(d: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      d.collect().map(r => r.getAs[String]("document_id") ->
+        r.getAs[scala.collection.Seq[Int]]("tokens").head).toMap
+    assert(state(df) == expected)
+    assert(withRowPruneDisabled(state(lake.read(spark))) == expected)
+    // physical migration to the doubled spec must not disturb the state
+    lake.splitBuckets(spark)
+    assert(lake.manifest.files.forall(_.spec == 8))
+    assert(state(lake.read(spark)) == expected)
+  }
+
   test("gates: no bloom when deltas outgrow the cap, when the base/delta " +
     "ratio is thin, or when row pruning is disabled") {
     val (lake, _) = age(CdcMode.Upsert, tmpDir("graft-rowprune-gate"), 400,
