@@ -1186,6 +1186,34 @@ object Queries {
         .transform(lwwShape)
     }),
 
+    // the auto-rescale POLICY end-to-end (cdc_settings.auto_rescale_bytes_
+    // per_bucket): the stream starts at 2 buckets with a 1-byte threshold,
+    // so the policy itself doubles the spec and migrates in bounded steps on
+    // its own cadence, mid-stream, with no operator call. The final state
+    // must equal the plain replay fold; the requires pin that the table
+    // actually grew and every live file sits on the divisor chain (reads
+    // stay correct throughout the mixed-spec window) — a silently-inert
+    // policy fails the query instead of shipping a vacuous pass.
+    "q_lake_autorescale" -> ((s, dir) => {
+      val root = tempRoot("graft-q-autorescale")
+      val cfg = RunnerConfig(
+        feedDir = s"$root/feed", tableDir = s"$root/table", checkpointDir = s"$root/cp",
+        job = JobConfig(mode = CdcMode.Upsert, buckets = 2),
+        maxFilesPerTrigger = 1,
+        autoCompactEveryEpochs = 2,
+        autoRescaleBytesPerBucket = 1L, // any committed data crosses it
+        autoRescaleMaxGroups = 64)
+      ChangeFeed.writeFeed(feedFromEvents(s, dir), cfg.feedDir, nFiles = 4)
+      val lake = CdcRunner.ensureTable(s, cfg)
+      CdcRunner.runAvailableNow(s, cfg)
+      val m = lake.manifest
+      require(m.buckets > 2,
+        s"auto-rescale policy never fired: buckets=${m.buckets}")
+      require(m.files.forall(f => f.spec > 0 && m.buckets % f.spec == 0),
+        s"file spec off the divisor chain: ${m.files.map(_.spec).distinct}")
+      lake.read(s).transform(lwwShape)
+    }),
+
     // mixed-version WAL stream, ONE run, NO restart: v1 lines (doc_id, n_tok
     // int, source) interleave with v2 lines (renamed origin, added lang,
     // n_tok widened past int range) in the same feed; parseVersioned detects
@@ -1643,6 +1671,11 @@ object Queries {
 
     // compaction + vacuum are read-equivalent: same fold as the plain upsert
     "q_lake_maintenance" ->
+      lwwFoldSql,
+
+    // the policy-driven rescale is invisible to readers: same fold again
+    // (the query's own requires pin that the policy actually fired)
+    "q_lake_autorescale" ->
       lwwFoldSql,
 
     // aged-base pruning: the state is the whole-feed LWW fold plus the
