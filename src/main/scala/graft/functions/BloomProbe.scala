@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -18,11 +19,14 @@ import org.apache.spark.util.sketch.BloomFilter
  * Contract: NO FALSE NEGATIVES — a hash that was `put` always probes true,
  * so filtering a mixed base+delta scan by this predicate can only drop base
  * rows whose key carries no delta. False positives merely send an untouched
- * row through the fold, where it folds to itself. The filter rides the plan
- * as a codegen reference object (task binaries are torrent-broadcast, so a
- * multi-MB filter ships once per executor, not per task).
+ * row through the fold, where it folds to itself. The filter ships as a
+ * [[Broadcast]] — materialized ONCE per executor in the block manager and
+ * shared by every task — rather than riding the plan as a reference object,
+ * which would be re-deserialized from the task binary by each of the
+ * potentially thousands of fold + passed-side tasks (a near-cap filter is
+ * tens of MB; per-task copies would multiply that by the task concurrency).
  */
-case class BloomKeyMightContain(child: Expression, bloom: BloomFilter)
+case class BloomKeyMightContain(child: Expression, bloom: Broadcast[BloomFilter])
   extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_key_might_contain"
@@ -34,12 +38,18 @@ case class BloomKeyMightContain(child: Expression, bloom: BloomFilter)
         child.dataType.catalogString)
 
   override def nullSafeEval(h: Any): Any =
-    bloom.mightContainLong(h.asInstanceOf[Long])
+    bloom.value.mightContainLong(h.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", bloom,
-      classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    val bcCls = classOf[Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom, bcCls)
+    // unwrap once per generated-class instance, not once per row: value()
+    // hits the executor-local broadcast cache but is still a method call
+    // plus a validity check we keep out of the per-row loop
+    val filter = ctx.addMutableState(bfCls, "bloomFilter",
+      v => s"$v = ($bfCls) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$filter.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): BloomKeyMightContain =
@@ -47,6 +57,6 @@ case class BloomKeyMightContain(child: Expression, bloom: BloomFilter)
 }
 
 object BloomProbe {
-  def bloom_key_might_contain(hash: Column, bloom: BloomFilter): Column =
+  def bloom_key_might_contain(hash: Column, bloom: Broadcast[BloomFilter]): Column =
     Bridge.column(BloomKeyMightContain(Bridge.expression(hash), bloom))
 }

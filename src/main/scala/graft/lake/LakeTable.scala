@@ -3,6 +3,7 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1322,14 +1323,8 @@ class LakeTable(val dir: String) {
   private def readResolved(spark: SparkSession, m: Manifest, files: Seq[DataFile],
       rowPrune: Boolean = false): DataFrame = {
     if (!files.exists(_.isDelta)) return readFiles(spark, m, files)
-    // group identity under (possibly mixed) bucket specs: bucket % coarsest
-    // live spec — pre-rescale files are coarser, so grouping at the coarsest
-    // granularity keeps every key's base+delta rows inside one group
-    val gran = files.map(_.spec).min
-    require(gran > 0, "delta resolution needs spec-tracked files")
+    val (gran, hot0, cold0) = hotFileSplit(files)
     def g(f: DataFile): Int = f.bucket % gran
-    val hotGroups = files.filter(_.isDelta).map(g).toSet
-    val (hot0, cold0) = files.partition(f => hotGroups.contains(g(f)))
     // untouched-base split (see pruneUntouchedBase): base files provably
     // holding no delta-touched key leave the fold for the cold scan
     val (hot, pruned) = pruneUntouchedBase(hot0, m, gran)
@@ -1345,18 +1340,23 @@ class LakeTable(val dir: String) {
     // compact/splitBuckets and the per-merge readBuckets must not pay a
     // driver-blocking bloom-build job each — their group-local inputs are
     // delta-heavy by construction, exactly where the split cannot win.
-    val bloom = if (rowPrune) buildDeltaKeyBloom(spark, m, hot) else None
-    val probe: DataFrame => DataFrame = bloom match {
+    // ONE probe column shared by both sides of the split: the fold keeps
+    // rows where it is true, the passed side keeps its negation — hoisting
+    // it makes fold/passed divergence (rows dropped or duplicated by two
+    // subtly different key expressions) impossible by construction
+    val probeCol = (if (rowPrune) deltaKeyBloom(spark, m, hot) else None)
+      .map(bc => graft.functions.BloomProbe.bloom_key_might_contain(
+        xxhash64(m.keyCols.map(col): _*), bc))
+    val probe: DataFrame => DataFrame = probeCol match {
       case None => identity
-      case Some(bf) => df => df.filter(
-        graft.functions.BloomProbe.bloom_key_might_contain(
-          xxhash64(m.keyCols.map(col): _*), bf))
+      case Some(p) => df => df.filter(p)
     }
     def fold(df: DataFrame): DataFrame =
       if (m.tableMode == Manifest.SCD2) rebuildScd2Local(df, m)
       else resolveLwwLocal(df, m.keyCols)
+    val hotGroupCount = hot0.iterator.map(g).toSet.size
     val resolved =
-      if (hotGroups.size <= LakeTable.maxFoldBranches) {
+      if (hotGroupCount <= LakeTable.maxFoldBranches) {
         // one coalesced scan branch per group (bucket-complete partition, zero
         // Exchange); balanced union keeps Catalyst analysis O(N log N) instead
         // of the quadratic left-deep chain
@@ -1385,17 +1385,57 @@ class LakeTable(val dir: String) {
     // beside the cold files (their bytes ARE scanned twice — once filtered
     // into the fold, once negated here — which is what the build gate's
     // base/delta ratio prices against the sort they skip)
-    val passed = bloom match {
+    val passed = probeCol match {
       case None => None
-      case Some(bf) =>
+      case Some(p) =>
         val bases = hot.filterNot(_.isDelta)
         if (bases.isEmpty) None
-        else Some(readFiles(spark, m, bases).filter(
-          !graft.functions.BloomProbe.bloom_key_might_contain(
-            xxhash64(m.keyCols.map(col): _*), bf)))
+        else Some(readFiles(spark, m, bases).filter(!p))
     }
     val withPassed = passed.fold(resolved)(resolved.unionByName)
     if (cold.isEmpty) withPassed else withPassed.unionByName(readFiles(spark, m, cold))
+  }
+
+  /**
+   * The fold grouping exactly as [[readResolved]] computes it: granularity =
+   * the coarsest live bucket spec (pre-rescale files are coarser, so grouping
+   * there keeps every key's base+delta rows inside one group), hot = files
+   * sharing a group with any delta file, cold = the rest. Exposed
+   * `private[graft]` so the prune-pinning oracle queries and specs test the
+   * PRODUCTION grouping instead of re-deriving it by hand — a re-derivation
+   * keeps pinning the old rule if this one ever changes.
+   */
+  private[graft] def hotFileSplit(
+      files: Seq[DataFile]): (Int, Seq[DataFile], Seq[DataFile]) = {
+    val gran = files.map(_.spec).min
+    require(gran > 0, "delta resolution needs spec-tracked files")
+    val hotGroups = files.filter(_.isDelta).map(_.bucket % gran).toSet
+    val (hot, cold) = files.partition(f => hotGroups.contains(f.bucket % gran))
+    (gran, hot, cold)
+  }
+
+  /** Per-snapshot memo of the broadcast delta-key bloom. The filter is a
+    * pure function of a manifest version's hot file set, and callers commonly
+    * construct several reads of the SAME snapshot — a sync bootstrap plus its
+    * equality audit, time-travel comparisons, an EXPLAIN before execution —
+    * each of which would otherwise pay the blocking delta-scan build job
+    * again. One entry suffices (readers of one table instance move forward
+    * through versions); superseded broadcasts are unpersisted by the context
+    * cleaner once their plans are gone. */
+  @transient private var bloomMemo: ((Int, Long, Long), Option[Broadcast[BloomFilter]]) = null
+
+  private[graft] def deltaKeyBloom(spark: SparkSession, m: Manifest,
+      hot: Seq[DataFile]): Option[Broadcast[BloomFilter]] = synchronized {
+    // the gate knobs are part of the key: tests (and operators) flip the
+    // sys-props between reads of one snapshot and must see the flip take
+    val key = (m.version, LakeTable.rowPruneMinRatio, LakeTable.rowPruneMaxDeltaKeys)
+    if (bloomMemo != null && bloomMemo._1 == key) bloomMemo._2
+    else {
+      val bc = buildDeltaKeyBloom(spark, m, hot)
+        .map(spark.sparkContext.broadcast(_))
+      bloomMemo = (key, bc)
+      bc
+    }
   }
 
   /**

@@ -1085,12 +1085,11 @@ object Queries {
         tokensExpr(lit(9000000L), lit(3)).as("tokens"),
         lit(3).as("n_tok"), lit("touched").as("source"))
       graft.apply.MergeApply.applyBatch(s, lake, touch, 2L, cfg.job)
-      // the prune decision exactly as readResolved computes it
+      // the prune decision exactly as readResolved computes it — same
+      // grouping helper, so this pin cannot drift from the production rule
       val m = lake.manifest
-      val gran = m.files.map(_.spec).min
-      val hotG = m.files.filter(_.isDelta).map(_.bucket % gran).toSet
-      val (hot, cold) = lake.pruneUntouchedBase(
-        m.files.filter(f => hotG.contains(f.bucket % gran)), m, gran)
+      val (gran, hotAll, _) = lake.hotFileSplit(m.files)
+      val (hot, cold) = lake.pruneUntouchedBase(hotAll, m, gran)
       val fired = cold.nonEmpty && cold.forall(!_.isDelta) &&
         hot.exists(f => !f.isDelta &&
           f.bucket == lake.bucketOfKey("doc-000007", m.buckets))
@@ -1135,9 +1134,7 @@ object Queries {
         touch(9000001L, ids.getString(0)).unionAll(touch(9000002L, ids.getString(1))),
         1L, cfg.job)
       val m = lake.manifest
-      val gran = m.files.map(_.spec).min
-      val hotG = m.files.filter(_.isDelta).map(_.bucket % gran).toSet
-      val hot = m.files.filter(f => hotG.contains(f.bucket % gran))
+      val (gran, hot, _) = lake.hotFileSplit(m.files)
       val fileNoop = lake.pruneUntouchedBase(hot, m, gran)._2.isEmpty
       val bloomFired = lake.buildDeltaKeyBloom(s, m, hot).nonEmpty
       val df = lake.read(s)

@@ -35,9 +35,7 @@ class MorPrunePropertySpec extends SparkSpec {
   private def pruneFired(lake: LakeTable): Boolean = {
     val m = lake.manifest
     if (!m.files.exists(_.isDelta)) return false
-    val gran = m.files.map(_.spec).min
-    val hotG = m.files.filter(_.isDelta).map(_.bucket % gran).toSet
-    val hot = m.files.filter(f => hotG.contains(f.bucket % gran))
+    val (gran, hot, _) = lake.hotFileSplit(m.files)
     lake.pruneUntouchedBase(hot, m, gran)._2.nonEmpty
   }
 

@@ -34,12 +34,11 @@ class MorRowPruneSpec extends SparkSpec {
         ChangeEvent.schema()),
       epoch, cfg.job)
 
-  /** The file-level prune decision exactly as readResolved computes it. */
+  /** The file-level prune decision exactly as readResolved computes it —
+    * via the production grouping helper, so the pin cannot drift. */
   private def filePruneFired(lake: LakeTable): Boolean = {
     val m = lake.manifest
-    val gran = m.files.map(_.spec).min
-    val hotG = m.files.filter(_.isDelta).map(_.bucket % gran).toSet
-    val hot = m.files.filter(f => hotG.contains(f.bucket % gran))
+    val (gran, hot, _) = lake.hotFileSplit(m.files)
     lake.pruneUntouchedBase(hot, m, gran)._2.nonEmpty
   }
 
@@ -219,5 +218,37 @@ class MorRowPruneSpec extends SparkSpec {
       "40 base / 10 delta rows is under the 8x gate")
     assert(!thin.read(spark).queryExecution.executedPlan.toString
       .contains("bloom_key_might_contain"))
+  }
+
+  test("delta-key bloom is built once per (snapshot, gate config) as one " +
+    "broadcast; a gate flip or a new commit re-keys the memo") {
+    val (lake, cfg) = age(CdcMode.Upsert, tmpDir("graft-rowprune-memo"), 400,
+      Seq(1 -> "UPDATE", 400 -> "UPDATE"))
+    val m = lake.manifest
+    val (_, hot, _) = lake.hotFileSplit(m.files)
+    val a = lake.deltaKeyBloom(spark, m, hot)
+    val b = lake.deltaKeyBloom(spark, m, hot)
+    assert(a.nonEmpty)
+    assert(a.get eq b.get,
+      "same snapshot + same gates must reuse the broadcast, not re-scan")
+    withRowPruneDisabled {
+      assert(lake.deltaKeyBloom(spark, m, hot).isEmpty,
+        "a gate flip between two reads of one snapshot must take effect")
+    }
+    assert(lake.deltaKeyBloom(spark, m, hot).nonEmpty, "and flip back")
+    // a new commit moves the version: the memo follows — no stale filter
+    // missing the fresh delta's keys (which would falsely pass them)
+    apply(lake, cfg, 2L, Seq(mkRow(9000L, 7, "UPDATE", v = 42)))
+    val m2 = lake.manifest
+    assert(m2.version > m.version)
+    val (_, hot2, _) = lake.hotFileSplit(m2.files)
+    val d = lake.deltaKeyBloom(spark, m2, hot2)
+    assert(d.nonEmpty && !(d.get eq b.get))
+    assert(d.get.value.mightContainLong(
+      lake.read(spark).where("doc_id = 'doc-000000007'")
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("doc_id")))
+        .head().getLong(0)),
+      "the re-keyed filter must contain the new delta's key hash")
   }
 }
