@@ -176,12 +176,24 @@ object ChangeFeed {
    */
   def writeRawChunks(chunks: Seq[DataFrame], dir: String,
       baseMs: Long = 1700000000000L, stepMs: Long = 60000L): Unit = {
-    val stamped = scala.collection.mutable.Set[String]()
+    // pre-existing part files are ALREADY stamped (an earlier call's chunks)
+    // and must keep their order: seeding the stamped set with them stops a
+    // second append call from collapsing every earlier file onto ITS
+    // chunk-0 mtime — the exact mis-ordering this function exists to
+    // prevent. An append also auto-continues AFTER the newest existing
+    // stamp, so sequential calls encode sequential arrival without the
+    // caller tracking a base offset.
+    val existing = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-"))
+    val stamped = scala.collection.mutable.Set[String](existing.map(_.getName): _*)
+    val base =
+      if (existing.isEmpty) baseMs
+      else math.max(baseMs, existing.map(_.lastModified()).max + stepMs)
     chunks.zipWithIndex.foreach { case (df, idx) =>
       df.coalesce(1).write.mode("append").parquet(dir)
       new java.io.File(dir).listFiles().foreach { f =>
         if (f.getName.startsWith("part-") && stamped.add(f.getName))
-          require(f.setLastModified(baseMs + idx * stepMs),
+          require(f.setLastModified(base + idx * stepMs),
             s"cannot set mtime on $f — this filesystem cannot encode feed " +
               "arrival order; use a POSIX-mtime-capable feed directory")
       }

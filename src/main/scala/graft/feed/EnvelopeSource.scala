@@ -108,8 +108,20 @@ object EnvelopeSource {
     val ops = msg.select(
       col("transaction_id"), col("created_at"), col("batch_page"),
       posexplode(opsCol).as(Seq("_pos", "op_row")))
-    val kv = map_from_entries(transform(col("op_row.columns"),
-      c => struct(c.getField("name"), c.getField("value"))))
+    // LAST occurrence wins on duplicate column names and NULL-named entries
+    // drop: a producer emitting the same name twice (old+new value of a
+    // PK update) or a corrupt null-name entry would make map_from_entries
+    // raise DUPLICATE_MAP_KEY / "null as map key" under Spark's default
+    // dedup policy — failing the micro-batch and re-failing it on every
+    // checkpoint replay, wedging the stream on one message forever. Same
+    // last-wins contract as WalParser.parseCore's tuple parse (and the
+    // reference's dict building — later assignments overwrite).
+    val colsArr = filter(col("op_row.columns"), c => c.getField("name").isNotNull)
+    val colNames = array_distinct(transform(colsArr, c => c.getField("name")))
+    val kv = map_from_entries(transform(colNames, n => struct(
+      n.as("key"),
+      element_at(filter(colsArr, c => c.getField("name") === n), -1)
+        .getField("value").as("value"))))
     // the corrupt-message marker row carries NULL created_at/batch_page (the
     // whole message failed from_json): packedLsn's budget guard would see a
     // NULL condition, fall to its otherwise-branch and raise_error — crashing
@@ -276,9 +288,15 @@ object EnvelopeSource {
       // later deliveryGap call — the audit killed by the crash class it
       // exists to detect
       val tmp = java.nio.file.Paths.get(feedDir, s".${p.getFileName}.tmp")
-      java.nio.file.Files.writeString(tmp,
-        s"""{"table":"$schemaName.$tableName","pages":$pages,"ops":$ops,""" +
-          s""""created_at":$created}""")
+      // rendered, not string-interpolated: a table name carrying a quote or
+      // backslash would otherwise write invalid JSON that breaks every later
+      // producerStats/deliveryGap parse — the audit broken by its own writer
+      java.nio.file.Files.writeString(tmp, {
+        import org.json4s.JsonDSL._
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          ("table" -> s"$schemaName.$tableName") ~ ("pages" -> pages) ~
+            ("ops" -> ops) ~ ("created_at" -> created)))
+      })
       java.nio.file.Files.move(tmp, p,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       // AFTER the message files land: the marker must never claim a capture

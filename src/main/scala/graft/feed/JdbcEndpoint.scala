@@ -167,6 +167,19 @@ object JdbcEndpoint {
     * (trempy/Metadata/Query.py:66-81, CDCOperationsHandler.py:25-30). */
   case class ApplyException(row_json: String, error: String)
 
+  /** Deterministic per-row rejections — what the reference's
+    * apply_exceptions table records (Metadata/Query.py:66-81). SQLSTATE
+    * class 21 (cardinality), 22 (data), 23 (integrity constraint), 44
+    * (WITH CHECK) are the row's fault and re-fail identically on retry;
+    * anything else — connection loss (08), deadlock/serialization (40),
+    * resource (53/57), vendor transients, or a missing SQLSTATE — must NOT
+    * be swallowed into the rejection ledger. */
+  private[feed] def isRowRejection(e: java.sql.SQLException): Boolean = {
+    val s = e.getSQLState
+    s != null && (s.startsWith("21") || s.startsWith("22") ||
+      s.startsWith("23") || s.startsWith("44"))
+  }
+
   private def jdbcTypeCode(dt: DataType): Int = dt match {
     case StringType     => java.sql.Types.VARCHAR
     case IntegerType    => java.sql.Types.INTEGER
@@ -267,7 +280,15 @@ object JdbcEndpoint {
                 page.foreach { r =>
                   try { bind(r); ps.executeUpdate(); c.commit() }
                   catch {
-                    case e: java.sql.SQLException =>
+                    // record ONLY deterministic per-row rejections (SQLSTATE
+                    // class 21/22/23/44 — cardinality, data, integrity, CHECK
+                    // violations): a transient failure here (connection drop
+                    // 08, deadlock/timeout 40, resource 53/57) is not the
+                    // row's fault — recording it would silently lose good
+                    // rows behind a successful job while misattributing an
+                    // infra failure to the data. Rethrow instead: the task
+                    // fails loudly and Spark's retry owns the transient.
+                    case e: java.sql.SQLException if isRowRejection(e) =>
                       c.rollback()
                       out += ApplyException(rowJson(r),
                         Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -166,14 +166,26 @@ object WalParser {
       castToken(cleanToken(element_at(kv, f.name)), f.dataType).as(f.name)
     }
 
+    // A line can pass the DML-prefix filter yet fail the FULL LINE_RE — a
+    // truncated `table s.t: INSERT:` with nothing after the op colon. There
+    // regexp_extract yields "" (not NULL) for every group, and an
+    // empty-string route is indistinguishable from another table's traffic:
+    // routed() would silently drop the row — no quarantine, no count, the
+    // exact vanishing the corrupt-line markers exist to prevent. NULL the
+    // op and the route instead, so the row quarantines as unknown_op with
+    // its lsn/xid intact.
+    val opEx = regexp_extract(line, LINE_RE, 3)
+    val truncated = opEx === ""
+    def orNull(c: Column): Column =
+      when(truncated, lit(null).cast(StringType)).otherwise(c)
     val parsed = dml.select(Seq(
       col("lsn"),
       col("xid").as(graft.model.ChangeEvent.TXN_ID),
       tsOfLsn(col("lsn")).as(graft.model.ChangeEvent.TS),
-      upper(regexp_extract(line, LINE_RE, 3)).as(graft.model.ChangeEvent.OP),
+      orNull(upper(opEx)).as(graft.model.ChangeEvent.OP),
       verOf(kv).as(graft.model.ChangeEvent.SCHEMA_VER),
-      regexp_extract(line, LINE_RE, 1).as("schema_name"),
-      regexp_extract(line, LINE_RE, 2).as("table_name")) ++ typedPayload: _*)
+      orNull(regexp_extract(line, LINE_RE, 1)).as("schema_name"),
+      orNull(regexp_extract(line, LINE_RE, 2)).as("table_name")) ++ typedPayload: _*)
 
     // Slot rows with a NULL xid or NULL data are CORRUPTION — the slot-read
     // shape declares both non-null, but file sources don't enforce

@@ -165,20 +165,31 @@ object CdcRunner {
     // under the full-load epoch) or fail loudly. The pre-count projects
     // ONLY the key columns — a pruned scan, cheap next to the load's write.
     val nullKey = keys.map(col(_).isNull).reduce(_ || _)
-    val nBadKeys = snapshot0T.select(keys.map(col): _*).filter(nullKey).count()
+    // ONE evaluation of the source for the whole split: the pre-count, the
+    // quarantine write, and the clean write below would otherwise each
+    // re-scan it, and a LIVE source (the JDBC snapshot this entry exists
+    // for) can return different rows per scan — a row turning null-keyed
+    // between the count and the write would bypass the split entirely and
+    // land as an unmatchable base row, the very failure the guard exists to
+    // prevent. DISK_ONLY staging is the reference's own full-load shape
+    // (parquet staging, FullLoadHandler.py:87-125), priced at one extra
+    // write+read of the snapshot; it spills, never OOMs, at any scale.
+    val staged = snapshot0T.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+    val nBadKeys = staged.select(keys.map(col): _*).filter(nullKey).count()
     val snapshot =
-      if (nBadKeys == 0) snapshot0T
+      if (nBadKeys == 0) staged
       else {
         if (!job.quarantine)
           throw new IllegalStateException(
             s"full load: $nBadKeys snapshot row(s) with null merge key(s) " +
               s"${keys.mkString(",")} and quarantine is disabled")
-        snapshot0T.filter(nullKey)
+        staged.filter(nullKey)
           .withColumn(MergeApply.QUARANTINE_REASON, lit("null_merge_key: " +
             s"key column(s) ${keys.mkString(",")} must be non-null in the " +
             "full-load snapshot"))
           .write.mode("overwrite").parquet(lake.quarantineDir(epoch))
-        snapshot0T.filter(!nullKey)
+        staged.filter(!nullKey)
       }
     val withBucket = (job.mode match {
       case CdcMode.Scd2 =>
@@ -207,6 +218,7 @@ object CdcRunner {
         // truncate-and-load marker: changeLog refuses windows spanning it
         // and LakeSync re-mirrors (see LakeTable.ReloadMetric)
         LakeTable.ReloadMetric -> 1L))
+    } finally { staged.unpersist(); () }
   }
 
   /** Schema registry: evolve the lake schema for EVERY registry version up to
@@ -336,7 +348,7 @@ object CdcRunner {
     * key column must rename the key CONFIG too — the stale name would make
     * the DELETE-key filter and the merge's groupBy reference a column the
     * parse no longer emits (AnalysisException on every batch). */
-  private def registryRenamedKeys(
+  private[runner] def registryRenamedKeys(
       keys: Seq[String], registry: Map[Int, Seq[SchemaChange]]): Seq[String] =
     registry.toSeq.sortBy(_._1).flatMap(_._2).foldLeft(keys) {
       case (ks, RenameColumn(from, to)) => ks.map(k => if (k == from) to else k)
@@ -651,12 +663,20 @@ object CdcRunner {
         // commit replays identically.
         val AGE = "_stash_age" // epochs a stashed line has already waited
         val rawCols = WalParser.rawSchema.fieldNames.toSeq.map(col)
-        val prevStash = new java.io.File(s"$stashRoot/epoch=${epoch - 1}")
+        // the stash lives under the streaming CHECKPOINT dir, which on a
+        // cluster is HDFS/object-store: probe through the path's OWN
+        // FileSystem, never java.io.File — a local-File probe on a remote
+        // checkpoint is always false, which would silently disable the
+        // carry-in (every split transaction's DML dropped, no error)
+        val (stashFs, stashRootP) = hadoopFs(spark, stashRoot)
+        val prevStashP =
+          new org.apache.hadoop.fs.Path(s"$stashRoot/epoch=${epoch - 1}")
+        val prevStashExists = isHadoopDir(stashFs, prevStashP)
         val withAge =
-          (if (prevStash.isDirectory) {
+          (if (prevStashExists) {
             // the stash is self-written parquet: its own schema carries AGE
             // (a pre-AGE stash from an older checkpoint reads as age 1)
-            val p = spark.read.parquet(prevStash.getPath)
+            val p = spark.read.parquet(prevStashP.toString)
             raw.withColumn(AGE, lit(0)).unionByName(
               if (p.columns.contains(AGE)) p else p.withColumn(AGE, lit(1)))
           } else raw.withColumn(AGE, lit(0)))
@@ -708,7 +728,7 @@ object CdcRunner {
         // probe keeps the steady-state hot path (no split txns) free of an
         // extra per-batch driver job
         val expiredXids: Seq[Long] =
-          if (maxAge <= 0 || !prevStash.isDirectory) Seq.empty
+          if (maxAge <= 0 || !prevStashExists) Seq.empty
           else pending.filter(col(AGE) >= maxAge).select("xid").distinct()
             .collect().map(_.getLong(0)).filterNot(prevXids).sorted.toSeq
         val ledger = ledgerPrev ++ expiredXids.map(x => (x, epoch))
@@ -718,7 +738,7 @@ object CdcRunner {
         // when empty — the steady state after retention pruning carries no
         // ledger and pays nothing.
         if (ledger.nonEmpty)
-          writeEvictionLedger(s"$stashRoot/evicted=$epoch", ledger)
+          writeEvictionLedger(spark, s"$stashRoot/evicted=$epoch", ledger)
         // evicted txns never stash (their lines quarantine the batch they
         // arrive in); null-xid corrupt markers are already excluded by the
         // filter above, and pending's xids are non-null so the negated
@@ -778,13 +798,17 @@ object CdcRunner {
         // the retry window only ever replays the LAST epoch: GC stashes and
         // ledgers older than epoch-1 (best-effort, idempotent on retry; the
         // ledger is cumulative, so only the newest copy matters)
-        Option(new java.io.File(stashRoot).listFiles()).foreach(_.foreach { f =>
-          val pref = Seq("epoch=", "evicted=").find(f.getName.startsWith)
-          val tail = pref.map(f.getName.stripPrefix)
+        (try stashFs.listStatus(stashRootP).toSeq
+         catch { case _: java.io.FileNotFoundException => Seq.empty }
+        ).foreach { st =>
+          val name = st.getPath.getName
+          val pref = Seq("epoch=", "evicted=").find(name.startsWith)
+          val tail = pref.map(name.stripPrefix)
           if (tail.flatMap(t => scala.util.Try(t.toLong).toOption)
-              .exists(_ < epoch - 1))
-            deleteRecursively(f)
-        })
+              .exists(_ < epoch - 1)) {
+            stashFs.delete(st.getPath, true): Unit
+          }
+        }
       }
     startGuarded(spark, Seq(metricsL))(
       (if (availableNow) writer.trigger(Trigger.AvailableNow())
@@ -798,26 +822,48 @@ object CdcRunner {
     * bare xids: read it once via Spark and stamp every entry as evicted at
     * `fallbackEpoch` (the newest possible time — it then lives a full
     * retention window, the safe direction). */
+  /** The Hadoop FileSystem owning `path` (plus the parsed Path): checkpoint
+    * state must be probed through the path's own scheme — a java.io.File
+    * probe on an hdfs://s3a:// checkpoint is always false, silently
+    * disabling whatever the probe guards. FileSystem instances are cached
+    * by (scheme, authority), so this is cheap per batch. */
+  private[graft] def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def isHadoopDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
   private[graft] def readEvictionLedger(
       spark: SparkSession, path: String, fallbackEpoch: Long): Seq[(Long, Long)] = {
-    val f = new java.io.File(path)
-    if (f.isFile) {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().filter(_.nonEmpty).map { l =>
-        l.split(" ", 2) match {
-          case Array(x, e) => (x.toLong, e.toLong)
-          // loud, named failure: silently skipping a line would drop a past
-          // eviction and tear that transaction across lake and quarantine
-          case _ => sys.error(s"corrupt eviction ledger $path: line '$l' " +
-            "(expected 'xid evictedAtEpoch'); restore or delete the ledger " +
-            "after verifying no evicted transaction is still in flight")
-        }
-      }.toList
-      finally src.close()
-    } else if (f.isDirectory)
-      spark.read.parquet(f.getPath).select("xid").collect()
-        .map(r => (r.getLong(0), fallbackEpoch)).sortBy(_._1).toSeq
-    else Seq.empty
+    val (fs, p) = hadoopFs(spark, path)
+    val status =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case Some(st) if st.isFile =>
+        val in = fs.open(p)
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().filter(_.nonEmpty).map { l =>
+          l.split(" ", 2) match {
+            case Array(x, e) => (x.toLong, e.toLong)
+            // loud, named failure: silently skipping a line would drop a past
+            // eviction and tear that transaction across lake and quarantine
+            case _ => sys.error(s"corrupt eviction ledger $path: line '$l' " +
+              "(expected 'xid evictedAtEpoch'); restore or delete the ledger " +
+              "after verifying no evicted transaction is still in flight")
+          }
+        }.toList
+        finally { src.close(); in.close() }
+      case Some(st) if st.isDirectory =>
+        spark.read.parquet(path).select("xid").collect()
+          .map(r => (r.getLong(0), fallbackEpoch)).sortBy(_._1).toSeq
+      case _ => Seq.empty
+    }
   }
 
   /** Overwrite the epoch's ledger file — driver-side, no Spark job (the
@@ -828,21 +874,53 @@ object CdcRunner {
     * process-crash ordering argument (torn ledger ⇒ uncommitted batch ⇒
     * retry rewrites it) does not cover power loss, where the checkpoint
     * commit can reach disk while an unforced ledger page does not. */
-  private[graft] def writeEvictionLedger(path: String, ledger: Seq[(Long, Long)]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+  private[graft] def writeEvictionLedger(spark: SparkSession, path: String,
+      ledger: Seq[(Long, Long)]): Unit = {
     val body = ledger.map { case (x, e) => s"$x $e" }.mkString("", "\n", "\n")
-    Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
-    val target = Paths.get(path)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8"))): Unit
-      ch.force(true)
-    } finally ch.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    val uri = java.net.URI.create(
+      // Path normalizes; a raw string with spaces would throw — the ledger
+      // path is engine-derived (checkpointDir + fixed names), so keep simple
+      new org.apache.hadoop.fs.Path(path).toString)
+    if (uri.getScheme == null) {
+      // scheme-less local path, kept verbatim: fsync + ATOMIC_MOVE. The
+      // process-crash ordering argument (torn ledger ⇒ uncommitted batch ⇒
+      // retry rewrites it) does not cover power loss, where the checkpoint
+      // commit can reach disk while an unforced ledger page does not —
+      // hence the explicit force(true) here. A scheme-QUALIFIED path (even
+      // file:) takes the Hadoop branch below, so that branch has real local
+      // test coverage standing in for hdfs://s3a:// checkpoints.
+      import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+      Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
+      val target = Paths.get(path)
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8"))): Unit
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      // remote checkpoint (hdfs/s3a/…): same tmp-then-rename shape through
+      // the path's own FileSystem — hsync is fsync on HDFS; object stores
+      // make the PUT visible atomically on close. FileContext rename with
+      // OVERWRITE is the atomic-replace primitive (FileSystem.rename
+      // refuses an existing target on HDFS).
+      val (fs, target) = hadoopFs(spark, path)
+      val tmp = new org.apache.hadoop.fs.Path(
+        target.getParent, target.getName + ".tmp")
+      fs.mkdirs(target.getParent): Unit
+      val out = fs.create(tmp, true)
+      try {
+        out.write(body.getBytes("UTF-8"))
+        out.hsync()
+      } finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {

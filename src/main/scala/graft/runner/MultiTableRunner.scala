@@ -72,10 +72,22 @@ object MultiTableRunner {
     val jobs = cfg.settings.tables.map { rules =>
       val payload = cfg.payloads.getOrElse(rules.id,
         throw new IllegalArgumentException(s"no payload declared for table ${rules.id}"))
+      // registry key renames — the single-table start() contract
+      // (CdcRunner.registryRenamedKeys): a merge key follows its rename
+      // exactly when the declared payload schema already carries the NEW
+      // name. Without this, a registry renaming a key column wedges every
+      // batch of the restarted-with-evolved-payload stream on the stale key
+      // name (the lake column is renamed by applySchemaRegistry, the job's
+      // groupBy/DELETE-key filter still references the old one).
+      val renamedKeys = CdcRunner.registryRenamedKeys(
+        payload.keyCols, cfg.settings.schemaRegistry)
+      val effKeys = payload.keyCols.zip(renamedKeys).map { case (o, n) =>
+        if (n != o && payload.schema.fieldNames.contains(n)) n else o
+      }
       val job = JobConfig(
         mode = cfg.settings.cdcMode,
         merge = cfg.settings.mergeStrategy,
-        keyCols = payload.keyCols,
+        keyCols = effKeys,
         buckets = if (cfg.buckets > 0) cfg.buckets else cfg.settings.buckets,
         filters = rules.filters,
         transforms = rules.transforms,

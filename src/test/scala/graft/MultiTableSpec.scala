@@ -456,4 +456,38 @@ class MultiTableSpec extends SparkSpec {
       assert(state.filter(org.apache.spark.sql.functions.col("n_tok") <= 2).count() == 0)
     } finally q.stop()
   }
+
+  test("registry renaming a MERGE KEY follows into the multi-table key " +
+    "config exactly when the declared payload carries the new name (the " +
+    "single-table start() contract)") {
+    val json =
+      """{ "task": { "task_name": "rk", "replication_type": "cdc",
+        |  "schema_versions": { "2": [ { "change_type": "rename_column",
+        |    "column_name": "emp_id", "target_column_name": "employee_id" } ] } },
+        |  "tables": [ { "schema_name": "hr", "table_name": "employee" } ] }""".stripMargin
+    val settings = TaskSettings.parse(json)
+    val root = tmpDir("graft-multi-keyrename")
+    // restarted-with-evolved-payload: schema carries the NEW name, the key
+    // config is left stale — without the remap, applySchemaRegistry renames
+    // the lake column while the merge still groups by the old name:
+    // AnalysisException on every batch, stream permanently wedged
+    val evolved = Config(feedDir = s"$root/feed", lakeRoot = s"$root/lake-a",
+      checkpointDir = s"$root/cp-a", settings = settings, buckets = 2,
+      payloads = Map("hr.employee" -> TablePayload(StructType(Seq(
+        StructField("employee_id", StringType), StructField("name", StringType))),
+        Seq("emp_id"))))
+    assert(MultiTableRunner.ensureTables(spark, evolved).head.job.keyCols
+      == Seq("employee_id"))
+    // NOT yet restarted (payload still speaks the old name): the key must
+    // stay old — the parse emits old-name columns until the operator evolves
+    // the declaration
+    val stale = Config(feedDir = s"$root/feed", lakeRoot = s"$root/lake-b",
+      checkpointDir = s"$root/cp-b", settings = settings, buckets = 2,
+      payloads = Map("hr.employee" -> TablePayload(StructType(Seq(
+        StructField("emp_id", StringType), StructField("name", StringType))),
+        Seq("emp_id"))))
+    assert(MultiTableRunner.ensureTables(spark, stale).head.job.keyCols
+      == Seq("emp_id"))
+  }
+
 }

@@ -128,6 +128,44 @@ class EnvelopeSpec extends SparkSpec {
     intercept[Exception](parseOne(msg(1577836800L + (1L << 31), 0)))
   }
 
+  test("duplicate and null column names in one operation parse last-wins " +
+    "instead of wedging the stream on DUPLICATE_MAP_KEY") {
+    // a PK update's old+new value (same name twice) or a corrupt null-name
+    // entry used to make map_from_entries throw under Spark's default dedup
+    // policy — failing the micro-batch and re-failing it on every checkpoint
+    // replay. Same last-wins contract as the WAL tuple parse.
+    val j =
+      s"""{"source_database_type":"postgresql","transaction_id":"t1",""" +
+        s""""created_at":1700000000,"batch_page":0,"batch_size":1,""" +
+        s""""operations":[{"schema_name":"s","table_name":"t","operation":"update",""" +
+        s""""columns":[{"name":"doc_id","type":"varchar","value":"d-old"},""" +
+        s"""{"name":null,"type":"varchar","value":"corrupt"},""" +
+        s"""{"name":"n_tok","type":"integer","value":"7"},""" +
+        s"""{"name":"doc_id","type":"varchar","value":"d-new"}]}]}"""
+    val pl = StructType(Seq(
+      StructField("doc_id", StringType), StructField("n_tok", IntegerType)))
+    import spark.implicits._
+    val rows = EnvelopeSource.parse(Seq(j).toDF("value"), pl).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("doc_id") == "d-new",
+      "LAST occurrence wins, like the reference's dict building")
+    assert(rows(0).getAs[Int]("n_tok") == 7)
+  }
+
+  test("stats manifest survives a table name carrying JSON-hostile chars") {
+    val root = tmpDir("graft-env-jsonesc")
+    val events = ChangeFeed.events(spark,
+      ChangeFeed.FeedSpec(nEvents = 5, nDocs = 3))
+      .select("lsn", "txn_id", "ts", "op", "schema_ver", "doc_id", "n_tok", "source")
+    // a quote+backslash name interpolated raw would write invalid JSON and
+    // permanently break every later producerStats/deliveryGap parse
+    val stats = EnvelopeSource.writeFeed(events, s"$root/bus", "s",
+      """we"ird\tbl""", batchSize = 5)
+    assert(stats.pages == 1L && stats.ops == 5L)
+    val read = EnvelopeSource.producerStats(s"$root/bus", "s", """we"ird\tbl""")
+    assert(read.contains(stats), s"round-trip: $read vs $stats")
+  }
+
   test("e2e: envelope bus feed → streaming parse → upsert merge == direct pipeline") {
     val root = tmpDir("graft-env-e2e")
     val events = ChangeFeed.events(spark,

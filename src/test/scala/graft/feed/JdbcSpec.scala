@@ -248,4 +248,19 @@ class JdbcSpec extends SparkSpec {
       partitionColumn = "seq", numPartitions = 4)
     assert(df.count() == 0, "empty table reads as empty, no NPE on NULL min/max")
   }
+
+  test("per-row capture classifies SQLSTATEs: deterministic rejections " +
+    "record, transients rethrow (silently ledgering a deadlock would drop " +
+    "good rows behind a successful job)") {
+    def ex(state: String) = new java.sql.SQLException("boom", state)
+    // the reference's apply_exceptions classes: cardinality/data/integrity/CHECK
+    assert(Seq("21000", "22001", "23505", "44000").forall(s =>
+      JdbcEndpoint.isRowRejection(ex(s))))
+    // connection loss, deadlock/serialization, resource, cancel: NOT the
+    // row's fault — must escape to the task for Spark's retry to own
+    assert(Seq("08003", "40001", "53200", "57014").forall(s =>
+      !JdbcEndpoint.isRowRejection(ex(s))))
+    assert(!JdbcEndpoint.isRowRejection(new java.sql.SQLException("no state")),
+      "a missing SQLSTATE is unknown, not a rejection")
+  }
 }

@@ -256,14 +256,49 @@ class WalOrphanSpec extends SparkSpec {
       s"the orphan quarantined instead of wedging the stream: ${q.toSeq}")
   }
 
+  test("writeRawChunks append continues AFTER existing stamps instead of " +
+    "collapsing earlier chunks onto the new call's base mtime") {
+    val root = tmpDir("graft-rawchunks-append")
+    def df(lsn: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(dml(lsn, 1L, s"d-$lsn", 1)), 1),
+      nullableRaw)
+    graft.feed.ChangeFeed.writeRawChunks(Seq(df(1), df(2)), s"$root/feed")
+    def stamps() = new java.io.File(s"$root/feed").listFiles()
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified())
+      .toMap
+    val first = stamps()
+    assert(first.values.toSet.size == 2, s"two distinct chunk stamps: $first")
+    // the natural append usage its mode("append") write invites: a second
+    // call on the SAME dir must leave call A's order intact (re-stamping
+    // them onto ITS chunk-0 would randomize not-yet-consumed file order)
+    // and stamp its own chunks strictly later
+    graft.feed.ChangeFeed.writeRawChunks(Seq(df(3)), s"$root/feed")
+    val second = stamps()
+    first.foreach { case (n, m) =>
+      assert(second(n) == m, s"pre-existing stamp rewritten for $n") }
+    val newOnes = second.keySet -- first.keySet
+    assert(newOnes.size == 1)
+    assert(second(newOnes.head) > first.values.max,
+      "appended chunk must arrive strictly after every existing one")
+  }
+
   test("eviction ledger: atomic round-trip, no tmp residue, and a corrupt " +
     "line fails LOUDLY (silently skipping one would drop a past eviction " +
     "and tear that transaction across lake state and quarantine)") {
     val root = tmpDir("graft-walledger")
     val path = s"$root/stash/evicted=7"
     val ledger = Seq((4100000000L, 5L), (42L, 7L)) // past-wrap-sized xid too
-    CdcRunner.writeEvictionLedger(path, ledger)
+    CdcRunner.writeEvictionLedger(spark, path, ledger)
     assert(CdcRunner.readEvictionLedger(spark, path, 7L) == ledger)
+    // the scheme-qualified spelling of the SAME local dir must round-trip
+    // through the Hadoop branch too — that branch is what a cluster
+    // checkpoint (hdfs://, s3a://) exercises, where a java.io.File probe
+    // would silently read nothing
+    val qualified = s"file:$root/stash/evicted=8"
+    CdcRunner.writeEvictionLedger(spark, qualified, ledger)
+    assert(CdcRunner.readEvictionLedger(spark, qualified, 8L) == ledger)
+    assert(CdcRunner.readEvictionLedger(spark, s"$root/stash/evicted=8", 8L)
+      == ledger, "scheme-less read of the scheme-qualified write")
     // the fsync+ATOMIC_MOVE recipe must leave no staging file behind — a
     // stale .tmp would survive the epoch GC sweep forever
     val residue = new java.io.File(s"$root/stash").listFiles().map(_.getName)

@@ -425,4 +425,29 @@ class WalParserSpec extends SparkSpec {
     assert(state(0).isNullAt(state(0).fieldIndex("lang")) &&
       state(1).getAs[String]("lang") == "de")
   }
+
+  test("truncated DML line (op colon, nothing after) keeps a null-op marker " +
+    "instead of vanishing as another table's traffic") {
+    // passes the DML-prefix filter but fails the full LINE_RE: every
+    // regexp_extract group is "" (not NULL), and an empty-string route used
+    // to slip past routed()'s broken-row check — dropped with no quarantine,
+    // no count. It must instead surface as a null-op marker the merge
+    // quarantines as unknown_op, lsn/xid intact for inspection.
+    val lines = raw(
+      (1L, 10L, "BEGIN 10"),
+      (2L, 10L, "table corpus.documents: INSERT:"), // truncated at the op
+      (3L, 10L, "table corpus.documents: INSERT: doc_id[character varying]:'d-ok' " +
+        "n_tok[integer]:1"),
+      (4L, 10L, "COMMIT 10"))
+    val ev = WalParser.parseForTable(lines, payload, "corpus", "documents")
+      .collect().sortBy(_.getAs[Long]("lsn"))
+    assert(ev.length == 2, s"truncated line must be KEPT as a marker: ${ev.toSeq}")
+    val marker = ev(0)
+    assert(marker.isNullAt(marker.fieldIndex("op")),
+      "null op routes the marker to the merge's unknown_op quarantine")
+    assert(marker.getAs[Long]("lsn") == 2L)
+    assert(marker.getAs[Long]("txn_id") == 10L)
+    assert(ev(1).getAs[String]("op") == "INSERT")
+    assert(ev(1).getAs[String]("doc_id") == "d-ok")
+  }
 }
