@@ -428,18 +428,23 @@ object MergeApply {
       else good.filter(FilterCompiler.cdcPredicate(cfg.filters, good.schema, opCol))
     val transformed = compiled.apply(filtered)
 
-    // ── 2b. keys INTRODUCED by the rule pipeline (add_primary_key, a created
-    // key) escape the step-1 split, which can only check the PRE-transform
-    // key set. A null introduced key on INSERT/UPDATE makes the CoW
+    // ── 2b. post-transform key check: (a) keys INTRODUCED by the rule
+    // pipeline (add_primary_key, a created key) escape the step-1 split,
+    // which can only check the PRE-transform key set; (b) a SURVIVING key
+    // whose VALUE a modifier nulled (math_expression 1/0 under non-ANSI
+    // Divide, a format miss) escapes it too — "renames preserve values"
+    // covers renames only. A null key on INSERT/UPDATE makes the CoW
     // full-outer join insert a FRESH row every epoch (never matched, never
     // deletable) while MoR's fold groups nulls together — the exact
     // per-strategy divergence the raw null_merge_key guard exists to stop.
     // DELETEs keep flowing: the routing contract folds key-only DELETEs by
     // whatever key they carry, and a null-key tombstone is invisible to
     // public reads on every storage strategy (driver-oracled by
-    // q_multitable_routing's remove/add_primary_key route). Renamed
-    // pre-checked keys are already covered (renames preserve values).
-    val introduced = keys.filterNot(renamedPre.contains)
+    // q_multitable_routing's remove/add_primary_key route). Checking every
+    // final key costs nothing extra (one fused observe scan) and cannot
+    // double-quarantine: raw nulls on pre-checked keys already left in
+    // step 1, so this predicate only fires on transform-produced nulls.
+    val introduced = if (cfg.transforms.isEmpty) Nil else keys
     // Like step 1, detection piggybacks on the merge's first scan via
     // observe() — an eager count() here would re-evaluate the whole batch
     // pipeline once per epoch just to learn n==0 in the common clean case.
@@ -467,7 +472,7 @@ object MergeApply {
           else {
             if (!cfg.quarantine)
               throw new IllegalStateException(
-                s"$n event(s) with null transform-introduced merge key(s) " +
+                s"$n event(s) with null post-transform merge key(s) " +
                   s"${introduced.mkString(",")} in epoch $epoch and quarantine " +
                   "is disabled")
             // POST-transform rows can't share the raw quarantine dir (different
@@ -487,7 +492,7 @@ object MergeApply {
             markPostTransform(qDir)
             transformed.filter(nullKey)
               .withColumn(QUARANTINE_REASON, lit("null_merge_key: " +
-                s"transform-introduced key(s) ${introduced.mkString(",")} must " +
+                s"post-transform key(s) ${introduced.mkString(",")} must " +
                 "be non-null for INSERT/UPDATE (rows are POST-transform)"))
               .write.mode("append").parquet(qDir)
             Map("events_quarantined_post_transform" -> n)

@@ -219,23 +219,42 @@ object LakeSync {
     // the column forever. The target holds no data yet (guarded above), so
     // bring it to the bootstrap head's schema, THEN mirror.
     evolveToHead(source, target, head, "bootstrap")
+    val rows = mirrorState(spark, source, target, head, epoch,
+      r => Map("full_load_rows" -> r, OFFSET_METRIC -> head.toLong,
+        LakeTable.ReloadMetric -> 1L))
+    SyncResult(0, head, epoch, rows, bootstrapped = true)
+  }
+
+  /** Mirror the source's engine state at `head` into `target` as ONE
+    * bucket-replacing commit — shared by bootstrap and the reload
+    * re-mirror (they were hand-kept near-copies, the drift class this
+    * repo keeps finding). Salted bucket write (`MergeApply.writeEpoch`):
+    * the mirror's largest-ever write must not serialize a hot (zipf)
+    * bucket into one straggler task — the same fix CdcRunner.fullLoad
+    * got; a plain repartition(_bucket) also idles cores whenever
+    * buckets ≲ shuffle partitions (Poisson collisions). The commit is
+    * PINNED to the target manifest the write was prepared against
+    * (readVersion), so concurrent maintenance on the mirror — an
+    * auto-rescale that migrated files to a finer spec between our
+    * manifest read and the commit — conflicts loudly as
+    * ConcurrentCommitException (the cron's next tick re-mirrors from
+    * fresh state) instead of silently carrying migrated files beside the
+    * full-state replacement and double-covering their buckets. */
+  private def mirrorState(spark: SparkSession, source: LakeTable,
+      target: LakeTable, head: Int, epoch: Long,
+      metricsFor: Long => Map[String, Long]): Long = {
     val tm = target.manifest
-    // salted bucket write (MergeApply.writeEpoch) — the mirror's largest-ever
-    // write must not serialize a hot (zipf) bucket into one straggler task,
-    // the same fix CdcRunner.fullLoad got; a plain repartition(_bucket) also
-    // idles cores whenever buckets ≲ shuffle partitions (Poisson collisions)
     val state = source.readState(spark, head)
       .withColumn("_bucket", target.bucketExpr(tm.keyCols, tm.buckets))
     val files = MergeApply.writeEpoch(spark, target, state, epoch, tm)
     // a footer-stat failure leaves rows = -1; recount rather than report a
-    // corrupted bootstrap row metric (same guard as CdcRunner.fullLoad)
+    // corrupted row metric (same guard as CdcRunner.fullLoad)
     val rows =
       if (files.forall(_.rows >= 0)) files.map(_.rows).sum
       else spark.read.parquet(target.dataDir(epoch)).count()
-    target.commit(epoch, files, (0 until tm.buckets).toSet,
-      Map("full_load_rows" -> rows, OFFSET_METRIC -> head.toLong,
-        LakeTable.ReloadMetric -> 1L))
-    SyncResult(0, head, epoch, rows, bootstrapped = true)
+    target.commit(epoch, files, (0 until tm.buckets).toSet, metricsFor(rows),
+      readVersion = Some(tm.version))
+    rows
   }
 
   // ── incremental: evolve to the window's end schema, apply the change feed ──
@@ -268,22 +287,26 @@ object LakeSync {
       (headMeta.isCommittedEpoch(-1L) && !fromMeta.isCommittedEpoch(-1L)) ||
         reloads(headMeta) > reloads(fromMeta)
     if (reloadInWindow) {
-      val tm = target.manifest
-      val epoch = math.max(tm.epochWatermark, -1L) + 1
-      val state = source.readState(spark, head)
-        .withColumn("_bucket", target.bucketExpr(tm.keyCols, tm.buckets))
-      val files = MergeApply.writeEpoch(spark, target, state, epoch, tm)
-      val rows =
-        if (files.forall(_.rows >= 0)) files.map(_.rows).sum
-        else spark.read.parquet(target.dataDir(epoch)).count()
-      target.commit(epoch, files, (0 until tm.buckets).toSet,
-        Map(OFFSET_METRIC -> (head - from).toLong,
+      val epoch = math.max(target.manifest.epochWatermark, -1L) + 1
+      val rows = mirrorState(spark, source, target, head, epoch,
+        _ => Map(OFFSET_METRIC -> (head - from).toLong,
           LakeTable.ReloadMetric -> 1L))
       return SyncResult(from, head, epoch, rows, bootstrapped = false)
     }
 
     val changes = source.changeLog(spark, from, head)
     val payload = changes.columns.filterNot(_.startsWith("_"))
+    // the change-event envelope reserves op/lsn/ts: a payload column sharing
+    // one of those names (constructible via the direct LakeTable API — the
+    // ingest paths cannot produce it) would make this select emit DUPLICATE
+    // column names and wedge every incremental window on AMBIGUOUS_REFERENCE.
+    // Refuse loudly with the remedy instead of a permanent mid-stream wedge.
+    val clash = payload.filter(Set(ChangeEvent.OP, ChangeEvent.LSN, ChangeEvent.TS))
+    require(clash.isEmpty,
+      s"lake→lake sync: source payload column(s) ${clash.mkString(",")} " +
+        "collide with the change-event envelope (op/lsn/ts) — rename the " +
+        "column(s) at the source; this table's change windows cannot be " +
+        "expressed as change events")
     val events = changes.select(
       payload.map(col) :+
         when(col("_deleted"), lit(ChangeEvent.DELETE))

@@ -405,12 +405,14 @@ object LakeTable {
     * reload is detectable as `at(to) > at(from)` from the two end metas. */
   val ReloadMetric = "reload_count"
 
-  /** Cap on per-group scan branches in a merge-on-read read plan. Below it,
-    * each delta-bearing group is its own coalesced branch (zero shuffle);
-    * above it, the read falls back to one scan + one Exchange on the group id
-    * so driver-side plan analysis stays bounded (a thousands-branch union of
-    * separate parquet relations costs minutes of Catalyst work before the
-    * first task launches). Override: -Dgraft.lake.maxFoldBranches=N. */
+  /** Cap on per-group CATALYST scan branches in a merge-on-read read plan.
+    * Below it, each delta-bearing group is its own coalesced branch in one
+    * balanced-union Catalyst plan; above it, the read drops the union below
+    * Catalyst — per-group plans analyzed independently (linear driver work),
+    * RDD-layer `sc.union` preserving one bucket-complete partition per group.
+    * BOTH sides are zero-shuffle; the knob trades Catalyst analysis cost
+    * (quadratic in branches) against leaving whole-stage codegen's view of
+    * the union, nothing else. Override: -Dgraft.lake.maxFoldBranches=N. */
   def maxFoldBranches: Int =
     sys.props.get("graft.lake.maxFoldBranches").map(_.toInt).getOrElse(512)
 
@@ -1455,6 +1457,11 @@ class LakeTable(val dir: String) {
       spark: SparkSession, m: Manifest, hot: Seq[DataFile]): Option[BloomFilter] = {
     val ratio = LakeTable.rowPruneMinRatio
     if (ratio <= 0 || m.keyCols.isEmpty) return None
+    // a footer-stats failure records rows = -1; summing the sentinel would
+    // mis-gate (deltaRows underflow disables the prune silently) and
+    // under-size the filter (over-saturation = probe that stops pruning).
+    // The split is an optimization — without exact counts, don't price it.
+    if (hot.exists(_.rows < 0)) return None
     val (deltas, bases) = hot.partition(_.isDelta)
     val deltaRows = deltas.map(_.rows).sum
     val baseRows = bases.map(_.rows).sum

@@ -119,13 +119,41 @@ class ErrorPolicySpec extends SparkSpec {
     assert(lake.read(spark).count() == 1, "only the keyed INSERT lands")
     val q = lake.quarantine(spark).collect()
     assert(q.length == 1 && q(0).getAs[String](MergeApply.QUARANTINE_REASON)
-      .contains("transform-introduced"), q.mkString(";"))
+      .contains("post-transform key"), q.mkString(";"))
     assert(q(0).getAs[Long]("_epoch") == MergeApply.POST_TRANSFORM_EPOCH_BASE)
     // quarantine=false: same detection, loud failure
     val lake2 = mkLake(job.copy(quarantine = false))
     val e = intercept[IllegalStateException](
       MergeApply.applyBatch(spark, lake2, df, 0L, job.copy(quarantine = false)))
-    assert(e.getMessage.contains("transform-introduced"), e.getMessage)
+    assert(e.getMessage.contains("post-transform merge key"), e.getMessage)
+  }
+
+  test("a SURVIVING merge key nulled by a value modifier quarantines " +
+    "post-transform instead of merging an unmatchable null key") {
+    // the key survives the pipeline BY NAME, so the old introduced-only
+    // guard skipped it ("renames preserve values" — but modifiers don't):
+    // under non-ANSI SQL a math_expression maps a non-null value to null
+    // (x/0 → null), and the null-keyed INSERT used to reach the merge —
+    // a fresh unmatchable row every epoch on CoW, null-grouped on MoR
+    import graft.rules.ModifyColumn
+    val job = JobConfig(keyCols = Seq("n_tok"),
+      transforms = Seq(ModifyColumn("n_tok", "math_expression",
+        expression = Some("value / 0"))))
+    val lake = mkLake(job)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val readShape = StructType(schema.fields.map(_.copy(nullable = true)))
+      val in = Seq(Row(1L, 1L, ts(1), "INSERT", 1, "k1", Seq(1), Int.box(1), "web"))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(in, 1), readShape)
+      val res = MergeApply.applyBatch(spark, lake, df, 0L, job)
+      assert(res.metrics("events_quarantined_post_transform") == 1L,
+        res.metrics.toString)
+      assert(lake.read(spark).count() == 0, "the null-keyed INSERT must not merge")
+      val q = lake.quarantine(spark).collect()
+      assert(q.length == 1 && q(0).getAs[String](MergeApply.QUARANTINE_REASON)
+        .contains("post-transform key"), q.mkString(";"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
   test("replayQuarantine on a POST-transform epoch strips the rule pipeline: " +
