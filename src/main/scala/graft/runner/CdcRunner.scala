@@ -471,6 +471,33 @@ object CdcRunner {
         throw e
     }
 
+  /** The launch tail every streaming entry ends with: trigger choice
+    * (AvailableNow drain vs the reference's `interval_seconds` cadence as a
+    * ProcessingTime trigger) + the listener-leak-guarded start. ONE
+    * definition — four hand-kept copies of this tail were exactly the drift
+    * class that once lost the rescale policy on the multi-table path. */
+  private def launchStream(spark: SparkSession,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      metricsL: org.apache.spark.sql.streaming.StreamingQueryListener,
+      availableNow: Boolean, intervalSeconds: Int): StreamingQuery =
+    startGuarded(spark, Seq(metricsL))(
+      (if (availableNow) writer.trigger(Trigger.AvailableNow())
+       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
+
+  /** Registry-vs-plain envelope parse routing, shared by the JSON-lines bus
+    * and the Kafka reader (identical message format — only the source line
+    * differs): with a registry, every payload version parses in one stream
+    * (column names ride in each message), same as startFromWal. ONE
+    * definition, same drift argument as [[launchStream]]. */
+  private def parseEnvelopeFeed(raw: DataFrame, cfg: RunnerConfig,
+      schemaName: String, tableName: String): DataFrame = {
+    import graft.feed.EnvelopeSource
+    if (cfg.schemaRegistry.nonEmpty)
+      EnvelopeSource.parseVersionedForTable(raw, cfg.payloadSchema,
+        cfg.schemaRegistry, schemaName, tableName)
+    else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
+  }
+
   /** Start the streaming query (continuous tail). `intervalSeconds` is the
     * reference's producer cadence (task/settings.json interval_seconds,
     * CDCStrategy.py:75-101) — honored as the ProcessingTime trigger. */
@@ -500,9 +527,7 @@ object CdcRunner {
       .queryName(qName)
       .option("checkpointLocation", runCfg.checkpointDir)
       .foreachBatch(processBatch(spark, lake, runCfg) _)
-    startGuarded(spark, Seq(l))(
-      (if (availableNow) writer.trigger(Trigger.AvailableNow())
-       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
+    launchStream(spark, writer, l, availableNow, intervalSeconds)
   }
 
   /** Drain everything currently in the feed and stop (test/bench entry). */
@@ -534,18 +559,10 @@ object CdcRunner {
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
-        // registry configured ⇒ every payload version parses in one stream
-        // (column names ride in each message), same as startFromWal
-        val events =
-          if (cfg.schemaRegistry.nonEmpty)
-            EnvelopeSource.parseVersionedForTable(raw, cfg.payloadSchema,
-              cfg.schemaRegistry, schemaName, tableName)
-          else EnvelopeSource.parseForTable(raw, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(
+          parseEnvelopeFeed(raw, cfg, schemaName, tableName), epoch)
       }
-    startGuarded(spark, Seq(metricsL))(
-      (if (availableNow) writer.trigger(Trigger.AvailableNow())
-       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
+    launchStream(spark, writer, metricsL, availableNow, intervalSeconds)
   }
 
   /** True when the spark-sql-kafka connector is on the classpath (NOT bundled
@@ -599,16 +616,10 @@ object CdcRunner {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (raw: DataFrame, epoch: Long) =>
         val value = raw.select(col("value").cast("string").as("value"))
-        val events =
-          if (cfg.schemaRegistry.nonEmpty)
-            EnvelopeSource.parseVersionedForTable(value, cfg.payloadSchema,
-              cfg.schemaRegistry, schemaName, tableName)
-          else EnvelopeSource.parseForTable(value, cfg.payloadSchema, schemaName, tableName)
-        processBatch(spark, lake, runCfg)(events, epoch)
+        processBatch(spark, lake, runCfg)(
+          parseEnvelopeFeed(value, cfg, schemaName, tableName), epoch)
       }
-    startGuarded(spark, Seq(metricsL))(
-      (if (availableNow) writer.trigger(Trigger.AvailableNow())
-       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
+    launchStream(spark, writer, metricsL, availableNow, intervalSeconds)
   }
 
   /**
@@ -810,9 +821,7 @@ object CdcRunner {
           }
         }
       }
-    startGuarded(spark, Seq(metricsL))(
-      (if (availableNow) writer.trigger(Trigger.AvailableNow())
-       else writer.trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))).start())
+    launchStream(spark, writer, metricsL, availableNow, intervalSeconds)
   }
 
 
