@@ -81,22 +81,50 @@ object JobMain {
         Some(args(i + 1))
     }
 
-  /** Op-parameter JSON → typed lookups with defaults. */
+  /** Op-parameter JSON → typed lookups with defaults. Absent key → default;
+    * PRESENT key of the wrong JSON type → loud error naming the key
+    * (extractOpt alone swallows the type mismatch to None, silently running
+    * the op with the default — `{"bits": "64"}` ignoring the user's value is
+    * exactly the quiet-config-drift this CLI's settings parser refuses). */
   private final class OpConf(j: JValue) {
-    def str(k: String, d: String): String = (j \ k).extractOpt[String].getOrElse(d)
-    def int(k: String, d: Int): Int = (j \ k).extractOpt[Int].getOrElse(d)
-    def dbl(k: String, d: Double): Double = (j \ k).extractOpt[Double].getOrElse(d)
-    def bool(k: String, d: Boolean): Boolean = (j \ k).extractOpt[Boolean].getOrElse(d)
-    def boolOpt(k: String): Option[Boolean] = (j \ k).extractOpt[Boolean]
-    def lng(k: String, d: Long): Long = (j \ k).extractOpt[Long].getOrElse(d)
-    def lngOpt(k: String): Option[Long] = (j \ k).extractOpt[Long]
+    private def get[A: Manifest](k: String, want: String): Option[A] =
+      (j \ k) match {
+        case JNothing => None
+        case v => Some(v.extractOpt[A].getOrElse(throw new IllegalArgumentException(
+          s"""config key "$k": expected $want, got ${JsonMethods.compact(JsonMethods.render(v))}""")))
+      }
+    def str(k: String, d: String): String = get[String](k, "a string").getOrElse(d)
+    def int(k: String, d: Int): Int = get[Int](k, "an integer").getOrElse(d)
+    def dbl(k: String, d: Double): Double = get[Double](k, "a number").getOrElse(d)
+    def bool(k: String, d: Boolean): Boolean = get[Boolean](k, "a boolean").getOrElse(d)
+    def boolOpt(k: String): Option[Boolean] = get[Boolean](k, "a boolean")
+    def lng(k: String, d: Long): Long = get[Long](k, "an integer").getOrElse(d)
+    def lngOpt(k: String): Option[Long] = get[Long](k, "an integer")
     def strSeq(k: String): Seq[String] = (j \ k) match {
       case JArray(vs) => vs.map(_.extract[String])
-      case _          => Nil
+      case JNothing   => Nil
+      case v => throw new IllegalArgumentException(
+        s"""config key "$k": expected an array of strings, got ${JsonMethods.compact(JsonMethods.render(v))}""")
     }
     def strMap(k: String): Map[String, String] = (j \ k) match {
-      case JObject(kvs) => kvs.collect { case (n, JString(v)) => n -> v }.toMap
-      case _            => Map.empty
+      case JObject(kvs) => kvs.map {
+        case (n, JString(v)) => n -> v
+        case (n, v) => throw new IllegalArgumentException(
+          s"""config key "$k.$n": expected a string, got ${JsonMethods.compact(JsonMethods.render(v))}""")
+      }.toMap
+      case JNothing => Map.empty
+      case v => throw new IllegalArgumentException(
+        s"""config key "$k": expected an object of strings, got ${JsonMethods.compact(JsonMethods.render(v))}""")
+    }
+    /** A config version number as Int, range-checked like the SQL TVF's
+      * intArg — a bare .toInt would silently WRAP 2^32+1 to 1 and time-travel
+      * to the wrong snapshot. */
+    def version(k: String, d: => Long): Int = {
+      val v = lngOpt(k).getOrElse(d) // by-name default: a loud-throw default
+                                     // must only fire when the key is absent
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"""config key "$k": $v is out of the snapshot-version range""")
+      v.toInt
     }
   }
 
@@ -195,17 +223,16 @@ object JobMain {
         lake.clearQuarantine(epoch).toDF("deleted_path")
       case "read" =>
         // the consumer bootstrap: current state, or as-of a snapshot version
-        c.lngOpt("version") match {
-          case Some(v) => lake.readVersion(spark, v.toInt)
-          case None    => lake.read(spark)
-        }
+        if (c.lngOpt("version").isEmpty) lake.read(spark)
+        else lake.readVersion(spark,
+          c.version("version", sys.error("unreachable: key checked present")))
       case "change_log" =>
         // the consumer's incremental sync: changes in (from, to]; `to`
         // defaults to the current version so a cron'd sync passes only the
         // version it last saw
-        val from = c.lngOpt("from").getOrElse(throw new IllegalArgumentException(
-          "--op change_log needs config {\"from\": <last synced version>}")).toInt
-        lake.changeLog(spark, from, c.lng("to", lake.currentVersion.toLong).toInt)
+        val from = c.version("from", throw new IllegalArgumentException(
+          "--op change_log needs config {\"from\": <last synced version>}"))
+        lake.changeLog(spark, from, c.version("to", lake.currentVersion.toLong))
       case "jdbc_apply" =>
         // incremental lake → database sync: a changeLog window applied to a
         // keyed JDBC target with LWW delete+insert pages (the reference's
@@ -233,9 +260,9 @@ object JobMain {
           case Nil => lake.manifest.keyCols
           case ks  => ks
         }
-        val from = c.lngOpt("from").getOrElse(throw new IllegalArgumentException(
-          "--op jdbc_apply needs config {\"from\": <last synced version>}")).toInt
-        val to = c.lng("to", lake.currentVersion.toLong).toInt
+        val from = c.version("from", throw new IllegalArgumentException(
+          "--op jdbc_apply needs config {\"from\": <last synced version>}"))
+        val to = c.version("to", lake.currentVersion.toLong)
         require(from > 1 || !lake.manifest.isCommittedEpoch(-1L) ||
           c.bool("target_bootstrapped", false),
           "jdbc_apply from version 1 on a FULL-LOADED table: the change feed " +

@@ -192,8 +192,22 @@ object TaskSettings {
 
     Parsed(
       taskName = (task \ "task_name").extract[String],
-      replicationType = (task \ "replication_type").extractOrElse[String]("full_load_and_cdc"),
-      startMode = (task \ "start_mode").extractOrElse[String]("continue"),
+      // validated like every other enum field (cdc mode, merge_strategy):
+      // a typo'd free string here is SILENT data loss downstream —
+      // "full-load" would skip the snapshot AND tail CDC onto a base-less
+      // table; "Reload" would quietly behave as continue
+      replicationType = {
+        val v = (task \ "replication_type").extractOrElse[String]("full_load_and_cdc")
+        require(Set("full_load", "cdc", "full_load_and_cdc")(v),
+          s"replication_type '$v': expected full_load | cdc | full_load_and_cdc")
+        v
+      },
+      startMode = {
+        val v = (task \ "start_mode").extractOrElse[String]("continue")
+        require(Set("reload", "continue")(v),
+          s"start_mode '$v': expected reload | continue")
+        v
+      },
       intervalSeconds = (task \ "interval_seconds").extractOrElse[Int](5),
       cdcMode = CdcMode.parse((cdc \ "mode").extractOrElse[String]("default")),
       mergeStrategy = MergeStrategy.parse(

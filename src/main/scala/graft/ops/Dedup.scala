@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,11 +130,17 @@ object Dedup {
   def simhash(text: Column, bits: Int = 32): Column = {
     val words = split(normalized(text), " ")
     val hashes = transform(words, w => xxhash64(w))
-    (0 until bits).map { j =>
+    val sig = (0 until bits).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2 - 1))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // NULL text → NULL signature: every bitSum is null on a null text, so
+    // the otherwise(0) branches would mint signature 0 — a valid-looking
+    // value that hamming-collides with any true all-zero signature, and
+    // diverges from simhashSignatures (which drops the doc at explode),
+    // breaking the "identical values" contract between the two forms
+    when(text.isNull, lit(null).cast("long")).otherwise(sig)
   }
 
   /** Bulk SimHash via explode + hash-aggregate (same rationale as

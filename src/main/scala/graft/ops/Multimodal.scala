@@ -144,8 +144,15 @@ object Multimodal {
     require(maxW >= 1 && maxH >= 1, s"resizeMeta: bounds must be >= 1 ($maxW x $maxH)")
     val w = col("meta.width"); val h = col("meta.height")
     val scale = least(lit(maxW).cast(DoubleType) / w, lit(maxH).cast(DoubleType) / h, lit(1.0))
+    // null-preserving per FIELD, not just per struct: greatest/least SKIP
+    // nulls, so an unguarded rewrite of a null width would mint width=1 —
+    // a confident fake dimension that flips isNull audits downstream. And
+    // when EITHER dimension is null the aspect-preserving scale is
+    // unknowable (least skips the null ratio, silently scaling the other
+    // dimension by 1.0 as if it had been checked), so both outputs null.
     def dim(d: Column, bound: Int) =
-      least(lit(bound), greatest(lit(1), round(d * scale).cast(IntegerType)))
+      when(w.isNull || h.isNull, lit(null).cast(IntegerType))
+        .otherwise(least(lit(bound), greatest(lit(1), round(d * scale).cast(IntegerType))))
     val resized = struct(
       dim(w, maxW).as("width"),
       dim(h, maxH).as("height"),

@@ -91,6 +91,12 @@ object Similarity {
       if (n == 0.0) v else v.map(_ / n)
     }
     var cents = corpus
+      // dirty-row tolerance, the kernels' own contract (nearest_cells yields
+      // NULL for a null/mismatched embedding): a NULL vector or element among
+      // the seed rows would NPE the driver-side read below, killing the whole
+      // job for one bad row — degrade the row, never the job
+      .filter(col(vecCol).isNotNull && !array_contains(
+        transform(col(vecCol), x => x.isNull), lit(true)))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(cells)
       // read generically: the NearestCells/VecElem kernels accept any numeric
@@ -107,6 +113,10 @@ object Similarity {
       val dims = corpus
         .select(element_at(VectorOps.nearest_cells(col(vecCol), cents, 1), 1).as("cell"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
+        // nearest_cells is NULL for a dimension-mismatched/null embedding
+        // (kernel contract) — such rows must skip the update, not NPE the
+        // driver-side getInt on a null cell group
+        .filter(col("cell").isNotNull)
         .groupBy("cell", "pos")
         .agg(avg(col("x").cast(DoubleType)).as("m"))
         .collect()

@@ -76,11 +76,16 @@ object TextAnalysis {
   def langGuess(text: Column): Column = {
     val scored = langScores(text)
     // greatest-by with deterministic tie-break on language name order
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bestL, bestS), (l, s)) =>
         (when(s > bestS, lit(l)).otherwise(bestL),
           when(s > bestS, s).otherwise(bestS))
     }._1
+    // NULL text → NULL guess, like every other stat column: the fold's
+    // comparisons are all null (never true) on a null text, so the seed
+    // literal — a confident "de" for a document that doesn't exist — would
+    // leak out otherwise
+    when(text.isNull, lit(null).cast("string")).otherwise(best)
   }
 
   /** Normalised-text fingerprint (md5 — portable to any SQL oracle). Shares

@@ -83,6 +83,18 @@ class MultiTableSpec extends SparkSpec {
         |  "tables": [ { "schema_name": "s", "table_name": "t" } ] }""".stripMargin
     val e2 = intercept[IllegalArgumentException](TaskSettings.parse(v1))
     assert(e2.getMessage.contains("versions start at 2"), e2.getMessage)
+    // typo'd free-string enums used to pass silently: "full-load" skipped
+    // the snapshot AND tailed CDC onto a base-less table; "Reload" quietly
+    // behaved as continue
+    val badType = """{ "task": { "task_name": "t", "replication_type": "full-load" },
+      |  "tables": [ { "schema_name": "s", "table_name": "t" } ] }""".stripMargin
+    val e3 = intercept[IllegalArgumentException](TaskSettings.parse(badType))
+    assert(e3.getMessage.contains("replication_type"), e3.getMessage)
+    val badStart = """{ "task": { "task_name": "t", "replication_type": "cdc",
+      |  "start_mode": "Reload" },
+      |  "tables": [ { "schema_name": "s", "table_name": "t" } ] }""".stripMargin
+    val e4 = intercept[IllegalArgumentException](TaskSettings.parse(badStart))
+    assert(e4.getMessage.contains("start_mode"), e4.getMessage)
   }
 
   test("cdc_settings engine knobs: buckets + auto-compaction cadence parse " +

@@ -418,4 +418,15 @@ class OpsMainSpec extends SparkSpec {
       .orderBy("id_a", "id_b").collect().map(_.toString)
     assert(viaCli.sameElements(direct))
   }
+
+  test("a config value of the WRONG JSON type fails loudly naming the key " +
+    "instead of silently running the op with the default") {
+    // {"bits": "64"} used to be swallowed by extractOpt to None → the op ran
+    // with bits=32, the user's parameter ignored with no error
+    val conf = writeConfig("""{"bits": "64"}""")
+    val e = intercept[IllegalArgumentException](JobMain.runOp(spark,
+      Seq("--op", "dedup_simhash", "--in", docs, "--config", conf)))
+    assert(e.getMessage.contains("\"bits\""), e.getMessage)
+    assert(e.getMessage.contains("integer"), e.getMessage)
+  }
 }

@@ -452,4 +452,39 @@ class MultimodalSpec extends SparkSpec {
       .select("bytes").head().getAs[Array[Byte]](0)
     assert(alt(7L) == one.count(b => (b & 1) == 0).toLong)
   }
+
+  test("NULL inputs degrade to NULL outputs, never to confident fakes: " +
+    "lang_guess, simhash column form, resizeMeta null field, IVF training") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // lang_guess(NULL) was "de" (the fold seed); simhash(NULL) was 0L (a
+    // signature that hamming-collides with any true all-zero signature)
+    val nulls = spark.range(1).select(lit(null).cast("string").as("text"))
+    val r = nulls.select(
+      TextAnalysis.langGuess(col("text")).as("lang"),
+      Dedup.simhash(col("text")).as("sig")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+    // resizeMeta: a null WIDTH inside a non-null meta stayed null — Spark's
+    // greatest/least skip nulls, so the unguarded rewrite minted width=1
+    val mSchema = StructType(Seq(StructField("meta", StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("duration_ms", LongType), StructField("codec", StringType))))))
+    val m = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(null, 500, 0L, "x"))), 1), mSchema)
+    val rm = Multimodal.resizeMeta(m, 640, 640).select("meta.width", "meta.height").head()
+    assert(rm.isNullAt(0), s"null width must stay null: $rm")
+    assert(rm.isNullAt(1), s"null scale (from null width) must null height " +
+      s"too, not corrupt it: $rm")
+    // trainCentroids: a NULL embedding and a dimension-mismatched one among
+    // the corpus rows must degrade (skip), not NPE the whole job
+    val vSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val vecs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)),
+      Row(3L, null), Row(4L, Seq(9.9)) // null + wrong-dimension rows
+    ), 2), vSchema)
+    val cents = Similarity.trainCentroids(vecs, cells = 2, iters = 2)
+    assert(cents.length == 2 && cents.forall(_.length == 2))
+  }
 }
