@@ -44,18 +44,53 @@ object Dedup {
       s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
 
   /**
+   * (id, shingle) rows WITHOUT the array-HOF shingle builder: `transform` /
+   * `slice` lambdas evaluate interpreted per element (no whole-stage codegen),
+   * which made shingle construction the dominant cost of the minhash path
+   * (measured 2.8 s per evaluation over 5k docs at sf0.1 — ~30× the hash
+   * aggregation it feeds). Here words explode once and each shingle is the
+   * codegen'd `concat_ws` of `lead` neighbours over a per-doc window; the
+   * window's hash partitioning on `id` is exactly the downstream
+   * aggregation's key, so the whole chain costs ONE shuffle of narrow
+   * (id, pos, word) rows. Byte-identical shingle strings to [[shingles]]
+   * (same normalisation, same k-word join, same short-doc tail rule), minus
+   * the array_distinct — callers below aggregate with min/set semantics
+   * where duplicates cannot change the result.
+   */
+  private def shingleRows(
+      df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val words = split(normalized(col(textCol)), " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until k).map(j =>
+      if (j == 0) col("w") else lead(col("w"), j).over(w))
+    df.select(col(idCol).as("id"), size(words).as("n"),
+        posexplode(words).as(Seq("pos", "w")))
+      // leads FIRST (over every word row), filter AFTER: the last kept
+      // position's shingle needs the k-1 words past the keep range — a
+      // pre-filter window would see them gone and truncate that shingle
+      .select(col("id"), col("n"), col("pos"), concat_ws(" ", parts: _*).as("sh"))
+      // 0-based keep range 0..greatest(n-k, 0) ≡ the 1-based
+      // 1..greatest(n-(k-1), 1) of [[shingles]] (short docs keep position 0:
+      // concat_ws skips the null leads exactly like the short slice)
+      .filter(col("pos") <= greatest(col("n") - k, lit(0)))
+      .select(col("id"), col("sh"))
+  }
+
+  /**
    * Bulk signatures via explode + hash-aggregate: one codegen'd aggregation of
-   * numHashes `min` columns over (doc, shingle) rows. Shingles are computed
-   * once per doc (the nested-HOF formulation recomputes them per hash, and
-   * evaluates lambdas interpreted — measured ~30× slower at corpus scale).
-   * Shuffle is bounded by docs × shingles with map-side partial min.
+   * numHashes `min` columns over the (doc, shingle) rows of [[shingleRows]]
+   * (shingle construction itself is codegen'd too — the array-HOF builder was
+   * the measured bottleneck). Shuffle is bounded by docs × shingles with
+   * map-side partial min; duplicate shingles (no distinct) cannot change a
+   * min. Signature values are identical to the [[minhashSignature]] column
+   * form: same shingle strings, same xxhash64(shingle, seed).
    */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String, numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol))).as("sh"))
     val aggs = (0 until numHashes).map(s => min(xxhash64(col("sh"), lit(s))).as(s"_m$s"))
-    exploded.groupBy(col("id"))
+    shingleRows(df, textCol, idCol)
+      .groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(s => col(s"_m$s")): _*).as("sig"))
   }
@@ -87,8 +122,12 @@ object Dedup {
           slice(col("sig"), b * rows + 1, rows).cast(ArrayType(StringType))), lit(b))
           .as("bucket"))
     }
+    // persisted: consumed by the bucket-size gate AND both sides of the
+    // pair join — three evaluations of the signature pipeline otherwise
+    // (narrow (id, band, bucket) rows, docs × bands of them)
     val allBanded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop non-discriminative (over-full) buckets before pairing
     val bucketSizes = allBanded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("_bsz"))
@@ -102,12 +141,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard verification of candidate pairs. */
+  /** Exact n-gram Jaccard verification of candidate pairs.
+    *
+    * The shingle arrays are built ONLY for docs that appear in a candidate
+    * pair (semi-join prune): the verify cost scales with the candidate set,
+    * not the corpus — at corpus scale almost every doc has no candidate, and
+    * the interpreted-HOF array builder is the expensive part of this path.
+    * `candidates` is persisted because it is consumed three times here (the
+    * id collection twice via the union, plus the verify join) — without it
+    * the whole LSH pipeline that produced the pairs would re-run per use. */
   def ngramJaccard(
       df: DataFrame, candidates: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    candidates
+    val cands = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = cands.select(col("id_a").as("_cand_id"))
+      .unionAll(cands.select(col("id_b").as("_cand_id"))).distinct()
+    val needed = df.join(ids, col(idCol) === col("_cand_id"), "left_semi")
+    val sh = needed.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
