@@ -93,7 +93,7 @@ object EnvelopeSource {
   private def parseCore(
       raw: DataFrame,
       payload: StructType,
-      verOf: Column => Column): DataFrame = {
+      verOf: (String => Column) => Column): DataFrame = {
     val msg = raw.select(from_json(col("value"), messageSchema).as("m"))
       .select(col("m.*"))
     // a corrupt/truncated line makes from_json yield a null struct — a bare
@@ -110,18 +110,15 @@ object EnvelopeSource {
       posexplode(opsCol).as(Seq("_pos", "op_row")))
     // LAST occurrence wins on duplicate column names and NULL-named entries
     // drop: a producer emitting the same name twice (old+new value of a
-    // PK update) or a corrupt null-name entry would make map_from_entries
-    // raise DUPLICATE_MAP_KEY / "null as map key" under Spark's default
-    // dedup policy — failing the micro-batch and re-failing it on every
-    // checkpoint replay, wedging the stream on one message forever. Same
-    // last-wins contract as WalParser.parseCore's tuple parse (and the
-    // reference's dict building — later assignments overwrite).
+    // PK update) or a corrupt null-name entry must resolve to the newest
+    // value, not wedge the stream — the same last-wins contract as
+    // WalParser's tuple parse (and the reference's dict building — later
+    // assignments overwrite). Per-field direct extraction (last matching
+    // entry) instead of building a per-row name→value map: the map build
+    // was O(columns²) per row and re-evaluated per payload field.
     val colsArr = filter(col("op_row.columns"), c => c.getField("name").isNotNull)
-    val colNames = array_distinct(transform(colsArr, c => c.getField("name")))
-    val kv = map_from_entries(transform(colNames, n => struct(
-      n.as("key"),
-      element_at(filter(colsArr, c => c.getField("name") === n), -1)
-        .getField("value").as("value"))))
+    def entryOf(name: String): Column =
+      try_element_at(filter(colsArr, c => c.getField("name") === name), lit(-1))
     // the corrupt-message marker row carries NULL created_at/batch_page (the
     // whole message failed from_json): packedLsn's budget guard would see a
     // NULL condition, fall to its otherwise-branch and raise_error — crashing
@@ -134,7 +131,7 @@ object EnvelopeSource {
       .otherwise(packedLsn(col("created_at"), col("transaction_id"),
         col("batch_page"), col("_pos")))
     val typedPayload = payload.fields.toSeq.map { f =>
-      WalParser.castToken(element_at(kv, f.name), f.dataType).as(f.name)
+      WalParser.castToken(entryOf(f.name).getField("value"), f.dataType).as(f.name)
     }
     ops.select(Seq(
       lsn.as(graft.model.ChangeEvent.LSN),
@@ -142,7 +139,7 @@ object EnvelopeSource {
       xxhash64(col("transaction_id")).as(graft.model.ChangeEvent.TXN_ID),
       timestamp_seconds(col("created_at")).as(graft.model.ChangeEvent.TS),
       upper(col("op_row.operation")).as(graft.model.ChangeEvent.OP),
-      verOf(kv).as(graft.model.ChangeEvent.SCHEMA_VER),
+      verOf(m => entryOf(m).isNotNull).as(graft.model.ChangeEvent.SCHEMA_VER),
       col("op_row.schema_name").as("schema_name"),
       col("op_row.table_name").as("table_name")) ++ typedPayload: _*)
   }

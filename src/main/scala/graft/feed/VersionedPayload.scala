@@ -106,14 +106,17 @@ private[feed] object VersionedPayload {
     Plan(shapes, union, latest, history)
   }
 
-  /** Per-row version from marker-column presence in the row's name→value map;
-    * the fold applies versions ascending so the HIGHEST matching version
-    * wins; key-only/DELETE rows carry no markers and fall through to 1. */
-  def verOf(p: Plan)(kv: Column): Column =
+  /** Per-row version from marker-column PRESENCE (`present(name)` = does the
+    * row's wire line carry that column at all); the fold applies versions
+    * ascending so the HIGHEST matching version wins; key-only/DELETE rows
+    * carry no markers and fall through to 1. Presence-shaped (not a
+    * name→value map) so the parsers can answer it from their one tokenizer
+    * pass without building a per-row map. */
+  def verOf(p: Plan)(present: String => Column): Column =
     p.shapes.drop(1).foldLeft(lit(1): Column) { (acc, s) =>
-      val present = s.markers.map(m => map_contains_key(kv, m))
+      val hit = s.markers.map(present)
         .reduceOption(_ || _).getOrElse(lit(false))
-      when(present, lit(s.ver)).otherwise(acc)
+      when(hit, lit(s.ver)).otherwise(acc)
     }
 
   /** Latest-shape payload projection over the union-parsed columns: rename

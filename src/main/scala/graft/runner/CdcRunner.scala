@@ -660,7 +660,24 @@ object CdcRunner {
     val writer = stream.writeStream
       .queryName(qName)
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (raw: DataFrame, epoch: Long) =>
+      .foreachBatch { (raw0: DataFrame, epoch: Long) =>
+        // The WAL parse is CPU-heavy (regex tokenizer per line) and its scan
+        // stage's parallelism is the batch's FILE count — with
+        // maxFilesPerTrigger in the single digits most cores sit idle for
+        // the most expensive stage of the pipeline. Spread the raw lines
+        // across the cluster first (guide: repartition immediately after a
+        // low-split read); the batch is bounded by maxFilesPerTrigger, so
+        // the extra shuffle is one pass over at most a few files' lines,
+        // and sort-before-repartition (default on) keeps the row→partition
+        // assignment deterministic under task retry — required by the
+        // stash/ledger replay contract below. Scale-adaptive: derived from
+        // the session's core count, never a constant; a batch that already
+        // has enough splits is left untouched.
+        val para = spark.sparkContext.defaultParallelism
+        val raw =
+          if (raw0.rdd.getNumPartitions < math.max(1, para / 2))
+            raw0.repartition(para)
+          else raw0
         // Transactions SPLIT across micro-batches: test_decoding emits whole
         // BEGIN..COMMIT blocks, but the file feed (and maxFilesPerTrigger)
         // can cut a batch mid-transaction — the parser's committed-only
