@@ -532,7 +532,10 @@ object MergeApply {
         * only run AFTER the mode's first action (its observation completes
         * with it) and must run pre-commit; evaluated exactly once, here */
       extraMetrics: => Map[String, Long],
-      deltaRows: => DataFrame): (Map[String, Long], Option[BatchResult]) = {
+      deltaRows: => DataFrame,
+      /** largest per-bucket row count of `deltaRows` (known exactly from the
+        * stats collect) — sizes the delta write's adaptive salt. */
+      maxDeltaRowsPerBucket: Long = Long.MaxValue): (Map[String, Long], Option[BatchResult]) = {
     val (nQuarantined, nReceived, nSkipped) = onStats()
     val extra = extraMetrics
     val metrics = Map(
@@ -565,7 +568,8 @@ object MergeApply {
       // epoch regardless of how many buckets the batch touches. Commit and
       // return the SAME map (delta_commits included).
       val files = timed("delta-write")(
-        writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA))
+        writeEpoch(spark, lake, deltaRows, epoch, m, kind = DataFile.DELTA,
+          maxRowsPerBucket = maxDeltaRowsPerBucket))
       val morMetrics = metrics + ("delta_commits" -> 1L)
       timed("commit")(lake.commit(epoch, files, Set.empty, morMetrics))
       (morMetrics, Some(BatchResult(epoch, skipped = false, morMetrics)))
@@ -612,6 +616,10 @@ object MergeApply {
       val affected = opByBucket.map(_.getInt(0)).toSet
       val opCounts = opByBucket.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
+      // per-bucket change rows — already collected above; sizes the adaptive
+      // write salt (small epochs write one file per bucket, not WRITE_SALT)
+      val changeRowsByBucket = opByBucket.groupBy(_.getInt(0))
+        .map { case (b, rows) => b -> rows.map(_.getLong(2)).sum }
       // the reduced change set in delta-row shape — the MoR commit itself, and
       // the CoW change sidecar when the table records a change feed
       def deltaRows = {
@@ -627,7 +635,9 @@ object MergeApply {
       }
 
       val (baseMetrics, early) = commitCommon(spark, lake, epoch, cfg, m,
-        affected, opCounts, onStats, extraMetrics, deltaRows)
+        affected, opCounts, onStats, extraMetrics, deltaRows,
+        maxDeltaRowsPerBucket =
+          if (changeRowsByBucket.isEmpty) 0L else changeRowsByBucket.values.max)
       early.foreach(r => return r)
 
       // CoW change sidecar (LakeTable.changeLog's CDC-out source for CoW
@@ -679,7 +689,23 @@ object MergeApply {
               .otherwise(coalesce(col("_deleted"), lit(false))).as("_deleted")): _*)
           .withColumn("_bucket", lake.bucketExpr(keys, buckets))
 
-        val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, mAt))
+        // adaptive-salt sizing: merged rows per bucket ≤ base rows (exact
+        // manifest footer counts) + change rows (the stats collect); a
+        // stats-less file (rows = -1) degrades to unknown = full salt
+        val mergedMax: Long = {
+          val fs = mAt.files.filter(f => affectedC.exists(b => b % f.spec == f.bucket))
+          if (fs.exists(_.rows < 0)) Long.MaxValue
+          else {
+            val baseRows = scala.collection.mutable.Map.empty[Int, Long]
+              .withDefaultValue(0L)
+            fs.foreach(f => f.coveredBuckets(mAt.buckets).foreach { b =>
+              if (affectedC.contains(b)) baseRows(b) += f.rows })
+            affectedC.iterator
+              .map(b => baseRows(b) + changeRowsByBucket.getOrElse(b, 0L)).max
+          }
+        }
+        val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, mAt,
+          maxRowsPerBucket = mergedMax))
         beforeCowCommit()
         timed("commit")(lake.commit(epoch, files, affectedC, baseMetrics,
           readVersion = Some(mAt.version)))
@@ -771,6 +797,8 @@ object MergeApply {
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
+      val changeRowsByBucket = stats.groupBy(_.getInt(0))
+        .map { case (b, rows) => b -> rows.map(_.getLong(2)).sum }
       // incoming events as version rows; DELETEs become hidden marker rows
       def evRows = withBucket.select(
         (payloadCols.map(col) :+
@@ -786,7 +814,9 @@ object MergeApply {
       // (end_date/current) is rebuilt at read time / folded by compaction,
       // so history ingest never rewrites the hot buckets either)
       val (metrics, early) = commitCommon(spark, lake, epoch, cfg, m,
-        affected, opCounts, onStats, extraMetrics, evRows)
+        affected, opCounts, onStats, extraMetrics, evRows,
+        maxDeltaRowsPerBucket =
+          if (changeRowsByBucket.isEmpty) 0L else changeRowsByBucket.values.max)
       early.foreach(r => return r)
 
       // CoW change sidecar: scd2's change set is its version rows (same shape
@@ -816,7 +846,22 @@ object MergeApply {
           .withColumn(scd.current,
             when(!hasNext && !col("_deleted"), lit(1)).otherwise(lit(0)))
 
-        val files = writeEpoch(spark, lake, rebuilt, epoch, mAt)
+        // same adaptive-salt sizing as the LWW path: versions per bucket ≤
+        // base rows (manifest footer counts) + this batch's version rows
+        val mergedMax: Long = {
+          val fs = mAt.files.filter(f => affectedC.exists(b => b % f.spec == f.bucket))
+          if (fs.exists(_.rows < 0)) Long.MaxValue
+          else {
+            val baseRows = scala.collection.mutable.Map.empty[Int, Long]
+              .withDefaultValue(0L)
+            fs.foreach(f => f.coveredBuckets(mAt.buckets).foreach { b =>
+              if (affectedC.contains(b)) baseRows(b) += f.rows })
+            affectedC.iterator
+              .map(b => baseRows(b) + changeRowsByBucket.getOrElse(b, 0L)).max
+          }
+        }
+        val files = writeEpoch(spark, lake, rebuilt, epoch, mAt,
+          maxRowsPerBucket = mergedMax)
         beforeCowCommit()
         lake.commit(epoch, files, affectedC, metrics,
           readVersion = Some(mAt.version))
@@ -838,27 +883,50 @@ object MergeApply {
     * Salt input = ALL merge-key columns (hashing only the first schema field
     * would collapse the salt whenever that field isn't part of a composite
     * key), plus `_lsn` for scd2 version rows so one hot key's version HISTORY
-    * — many rows, same key — spreads across salt tasks too. */
+    * — many rows, same key — spreads across salt tasks too.
+    *
+    * `maxRowsPerBucket` (when the caller knows it — merge stats + manifest
+    * footer counts) sizes the salt ADAPTIVELY: a bucket under
+    * [[writeSaltRowsPerTask]] rows needs no splitting, so a small epoch
+    * writes one file per bucket instead of WRITE_SALT — 4× fewer files to
+    * write, footer-read, track in manifests and later compact — while a
+    * bucket past the threshold still fans out to the full salt. Unknown
+    * (Long.MaxValue) keeps the conservative full salt: the full load — the
+    * biggest write of a table's life — stays maximally spread. */
   private val WRITE_SALT = 4
+  /** Rows one write task is allowed before the salt splits its bucket —
+    * settable for tests/ops (`-Dgraft.write.salt.rows.per.task=`). */
+  private def writeSaltRowsPerTask: Long =
+    sys.props.get("graft.write.salt.rows.per.task").map(_.toLong)
+      .getOrElse(2000000L)
   private[graft] def writeEpoch(
       spark: SparkSession,
       lake: LakeTable,
       merged: DataFrame,
       epoch: Long,
       m: Manifest,
-      kind: String = DataFile.BASE): Seq[DataFile] = {
+      kind: String = DataFile.BASE,
+      maxRowsPerBucket: Long = Long.MaxValue): Seq[DataFile] = {
     val keyCols =
       if (m.keyCols.nonEmpty) m.keyCols else Seq(m.currentSchema.fields.head.name)
     val saltCols = keyCols ++
       (if (m.tableMode == Manifest.SCD2 && merged.columns.contains("_lsn"))
         Seq("_lsn") else Nil)
-    merged
-      // extra lit distinguishes the salt hash from the bucket hash (which also
-      // hashes the keys — salt would otherwise be a pure function of bucket)
-      .withColumn("_wsalt",
-        pmod(xxhash64(saltCols.map(col) :+ lit(7919): _*), lit(WRITE_SALT)))
-      .repartition(col("_bucket"), col("_wsalt"))
-      .drop("_wsalt")
+    val salt =
+      if (maxRowsPerBucket >= writeSaltRowsPerTask * WRITE_SALT) WRITE_SALT
+      else math.max(1L,
+        (maxRowsPerBucket + writeSaltRowsPerTask - 1) / writeSaltRowsPerTask).toInt
+    val keyed =
+      if (salt <= 1) merged.repartition(col("_bucket"))
+      else merged
+        // extra lit distinguishes the salt hash from the bucket hash (which
+        // also hashes the keys — salt would otherwise be a pure function of
+        // bucket)
+        .withColumn("_wsalt",
+          pmod(xxhash64(saltCols.map(col) :+ lit(7919): _*), lit(salt)))
+        .repartition(col("_bucket"), col("_wsalt"))
+        .drop("_wsalt")
+    keyed
       .write.mode("overwrite")
       .options(lake.bloomOptions(m.keyCols))
       .partitionBy("_bucket")

@@ -712,9 +712,19 @@ class LakeTable(val dir: String) {
 
   /** Parquet writer options enabling native bloom filters on the merge keys —
     * keys are hash-scattered inside a bucket, so min/max stats rarely prune
-    * there; the row-group bloom is what makes `lookup` skip data pages. */
+    * there; the row-group bloom is what makes `lookup` skip data pages.
+    *
+    * ADAPTIVE sizing is essential: without an NDV hint parquet allocates the
+    * MAXIMUM filter (1 MB per key column per row group) no matter how few
+    * keys the group holds — measured 1.05 MB files for a handful of rows,
+    * i.e. every small epoch write was ~99% bloom bytes (written, fsynced,
+    * then footer-read back by listEpochFiles). Adaptive mode builds candidate
+    * filters while writing and keeps the smallest that meets the FPP for the
+    * group's ACTUAL key count, so tiny epochs pay KBs and 100-TB row groups
+    * still get full-size filters — right-sized at every scale. */
   def bloomOptions(keyCols: Seq[String]): Map[String, String] =
-    keyCols.map(k => s"parquet.bloom.filter.enabled#$k" -> "true").toMap
+    keyCols.map(k => s"parquet.bloom.filter.enabled#$k" -> "true").toMap +
+      ("parquet.bloom.filter.adaptive.enabled" -> "true")
 
   // ── atomic commit: the version-file CAS is the ONE serialization point ──
   /** Fragment file name for snapshot `seq` — unique per commit ATTEMPT (the

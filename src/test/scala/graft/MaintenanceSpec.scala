@@ -20,11 +20,17 @@ class MaintenanceSpec extends SparkSpec {
       cfg.feedDir, nFiles = 6)
     val lake = CdcRunner.ensureTable(spark, cfg)
     CdcRunner.fullLoad(spark, lake, ChangeFeed.seedSnapshot(spark, 50), cfg)
-    // AQE would coalesce this tiny shuffle to one partition (one file/bucket);
-    // disable coalescing so the fixture actually produces small files
+    // AQE would coalesce this tiny shuffle to one partition (one file/bucket)
+    // and the adaptive write salt would drop to 1 on a tiny batch; disable
+    // both so the fixture actually produces the small files compaction is
+    // being tested on
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    sys.props("graft.write.salt.rows.per.task") = "1"
     try CdcRunner.runAvailableNow(spark, cfg)
-    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      sys.props.remove("graft.write.salt.rows.per.task"): Unit
+    }
 
     val before = lake.manifest
     val vCur = before.version

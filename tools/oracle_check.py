@@ -31,6 +31,12 @@ def main():
         o = con.execute(oracle[name]).fetchdf()
         s = s.reindex(sorted(s.columns), axis=1)
         o = o.reindex(sorted(o.columns), axis=1)
+        # queries ORDER BY a key that may have ties — canonicalize row order
+        # on every column (stringified: mixed/NaN-bearing cols sort stably)
+        if list(s.columns) == list(o.columns) and len(s.columns):
+            key = lambda df: df.astype(str).apply(tuple, axis=1).argsort(kind="stable")
+            s = s.iloc[key(s)].reset_index(drop=True)
+            o = o.iloc[key(o)].reset_index(drop=True)
         problems = []
         if list(s.columns) != list(o.columns):
             problems.append(f"schema {list(s.columns)} vs {list(o.columns)}")
