@@ -121,23 +121,6 @@ object WalParser {
       tsOfLsn: Column => Column = l => timestamp_seconds(lit(1700000000L) + l)): DataFrame =
     parseCore(raw, payload, _ => lit(schemaVer), tsOfLsn)
 
-  /** The line's `name[type]:value` tokens, IN LINE ORDER — the one tokenizer
-    * pass every per-field extraction below shares. */
-  private def lineTokens(rest: Column): Column =
-    regexp_extract_all(rest, lit(COL_RE), lit(0))
-
-  /** The LAST token of `name` (duplicate names: new-tuple value wins, like
-    * the reference's dict building) — NULL when the line does not carry the
-    * column. The `name + "["` prefix is exact: token names cannot contain
-    * '[' (COL_RE), so a longer name sharing the prefix cannot false-match. */
-  private def tokOf(toks: Column, name: String): Column =
-    try_element_at(filter(toks, t => t.startsWith(name + "[")), lit(-1))
-
-  /** A token's value half: everything after the FIRST `]:` — the same split
-    * point COL_RE's non-greedy type group matches, because the regex also
-    * commits to the earliest `]:` after the type. */
-  private def tokValue(tok: Column): Column =
-    tok.substr(instr(tok, "]:") + lit(2), length(tok))
 
   /** Distinct xids whose COMMIT line is present. The xid comes from the slot
     * row's xid column, falling back to the COMMIT line's own text
@@ -176,12 +159,14 @@ object WalParser {
     val line = col("data")
     // ONE materialized layer for every regex product: the aliases below are
     // non-cheap and multiply-consumed, so CollapseProject keeps this
-    // projection — each LINE_RE group and the tokenizer run ONCE per row.
-    // (The previous shape built a per-row name→value map whose construction
-    // was re-evaluated per payload field — the dominant parse cost, measured
-    // ~0.4 ms/row on the sf0.1 WAL fixture.)
+    // projection — each LINE_RE group and the one-pass [[graft.functions
+    // .WalTokens]] tokenizer run ONCE per row, and each payload field is a
+    // plain map lookup. (The previous shape re-ran a Catalyst map BUILD per
+    // payload field — measured ~0.4 ms/row — and its ~50-node-per-field
+    // expression tree cost every micro-batch seconds of driver-side
+    // analysis + codegen before any row moved.)
     //
-    // LAST occurrence wins on duplicate column names ([[tokOf]]): a
+    // LAST occurrence wins on duplicate column names (WalTokens): a
     // primary-key UPDATE (or REPLICA IDENTITY FULL) emits `old-key: id[..]:1
     // new-tuple: id[..]:2` — the same name twice; last-wins picks the
     // new-tuple value, like the reference's dict building
@@ -193,10 +178,11 @@ object WalParser {
       regexp_extract(line, LINE_RE, 3).as("_op"),
       regexp_extract(line, LINE_RE, 1).as("_schema"),
       regexp_extract(line, LINE_RE, 2).as("_table"),
-      lineTokens(regexp_extract(line, LINE_RE, 4)).as("_toks"))
-    val toks = col("_toks")
+      graft.functions.WalTokens.wal_tokens(
+        regexp_extract(line, LINE_RE, 4)).as("_kv"))
+    val kv = col("_kv")
     val typedPayload = payload.fields.toSeq.map { f =>
-      castToken(cleanToken(tokValue(tokOf(toks, f.name))), f.dataType).as(f.name)
+      castToken(cleanToken(element_at(kv, f.name)), f.dataType).as(f.name)
     }
 
     // A line can pass the DML-prefix filter yet fail the FULL LINE_RE — a
@@ -215,7 +201,7 @@ object WalParser {
       col("xid").as(graft.model.ChangeEvent.TXN_ID),
       tsOfLsn(col("lsn")).as(graft.model.ChangeEvent.TS),
       orNull(upper(col("_op"))).as(graft.model.ChangeEvent.OP),
-      verOf(m => tokOf(toks, m).isNotNull).as(graft.model.ChangeEvent.SCHEMA_VER),
+      verOf(m => map_contains_key(kv, m)).as(graft.model.ChangeEvent.SCHEMA_VER),
       orNull(col("_schema")).as("schema_name"),
       orNull(col("_table")).as("table_name")) ++ typedPayload: _*)
 
