@@ -33,4 +33,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark is driver-only: give it real memory (32 threads share one heap)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The generated-class cache defaults to 100 entries (StaticSQLConf
+  // CODEGEN_CACHE_MAX_ENTRIES) — far below the working set of a multi-epoch
+  // CDC pipeline (one WAL-fed streaming run alone compiles ~95 codegen units
+  // per micro-batch), so every epoch evicted the previous epoch's classes and
+  // recompiled them (~17 ms each, measured ~5 s of pure Janino time in one
+  // query). Per-epoch plan TEXT is stable (verified: a second identical run
+  // recompiles zero units when nothing was evicted), so a right-sized cache
+  // turns steady-state epochs into pure cache hits. Scale-neutral: cluster
+  // executors default to the same 100 entries and pay the same recompiles.
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
+  // Spark 4 keys the codegen cache by (classloader, code text), and with
+  // per-session artifact isolation (default on, built for multi-tenant Spark
+  // Connect) every STREAMING query clones the session and every clone gets
+  // its own artifact classloader — so executor-side compiles never hit the
+  // cache across streaming runs even for byte-identical generated code
+  // (measured: 27 recompiles per identical pipeline re-run, all with bodies
+  // already in the cache; 0 after disabling). This engine adds no session
+  // artifacts (no addArtifact/ADD JAR anywhere), so isolation buys nothing
+  // and recompilation taxes every stream (re)start and every table of the
+  // multi-table runner, on a cluster's executors just like here.
+  "-Dspark.sql.artifact.isolation.enabled=false",
 )
