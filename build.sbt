@@ -54,4 +54,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and recompilation taxes every stream (re)start and every table of the
   // multi-table runner, on a cluster's executors just like here.
   "-Dspark.sql.artifact.isolation.enabled=false",
-)
+) ++ {
+  // Shuffle/spill/broadcast scratch on tmpfs when the host has one — the
+  // same single-disk argument as Bench.benchTmp's workspace placement: the
+  // sandbox's one disk-backed /tmp is the unrepresentative part of this
+  // environment (a cluster spreads spark.local.dir across per-executor
+  // disks whose page cache absorbs micro-batch-sized shuffles). Spark
+  // removes its blockmgr-*/spark-* dirs on clean shutdown; crashed runs
+  // are covered by the stale sweeps both workspace owners already run.
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) Seq("-Dspark.local.dir=/dev/shm") else Seq.empty
+}

@@ -42,7 +42,28 @@ object Queries {
     }))
   }
   private def tempRoot(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    // Workspace on tmpfs when available — the same rationale as
+    // Bench.benchTmp: a pipeline query measures the engine (merge, commit
+    // protocol, manifest I/O), and the sandbox's ONE disk-backed /tmp puts
+    // single-disk flush variance on every epoch write and checkpoint file
+    // where a real cluster has per-executor disks + page cache. Stale dirs
+    // from crashed runs are age-swept like Bench's (tmpfs is shared+finite);
+    // the 3h cutoff can never hit a live run's workspace.
+    import java.nio.file.{Files, Paths}
+    val shm = Paths.get("/dev/shm")
+    val base = if (Files.isWritable(shm)) shm
+               else Paths.get(System.getProperty("java.io.tmpdir"))
+    val staleMs = System.currentTimeMillis() - 3 * 3600 * 1000L
+    Option(base.toFile.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft-q-") && f.lastModified() < staleMs) {
+        def rm(g: java.io.File): Unit = {
+          if (g.isDirectory) Option(g.listFiles()).foreach(_.foreach(rm))
+          g.delete(): Unit
+        }
+        rm(f)
+      }
+    })
+    val p = Files.createTempDirectory(base, prefix).toString
     tempRoots.add(p)
     p
   }
