@@ -51,19 +51,19 @@ object WalParser {
     * `integer[]` tokenize too — the reference only ever sees scalar types. */
   val COL_RE = "([^\\s\\[]+)\\[(.+?)\\]:([^'\\s]*(?:'[^']*'[^'\\s]*)*)(?=\\s|$)"
 
+  /** [[LINE_RE]] with the tuple-data group OPTIONAL — the one-pass
+    * [[graft.functions.WalLine]] matcher's pattern: a truncated DML line
+    * (`table s.t: INSERT:` with nothing after the op colon) still matches,
+    * with a null rest group, so ONE matcher pass replaces the old
+    * rlike-prefilter + per-group regexp_extract chain while keeping the
+    * truncated-line quarantine contract. */
+  private[graft] val LINE_OPT_RE =
+    "(?s)^table\\s+([^.]+)\\.([^:]+):\\s+(INSERT|UPDATE|DELETE):(?:\\s+(.+))?"
+
   val rawSchema: StructType = StructType(Seq(
     StructField("lsn", LongType, nullable = false),
     StructField("xid", LongType, nullable = false),
     StructField("data", StringType, nullable = false)))
-
-  /** Strip outer quotes + unescape doubled quotes, map literal null to NULL. */
-  private def cleanToken(raw: Column): Column = {
-    val isQuoted = raw.startsWith("'") && raw.endsWith("'") && length(raw) >= 2
-    val body = when(isQuoted,
-      regexp_replace(raw.substr(lit(2), length(raw) - 2), "''", "'"))
-      .otherwise(raw)
-    when(raw === "null" || raw.isNull, lit(null).cast(StringType)).otherwise(body)
-  }
 
   /** Cast a cleaned string to the payload type; PG array literal for arrays.
     * Elements may be PG-double-quoted (mandatory for strings containing the
@@ -148,23 +148,21 @@ object WalParser {
       tsOfLsn: Column => Column): DataFrame = {
     // committed transactions: xids that produced a COMMIT line
     val commits = commitXids(raw)
-    // DML only: the `table ` prefix also matches non-DML slot lines (e.g.
-    // `table public.t: TRUNCATE: (no-flags)`), for which every LINE_RE group
-    // extracts as "" — the bare parse()/parseVersioned() would emit a phantom
-    // op="" row that the merge can only quarantine (or fail the batch on)
-    val dml = raw
-      .filter(col("data").rlike("^table\\s+[^.]+\\.[^:]+:\\s+(INSERT|UPDATE|DELETE):"))
-      .join(commits, Seq("xid"), "left_semi")
-
-    val line = col("data")
-    // ONE materialized layer for every regex product: the aliases below are
-    // non-cheap and multiply-consumed, so CollapseProject keeps this
-    // projection — each LINE_RE group and the one-pass [[graft.functions
-    // .WalTokens]] tokenizer run ONCE per row, and each payload field is a
-    // plain map lookup. (The previous shape re-ran a Catalyst map BUILD per
-    // payload field — measured ~0.4 ms/row — and its ~50-node-per-field
-    // expression tree cost every micro-batch seconds of driver-side
-    // analysis + codegen before any row moved.)
+    // ONE materialized layer per regex pass, TWO passes per line total
+    // (line match + tuple tokenize, both single-expression natives —
+    // [[graft.functions.WalLine]] / [[graft.functions.WalTokens]]): the
+    // aliases below are non-cheap and multiply-consumed, so CollapseProject
+    // keeps each projection and every downstream access is a plain struct
+    // field / map lookup. (Two earlier shapes each cost more: a Catalyst
+    // map BUILD re-run per payload field — ~0.4 ms/row — and then an rlike
+    // prefilter + one regexp_extract per LINE_RE group = five anchored
+    // matcher runs per line where one suffices.)
+    //
+    // _ln is NULL for non-DML lines (BEGIN/COMMIT/TRUNCATE — the matcher
+    // fails at the first literal), which the filter below drops exactly
+    // like the old DML-prefix rlike; a TRUNCATED line (DML prefix, nothing
+    // after the op colon) matches with a null rest instead, so it routes to
+    // quarantine rather than vanishing as another table's traffic.
     //
     // LAST occurrence wins on duplicate column names (WalTokens): a
     // primary-key UPDATE (or REPLICA IDENTITY FULL) emits `old-key: id[..]:1
@@ -172,28 +170,31 @@ object WalParser {
     // new-tuple value, like the reference's dict building
     // (CDCManager.py:100-110 — later assignments overwrite). A
     // `(no-tuple-data)` DELETE yields zero tokens ⇒ every payload column
-    // NULL, same as the old empty-map branch.
-    val tokenized = dml.select(
+    // NULL, same as the old empty-map branch. Values arrive CLEANED from
+    // the tokenizer (quotes stripped, '' unescaped, literal null ⇒ NULL) —
+    // the old per-field cleanToken column tree, fused into the same pass.
+    val lined = raw
+      .select(col("lsn"), col("xid"),
+        graft.functions.WalTokens.wal_line(col("data")).as("_ln"))
+      .filter(col("_ln").isNotNull)
+      .join(commits, Seq("xid"), "left_semi")
+    val tokenized = lined.select(
       col("lsn"), col("xid"),
-      regexp_extract(line, LINE_RE, 3).as("_op"),
-      regexp_extract(line, LINE_RE, 1).as("_schema"),
-      regexp_extract(line, LINE_RE, 2).as("_table"),
-      graft.functions.WalTokens.wal_tokens(
-        regexp_extract(line, LINE_RE, 4)).as("_kv"))
+      col("_ln.op").as("_op"),
+      col("_ln.schema").as("_schema"),
+      col("_ln.table").as("_table"),
+      col("_ln.rest").isNull.as("_truncated"),
+      graft.functions.WalTokens.wal_tokens(col("_ln.rest")).as("_kv"))
     val kv = col("_kv")
     val typedPayload = payload.fields.toSeq.map { f =>
-      castToken(cleanToken(element_at(kv, f.name)), f.dataType).as(f.name)
+      castToken(element_at(kv, f.name), f.dataType).as(f.name)
     }
 
-    // A line can pass the DML-prefix filter yet fail the FULL LINE_RE — a
-    // truncated `table s.t: INSERT:` with nothing after the op colon. There
-    // regexp_extract yields "" (not NULL) for every group, and an
-    // empty-string route is indistinguishable from another table's traffic:
-    // routed() would silently drop the row — no quarantine, no count, the
-    // exact vanishing the corrupt-line markers exist to prevent. NULL the
-    // op and the route instead, so the row quarantines as unknown_op with
-    // its lsn/xid intact.
-    val truncated = col("_op") === ""
+    // Truncated lines (DML prefix, no tuple data after the op colon): NULL
+    // the op and the route, so the row quarantines as unknown_op with its
+    // lsn/xid intact — routed() keeps NULL-route rows alive exactly for
+    // this.
+    val truncated = col("_truncated")
     def orNull(c: Column): Column =
       when(truncated, lit(null).cast(StringType)).otherwise(c)
     val parsed = tokenized.select(Seq(
