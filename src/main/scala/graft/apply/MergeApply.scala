@@ -209,14 +209,21 @@ object MergeApply {
   /** set GRAFT_PHASE_TIMING=1 to print per-phase timings to stderr */
   private val phaseTiming = sys.props.get("graft.phase.timing").contains("1") ||
     sys.env.get("GRAFT_PHASE_TIMING").contains("1")
+  /** Labels the phase's jobs in the UI (thread-local, guide §1.5 — one
+    * setProperty call, negligible) and optionally times it to stderr. */
   @inline private def timed[T](label: String)(f: => T): T = {
-    if (!phaseTiming) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      System.err.println(f"[phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"merge: $label")
+    try {
+      if (!phaseTiming) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    } finally sc.setJobDescription(prev)
   }
 
   /** Deterministic per-batch "now" (replaces the reference's wall-clock NOW(),

@@ -670,14 +670,26 @@ object CdcRunner {
         // the extra shuffle is one pass over at most a few files' lines,
         // and sort-before-repartition (default on) keeps the row→partition
         // assignment deterministic under task retry — required by the
-        // stash/ledger replay contract below. Scale-adaptive: derived from
-        // the session's core count, never a constant; a batch that already
-        // has enough splits is left untouched.
+        // stash/ledger replay contract below. Scale-adaptive BOTH ways:
+        // width derives from the batch's actual BYTES (driver file listing,
+        // ~16 MB of slot text per parse task), capped at the session's core
+        // count — a GB-file batch spreads across every core, while a few-KB
+        // batch skips the shuffle entirely instead of paying a
+        // core-count-wide stage for rows that fit one task (the guide's
+        // "derive from input size, not a constant tuned for either local
+        // mode or the cluster").
         val para = spark.sparkContext.defaultParallelism
-        val raw =
-          if (raw0.rdd.getNumPartitions < math.max(1, para / 2))
-            raw0.repartition(para)
-          else raw0
+        val parts0 = raw0.rdd.getNumPartitions
+        val raw = if (parts0 >= math.max(1, para / 2)) raw0 else {
+          val bytes = scala.util.Try(
+            raw0.inputFiles.toSeq.map { f =>
+              val (fs, p) = hadoopFs(spark, f)
+              fs.getFileStatus(p).getLen
+            }.sum).getOrElse(Long.MaxValue) // unknown size: assume big
+          val want = math.min(para.toLong,
+            math.max(1L, bytes / (16L << 20) + 1L)).toInt
+          if (parts0 >= want) raw0 else raw0.repartition(want)
+        }
         // Transactions SPLIT across micro-batches: test_decoding emits whole
         // BEGIN..COMMIT blocks, but the file feed (and maxFilesPerTrigger)
         // can cut a batch mid-transaction — the parser's committed-only
@@ -749,16 +761,26 @@ object CdcRunner {
           readEvictionLedger(spark, s"$stashRoot/evicted=${epoch - 1}", epoch - 1)
             .filter(_._2 > epoch - ledgerRetention)
         val prevXids = ledgerPrev.map(_._1).toSet
-        // collected to the driver: the set is per-TXN xids (not rows) and an
-        // eviction is a rare producer-wedge event. Gated on a carried stash:
-        // fresh batch rows enter at AGE=0 and maxAge >= 1, so without
-        // stash(N-1) on disk no row can satisfy AGE >= maxAge — skipping the
-        // probe keeps the steady-state hot path (no split txns) free of an
-        // extra per-batch driver job
+        // ONE aggregate job on the (cached) pending lines yields the row
+        // count AND the expired-xid set together — previously a separate
+        // distinct+collect probe preceded the stash write, and the write ran
+        // even when pending was EMPTY (the steady state: whole txns per
+        // batch), paying a full parquet-committer job to record nothing.
+        // The xid set stays driver-bounded: per-TXN xids of a rare
+        // producer-wedge event, not rows (collect_set drops the when's
+        // nulls, so only aged-out lines contribute). Fresh rows enter at
+        // AGE=0 and maxAge >= 1, so without a carried stash the set is
+        // provably empty — same gate as the old probe, now free.
+        spark.sparkContext.setJobDescription(s"wal: pending stash (epoch $epoch)")
+        val pendingAgg = pending.groupBy().agg(
+          count(lit(1)).as("n"),
+          collect_set(when(col(AGE) >= math.max(maxAge, 1), col("xid")))
+            .as("aged")).head()
+        val nPending = pendingAgg.getLong(0)
         val expiredXids: Seq[Long] =
           if (maxAge <= 0 || !prevStashExists) Seq.empty
-          else pending.filter(col(AGE) >= maxAge).select("xid").distinct()
-            .collect().map(_.getLong(0)).filterNot(prevXids).sorted.toSeq
+          else pendingAgg.getSeq[Long](1).distinct
+            .filterNot(prevXids).sorted.toSeq
         val ledger = ledgerPrev ++ expiredXids.map(x => (x, epoch))
         val evictedAll = prevXids ++ expiredXids
         // written BEFORE the merge, like the stash: a retried batch
@@ -770,12 +792,29 @@ object CdcRunner {
         // evicted txns never stash (their lines quarantine the batch they
         // arrive in); null-xid corrupt markers are already excluded by the
         // filter above, and pending's xids are non-null so the negated
-        // membership predicate has no three-valued-logic trap
-        (if (evictedAll.nonEmpty)
-          pending.filter(!col("xid").isInCollection(evictedAll))
-         else pending)
-          .withColumn(AGE, col(AGE) + 1)
-          .write.mode("overwrite").parquet(s"$stashRoot/epoch=$epoch")
+        // membership predicate has no three-valued-logic trap.
+        // An EMPTY pending set writes no dir at all — absence reads as an
+        // empty carry-in next batch (and on a retry: emptiness is a pure
+        // function of the retained batch + stash(N-1) + ledger(N-1), so a
+        // replayed epoch re-derives it identically). A crashed earlier
+        // attempt cannot have left a conflicting dir for the same reason;
+        // the delete below is belt-and-braces for dirs from older builds.
+        if (nPending == 0) {
+          val p = new org.apache.hadoop.fs.Path(s"$stashRoot/epoch=$epoch")
+          if (isHadoopDir(stashFs, p)) stashFs.delete(p, true): Unit
+        } else {
+          // bounded file count: the carry-over is usually a handful of
+          // straggler lines — one ~500k-line file per task beats one file
+          // per upstream partition (coalesce: no extra shuffle)
+          val stashParts = math.max(1L, math.min(
+            nPending / 500000L + 1L, para.toLong)).toInt
+          (if (evictedAll.nonEmpty)
+            pending.filter(!col("xid").isInCollection(evictedAll))
+           else pending)
+            .withColumn(AGE, col(AGE) + 1)
+            .coalesce(stashParts)
+            .write.mode("overwrite").parquet(s"$stashRoot/epoch=$epoch")
+        }
         // with a schema registry, one stream parses EVERY registered payload
         // version (the wire format carries column names inline): per-row
         // version detection + rename/widen normalization, so a batch mixing
