@@ -711,7 +711,14 @@ object CdcRunner {
         val (stashFs, stashRootP) = hadoopFs(spark, stashRoot)
         val prevStashP =
           new org.apache.hadoop.fs.Path(s"$stashRoot/epoch=${epoch - 1}")
-        val prevStashExists = isHadoopDir(stashFs, prevStashP)
+        // an EMPTY-marker dir (written below when a carried stash drains to
+        // nothing) reads as "no carry-in": it supersedes the previous
+        // epoch's dir — the newest epoch dir is the observable live
+        // carry-out, which operators and the stash specs read directly —
+        // without paying a Spark parquet job to record zero rows (the
+        // steady-state dir simply doesn't exist and skips both probes)
+        val prevStashExists = isHadoopDir(stashFs, prevStashP) &&
+          !stashFs.exists(new org.apache.hadoop.fs.Path(prevStashP, EMPTY_STASH))
         val withAge =
           (if (prevStashExists) {
             // the stash is self-written parquet: its own schema carries AGE
@@ -793,15 +800,25 @@ object CdcRunner {
         // arrive in); null-xid corrupt markers are already excluded by the
         // filter above, and pending's xids are non-null so the negated
         // membership predicate has no three-valued-logic trap.
-        // An EMPTY pending set writes no dir at all — absence reads as an
-        // empty carry-in next batch (and on a retry: emptiness is a pure
-        // function of the retained batch + stash(N-1) + ledger(N-1), so a
-        // replayed epoch re-derives it identically). A crashed earlier
-        // attempt cannot have left a conflicting dir for the same reason;
-        // the delete below is belt-and-braces for dirs from older builds.
+        // An EMPTY pending set writes no parquet at all (and on a retry:
+        // emptiness is a pure function of the retained batch + stash(N-1) +
+        // ledger(N-1), so a replayed epoch re-derives it identically). Two
+        // empty shapes:
+        //  - a carried stash DRAINED this epoch: supersede it with a
+        //    driver-side EMPTY-marker dir (two metadata ops, no Spark job) —
+        //    the newest epoch dir must always be the live carry-out, or the
+        //    stale predecessor reads as "txn still circling" one epoch after
+        //    it resolved (the stash specs pin this observable);
+        //  - steady state (no carry-in): write nothing, probe nothing.
+        // The delete is belt-and-braces for dirs from older builds/attempts.
         if (nPending == 0) {
           val p = new org.apache.hadoop.fs.Path(s"$stashRoot/epoch=$epoch")
           if (isHadoopDir(stashFs, p)) stashFs.delete(p, true): Unit
+          if (prevStashExists) {
+            stashFs.mkdirs(p): Unit
+            stashFs.create(
+              new org.apache.hadoop.fs.Path(p, EMPTY_STASH), true).close()
+          }
         } else {
           // bounded file count: the carry-over is usually a handful of
           // straggler lines — one ~500k-line file per task beats one file
@@ -902,6 +919,11 @@ object CdcRunner {
       p: org.apache.hadoop.fs.Path): Boolean =
     try fs.getFileStatus(p).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
+
+  /** Marker file of a stash epoch dir recording "the carry-in drained to
+    * nothing here" — written driver-side instead of paying a Spark parquet
+    * job for zero rows; the carry-in probe treats such a dir as absent. */
+  private val EMPTY_STASH = "_EMPTY_STASH"
 
   private[graft] def readEvictionLedger(
       spark: SparkSession, path: String, fallbackEpoch: Long): Seq[(Long, Long)] = {
