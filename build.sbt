@@ -54,6 +54,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and recompilation taxes every stream (re)start and every table of the
   // multi-table runner, on a cluster's executors just like here.
   "-Dspark.sql.artifact.isolation.enabled=false",
+  // Without the Hadoop native library, RawLocalFileSystem's permission ops
+  // FORK a `chmod` child per call, and every local parquet create pays it
+  // (task dir mkdirs + file perms + crc perms). ~20% of RUNNABLE driver
+  // samples sat in Shell.runCommand under those stacks (guide §7.3 thread
+  // dumps). FastLocalFileSystem does the same chmod via java.nio — no
+  // process launch, identical semantics (graft.hadoop.FastLocalFs).
+  "-Dspark.hadoop.fs.file.impl=graft.hadoop.FastLocalFileSystem",
+  // The default FileContext-based checkpoint manager probes symlink status
+  // through ANOTHER shell fork (`ls`) on every rename — the FileSystem-based
+  // manager's rename path is fork-free and rename on a local/HDFS
+  // FileSystem is just as atomic (it exists precisely for FileSystems
+  // without a FileContext binding).
+  "-Dspark.sql.streaming.checkpointFileManagerClass=" +
+    "org.apache.spark.sql.execution.streaming.checkpointing." +
+    "FileSystemBasedCheckpointFileManager",
 ) ++ {
   // Shuffle/spill/broadcast scratch on tmpfs when the host has one — the
   // same single-disk argument as Bench.benchTmp's workspace placement: the

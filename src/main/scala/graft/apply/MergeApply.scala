@@ -233,14 +233,46 @@ object MergeApply {
 
   /** Null-fill lake-schema columns missing from the (older schema_ver) event frame
     * and cast widened ones — the reference's per-batch null-fill of missing source
-    * columns (trempy/Tables/Table.py:73-100), done once per batch, columnar. */
-  private def alignToSchema(df: DataFrame, target: GraftSchema): DataFrame =
-    target.fields.foldLeft(df) { (d, f) =>
-      if (!d.columns.contains(f.name)) d.withColumn(f.name, lit(null).cast(f.dataType))
-      else if (d.schema(f.name).dataType != f.dataType)
-        d.withColumn(f.name, col(f.name).cast(f.dataType))
-      else d
+    * columns (trempy/Tables/Table.py:73-100), done once per batch, columnar.
+    * ONE select, not a withColumn per field: each withColumn stacks another
+    * Project the analyzer re-walks on every per-epoch action — pure plan
+    * bloat on the merge hot path (guide §7.3: analyzer time IS driver wall). */
+  private def alignToSchema(df: DataFrame, target: GraftSchema): DataFrame = {
+    val have = df.columns.toSet
+    val byName = target.fields.map(f => f.name -> f).toMap
+    val needsWork = target.fields.exists(f => !have(f.name) ||
+      df.schema(f.name).dataType != f.dataType)
+    if (!needsWork) df
+    else {
+      val existing = df.schema.fields.toSeq.map { c =>
+        byName.get(c.name) match {
+          case Some(f) if c.dataType != f.dataType =>
+            col(c.name).cast(f.dataType).as(c.name)
+          case _ => col(c.name)
+        }
+      }
+      val missing = target.fields.filterNot(f => have(f.name))
+        .map(f => lit(null).cast(f.dataType).as(f.name))
+      df.select(existing ++ missing: _*)
     }
+  }
+
+  /** Plan-once seam (guide §3.3 "materialising an intermediate truncates the
+    * plan"): compile `df`'s physical plan ONCE and hand every further
+    * consumer a LogicalRDD over the compiled RDD. The persisted reduction is
+    * consumed by up to three more actions per epoch (delta/sidecar write,
+    * CoW merge+write, retry recomputes) and each would otherwise re-run the
+    * analyzer/optimizer over the WHOLE upstream tree — source scan, wire
+    * parse, rule pipeline — which thread-dump sampling showed to be the
+    * largest driver-gap component on wire-fed streams. Data still flows
+    * through the persisted cache exactly as before (the RDD reads the
+    * InMemoryRelation; an evicted partition recomputes through the original
+    * plan), so results and fault behavior are unchanged — only the repeated
+    * driver-side re-analysis is gone. Callers must run the FIRST action (the
+    * one that resolves observe() metrics) on the original frame. */
+  private def planOnce(spark: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark, df.queryExecution.toRdd, df.schema)
 
   def applyBatch(
       spark: SparkSession,
@@ -617,9 +649,15 @@ object MergeApply {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // one small job on the cached reduction yields op metrics AND affected buckets
+      // one small job on the cached reduction yields op metrics AND affected
+      // buckets — the FIRST action, on the original frame, so the fused
+      // observe() metrics resolve here
       val opByBucket = timed("reduce+stats")(
         reduced.groupBy("_bucket", ChangeEvent.OP).count().collect())
+      // every FURTHER consumer (delta/sidecar write, the CoW change side)
+      // plans over the compiled reduction instead of re-analyzing the whole
+      // source→parse→rules tree per action
+      val changes = planOnce(spark, reduced)
       val affected = opByBucket.map(_.getInt(0)).toSet
       val opCounts = opByBucket.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
@@ -631,7 +669,7 @@ object MergeApply {
       // the CoW change sidecar when the table records a change feed
       def deltaRows = {
         val cOp = col(ChangeEvent.OP)
-        reduced.select(
+        changes.select(
           (payloadCols.map { c =>
             if (keys.contains(c)) col(c)
             else when(cOp === ChangeEvent.DELETE, lit(null)).otherwise(col(c)).as(c)
@@ -674,7 +712,7 @@ object MergeApply {
         // the row's stored _lsn, so re-ordered/re-delivered batches cannot regress
         // the table to an older version (order-tolerant upsert).
         val cPrefix = "_c_"
-        val changeSide = reduced.select(
+        val changeSide = changes.select(
           keys.map(col) ++
             (Seq(ChangeEvent.OP, ChangeEvent.LSN) ++ nonKeyPayload)
               .map(c => col(c).as(cPrefix + c)): _*)
@@ -800,14 +838,17 @@ object MergeApply {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
+      // first action on the original frame (observe resolves here); further
+      // consumers plan over the compiled reduction — see applyLww
       val stats = withBucket.groupBy("_bucket", ChangeEvent.OP).count().collect()
+      val changes = planOnce(spark, withBucket)
       val affected = stats.map(_.getInt(0)).toSet
       val opCounts = stats.groupBy(_.getString(1))
         .map { case (op, rows) => op -> rows.map(_.getLong(2)).sum }
       val changeRowsByBucket = stats.groupBy(_.getInt(0))
         .map { case (b, rows) => b -> rows.map(_.getLong(2)).sum }
       // incoming events as version rows; DELETEs become hidden marker rows
-      def evRows = withBucket.select(
+      def evRows = changes.select(
         (payloadCols.map(col) :+
           col(ChangeEvent.TS).cast(TimestampType).as(scd.startDate) :+
           lit(null).cast(TimestampType).as(scd.endDate) :+
