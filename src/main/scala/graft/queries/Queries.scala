@@ -79,11 +79,17 @@ object Queries {
   // identical ((eid*A) % V == ((eid%V)*A) % V) but overflow-safe at ANY
   // event_id — a bare eid*A past ~3.47e9 wraps silently in Spark while
   // DuckDB raises Out of Range, so the "integer-exact in both engines"
-  // claim would break exactly when the fixture scales up
-  def tokensExpr(eid: Column, nTok: Column): Column =
-    transform(sequence(lit(1), nTok),
-      x => (((eid % ChangeFeed.VOCAB) * TOK_A + x.cast(LongType) * TOK_B)
-        % ChangeFeed.VOCAB).cast(IntegerType))
+  // claim would break exactly when the fixture scales up.
+  // Native codegen'd kernel (graft.functions.TokenSeq): the transform/
+  // sequence HOF form it replaces evaluated interpreted per element and was
+  // ~60% of the feed derivation's cost, paid 1-3× by every pipeline query;
+  // values are bit-identical by construction (same arithmetic, same casts).
+  def tokensExpr(eid: Column, nTok: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.TokenSeq(
+      Bridge.expression(eid), Bridge.expression(nTok),
+      TOK_A, TOK_B, ChangeFeed.VOCAB))
+  }
 
   def feedFromEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = read(spark, dir, "events")
