@@ -483,6 +483,21 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], prob
     copy(child = c)
 }
 
+/** Serializable numeric-array element readers for partition-local folds that
+  * run below the row codec (e.g. the all-pairs cosine scan) — the same
+  * element coverage as [[VecElem.read]], as a closure-safe function. */
+object VecElemAccess {
+  def reader(et: DataType): (ArrayData, Int) => Double = et match {
+    case FloatType   => (a, i) => a.getFloat(i).toDouble
+    case DoubleType  => (a, i) => a.getDouble(i)
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType    => (a, i) => a.getLong(i).toDouble
+    case ShortType   => (a, i) => a.getShort(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"unsupported numeric array element type: $other")
+  }
+}
+
 object VectorOps {
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

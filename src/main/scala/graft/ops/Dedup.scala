@@ -315,15 +315,146 @@ object Dedup {
   /** Brute-force variant (small corpora / oracle checks): all pairs, recall
     * 1. Same default threshold as [[embeddingNearDups]] so diffing the two
     * under defaults measures exactly the LSH recall loss, not a threshold
-    * mismatch masquerading as one. */
+    * mismatch masquerading as one.
+    *
+    * Execution shape: the join formulation planned as a broadcast
+    * nested-loop join whose per-pair row machinery dwarfed the cosine
+    * kernel, and — worse — predicate pushdown substituted the `cosine`
+    * alias into the threshold filter, so the kernel ran up to THREE times
+    * per pair (isnan probe, comparison, projection; measured 2.7 s vs
+    * 1.0 s for a single cosine pass over the same 2M pairs at sf0.1).
+    * [[allPairsCosineLocal]] keeps the identical broadcast memory shape
+    * (one side resident per executor — exactly what the BNLJ broadcast)
+    * but runs ONE fused loop per pair below the row codec, with the same
+    * strict sequential fold as [[graft.functions.CosineSim]], so every
+    * emitted value is bit-identical. Pairs whose cosine the kernel would
+    * NULL (length mismatch, null element, zero norm) or NaN (NaN element)
+    * fail the `>=` exactly like [[aboveThreshold]]. Falls back to the join
+    * formulation when the id column is not LongType or the corpus exceeds
+    * the broadcast-sized bound — this op is inherently O(n²); past that
+    * size the LSH variant is the tool. */
   def embeddingNearDupsExact(
       df: DataFrame, threshold: Double = 0.95,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val a = v.as("a"); val b = v.as("b")
-    a.join(b, col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
-      .filter(aboveThreshold(threshold))
+    val idIsLong = df.schema(idCol).dataType == LongType
+    val elemOk = df.schema(vecCol).dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType, _) => true
+      case _ => false
+    }
+    if (idIsLong && elemOk) allPairsCosineLocal(df, threshold, vecCol, idCol)
+    else {
+      val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      val a = v.as("a"); val b = v.as("b")
+      a.join(b, col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        .filter(aboveThreshold(threshold))
+    }
+  }
+
+  /** One side of the all-pairs scan collected (same bytes a broadcast
+    * nested-loop join ships to every executor) and probed in a fused
+    * per-pair loop; the other side streams partition-local below the row
+    * codec. Returns (id_a, id_b, cosine) with id_a < id_b and cosine ≥
+    * threshold — the exact output of the join formulation. */
+  private def allPairsCosineLocal(
+      df: DataFrame, threshold: Double, vecCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol), col(vecCol))
+    val elemT = rows.schema(1).dataType.asInstanceOf[ArrayType].elementType
+    // id-sorted (id, vec) table; vec null = "this row pairs with nothing"
+    // (null array, or a null element that NULLs every cosine it touches)
+    val side: Array[(Long, Array[Double])] = rows.collect().flatMap { r =>
+      if (r.isNullAt(0)) None
+      else {
+        val vec =
+          if (r.isNullAt(1)) null
+          else {
+            val s = r.getSeq[Any](1)
+            if (s.contains(null)) null
+            else s.map(_.asInstanceOf[Number].doubleValue()).toArray
+          }
+        Some((r.getLong(0), vec))
+      }
+    }.sortBy(_._1)
+    // inherently O(n²): past broadcast-sized corpora the join fallback (and
+    // realistically the LSH variant) is the shape — same cap philosophy as
+    // Spark's own broadcast limits
+    require(side.length.toLong * math.max(1,
+      side.headOption.map(s => Option(s._2).map(_.length).getOrElse(0)).getOrElse(0)) < (1L << 28),
+      s"embeddingNearDupsExact: corpus too large for the all-pairs scan " +
+        s"(${side.length} rows) — use embeddingNearDups (LSH) at this scale")
+    val bc = spark.sparkContext.broadcast(side)
+    val outSchema = StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    val readElem: (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Double =
+      graft.functions.VecElemAccess.reader(elemT)
+    val rdd = rows.queryExecution.toRdd.mapPartitions { it =>
+      val table = bc.value
+      val ids = table.map(_._1)
+      it.flatMap { row =>
+        if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+        else {
+          val idA = row.getLong(0)
+          val arr = row.getArray(1)
+          val n = arr.numElements()
+          // densify once per left row; a null element voids every pair
+          var va: Array[Double] = new Array[Double](n)
+          var i = 0
+          while (i < n && va != null) {
+            if (arr.isNullAt(i)) va = null
+            else { va(i) = readElem(arr, i); i += 1 }
+          }
+          if (va == null) Iterator.empty
+          else {
+            // first broadcast index with id > idA (ids are sorted unique)
+            var lo = 0; var hi = ids.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) <= idA) lo = mid + 1 else hi = mid
+            }
+            val start = lo
+            new Iterator[InternalRow] {
+              private var j = start
+              private var nextRow: InternalRow = null
+              private def advance(): Unit = {
+                nextRow = null
+                while (nextRow == null && j < table.length) {
+                  val vb = table(j)._2
+                  if (vb != null && vb.length == va.length) {
+                    // same strict left-to-right fold as CosineSim — values
+                    // bit-identical; NaN/zero-norm fail the >= like the
+                    // kernel's NULL/isnan contract
+                    var dot = 0.0; var na = 0.0; var nb = 0.0
+                    var k = 0
+                    while (k < va.length) {
+                      val x = va(k); val y = vb(k)
+                      dot += x * y; na += x * x; nb += y * y
+                      k += 1
+                    }
+                    val denom = math.sqrt(na) * math.sqrt(nb)
+                    if (denom != 0.0 && dot / denom >= threshold)
+                      nextRow = new GenericInternalRow(
+                        Array[Any](idA, table(j)._1, dot / denom))
+                  }
+                  j += 1
+                }
+              }
+              advance()
+              override def hasNext: Boolean = nextRow != null
+              override def next(): InternalRow = {
+                val r = nextRow; advance(); r
+              }
+            }
+          }
+        }
+      }
+    }
+    Bridge.internalCreateDataFrame(spark, rdd, outSchema)
   }
 }
