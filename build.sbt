@@ -61,6 +61,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dumps). FastLocalFileSystem does the same chmod via java.nio — no
   // process launch, identical semantics (graft.hadoop.FastLocalFs).
   "-Dspark.hadoop.fs.file.impl=graft.hadoop.FastLocalFileSystem",
+  // Allow shuffled-hash joins where they fit (guide §9's baseline): the CoW
+  // merge's full-outer equi-join otherwise plans sort-merge and re-SORTS the
+  // whole base + change sides every epoch — pure CPU the hash build avoids.
+  // Scale-neutral: the planner still falls back to sort-merge when a build
+  // side would not fit its partition's memory.
+  "-Dspark.sql.join.preferSortMergeJoin=false",
+  // v2 task commit: tasks move their files into place at task commit, so the
+  // driver's job commit is O(1) instead of sequentially merging every task's
+  // attempt dir. Epoch dirs are overwritten wholesale on retry (writeEpoch's
+  // idempotence contract), so v1's atomic-job-commit guarantee buys nothing
+  // here — this is the standard setting for rename-capable filesystems.
+  "-Dspark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+  // ObjectHashAggregate (the LWW winner reduction) falls back to SORT-based
+  // aggregation once a task's hash map passes this many keys — the default
+  // 128 is sized for giant sketch buffers (percentile etc.), not a ~200-byte
+  // winner row. 4M keys ≈ <1 GB per task, far under the executor memory a
+  // bulk-ingest task already needs; past it the graceful sort fallback is
+  // exactly the old behavior.
+  "-Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=4194304",
   // The default FileContext-based checkpoint manager probes symlink status
   // through ANOTHER shell fork (`ls`) on every rename — the FileSystem-based
   // manager's rename path is fork-free and rename on a local/HDFS
@@ -69,7 +88,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.streaming.checkpointFileManagerClass=" +
     "org.apache.spark.sql.execution.streaming.checkpointing." +
     "FileSystemBasedCheckpointFileManager",
-) ++ {
+) ++
+  // experiment pass-through: extra -D flags for the forked bench/test JVMs
+  // without editing this file (e.g. GRAFT_EXTRA_OPTS="-Dgraft.lww.agg=maxby")
+  sys.env.get("GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty)) ++ {
   // Shuffle/spill/broadcast scratch on tmpfs when the host has one — the
   // same single-disk argument as Bench.benchTmp's workspace placement: the
   // sandbox's one disk-backed /tmp is the unrepresentative part of this

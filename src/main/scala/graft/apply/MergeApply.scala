@@ -220,7 +220,8 @@ object MergeApply {
       else {
         val t0 = System.nanoTime()
         val r = f
-        System.err.println(f"[phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        System.err.println(f"[phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"end=${System.currentTimeMillis()}")
         r
       }
     } finally sc.setJobDescription(prev)
@@ -540,13 +541,122 @@ object MergeApply {
         (observed.filter(!nullKey), resolve)
       }
 
+    // Observe-free twin of the merge input for the LWW winner pre-pass
+    // (lwwPrefilter): the pre-pass projects ONLY (keys, lsn), but a
+    // CollectMetrics node forces every column its metric expressions touch
+    // (tokens, for the payload invariant) to be read — the twin keeps the
+    // pre-pass scan column-pruned. Predicates/transforms are the exact same
+    // Column expressions, so the two lineages can never disagree on a row.
+    lazy val mergeInputLean: DataFrame = {
+      val goodLean = batch.filter(invariantOk)
+      val filteredLean =
+        if (cfg.filters.isEmpty) goodLean
+        else goodLean.filter(FilterCompiler.cdcPredicate(cfg.filters, good.schema, opCol))
+      val transformedLean = compiled.apply(filteredLean)
+      if (introduced.isEmpty) transformedLean
+      else transformedLean.filter(!(introduced.map(col(_).isNull).reduce(_ || _) &&
+        opCol =!= ChangeEvent.DELETE))
+    }
+
     cfg.mode match {
       case CdcMode.Scd2 =>
         applyScd2(spark, lake, mergeInput, epoch, cfg, keys, onStats,
           postStats() ++ extraMetrics)
       case _ =>
-        applyLww(spark, lake, mergeInput, epoch, cfg, keys, onStats,
+        applyLww(spark, lake, mergeInput, mergeInputLean, epoch, cfg, keys, onStats,
           postStats() ++ extraMetrics)
+    }
+  }
+
+  /** Input-size floor for the LWW winner pre-pass
+    * (-Dgraft.lww.prefilter.minInputBytes=N; <=0 disables — the DEFAULT).
+    *
+    * OFF by default, deliberately: the pre-pass is a measured 1.7–2× ingest
+    * win here (MoR 25.4→16–19 s at 32M events; results hash-identical) and
+    * its whole point — shuffled payload bytes cut from O(events) to O(keys),
+    * ~7× at the bench shape — is THE lever guide §2.2–2.3 prescribes for
+    * network-shuffle clusters, where it should be enabled (≥256 MB is a
+    * sensible floor). But it reads the batch twice, and whether the second
+    * full scan is cheaper than the payload shuffle it replaces depends on
+    * storage the engine cannot observe (page-cache/tmpfs: yes, measured;
+    * cold object store: not necessarily). The conservative default keeps
+    * the one-pass plan; the knob, the spec pinning equality
+    * (LwwPrefilterSpec), and the measurements ship with it. */
+  private def lwwPrefilterMinBytes: Long =
+    sys.props.get("graft.lww.prefilter.minInputBytes").map(_.toLong)
+      .getOrElse(0L)
+
+  /**
+   * Winner pre-filter for bulk LWW batches (guide §8 "decide with small
+   * rows, move big rows once" + §3.2 bloom pre-filtering). The per-key
+   * max_by reduction carries the whole payload as its aggregation buffer —
+   * a struct, which HashAggregateExec cannot hold, so the reduction plans
+   * as SortAggregate: BOTH sides of the shuffle SORT every event row with
+   * its payload (measured: the sort is ~20 s of the 25 s reduce phase at
+   * 32M events / 8 cores). Instead:
+   *
+   *   1. decide winners on narrow rows: groupBy(keys).max(lsn) — primitive
+   *      buffer, codegen'd HashAggregate, column-pruned scan of (keys, lsn)
+   *      only (4.4 s measured for the same 32M);
+   *   2. bloom the winner (keys, lsn) hashes (~1 byte/key, exact count from
+   *      the cached winner set — no false negatives by construction);
+   *   3. re-scan the batch keeping only rows that MIGHT be winners, and run
+   *      the original max_by over that ~keyspace-sized survivor set.
+   *
+   * Results are identical: the true winner row always probes true (its
+   * exact hash is in the set) and carries its key's maximal LSN, so the
+   * final max_by picks it regardless of which false positives rode along;
+   * LSN ties keep the same arbitrary-pick semantics because every row of a
+   * tied (key, lsn) shares one hash and is admitted together. Shuffle bytes
+   * drop from O(events × payload) to O(events × ~24B) + O(keys × payload).
+   */
+  /** Returns (frame, fired): `fired` tells the caller the frame is the
+    * bloom-filtered survivor set, whose final reduction should use the
+    * hash-aggregable [[graft.functions.LwwWinner]] (measured better there;
+    * measured WORSE as the top-level aggregate over raw bulk rows, where
+    * per-row object-buffer churn loses to the declarative sort). */
+  private def lwwPrefilter(
+      spark: SparkSession, lean: => DataFrame, observed: DataFrame,
+      keys: Seq[String]): (DataFrame, Boolean) = {
+    val minBytes = lwwPrefilterMinBytes
+    if (minBytes <= 0) return (observed, false)
+    // Batch size from the best available evidence: exact file bytes when the
+    // frame is file-backed, otherwise the optimizer's own size estimate —
+    // a foreachBatch frame is a LogicalRDD (inputFiles empty) whose stats
+    // Spark 4 seeds from the source batch, so streaming bulk loads gate
+    // correctly too. Estimates can only mis-gate the SHAPE (both shapes are
+    // exact), and the floor keeps micro-batches on the one-pass plan.
+    val fileBytes = scala.util.Try {
+      observed.inputFiles.map { f =>
+        val (fs, p) = graft.runner.CdcRunner.hadoopFs(spark, f)
+        fs.getFileStatus(p).getLen
+      }.sum
+    }.getOrElse(0L)
+    val statBytes = scala.util.Try(
+      observed.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong).getOrElse(0L)
+    // a stats DEFAULT (no real estimate) is the huge defaultSizeInBytes
+    // sentinel — treat it as unknown, not as a bulk batch
+    val defaultSize = spark.sessionState.conf.defaultSizeInBytes
+    val bytes = math.max(fileBytes,
+      if (statBytes >= defaultSize) 0L else statBytes)
+    // gate BEFORE touching `lean`: the micro-batch steady state must not
+    // even pay the twin lineage's plan construction
+    if (bytes < minBytes) return (observed, false)
+    timed("lww-prefilter") {
+      prefilterFired.incrementAndGet(): Unit
+      val lsnC = col(ChangeEvent.LSN)
+      val winners = lean.groupBy(keys.map(col): _*)
+        .agg(max(lsnC).as("_w_lsn"))
+        .select(xxhash64(keys.map(col) :+ col("_w_lsn"): _*).as("_kh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = math.max(1L, winners.count())
+        val bf = winners.stat.bloomFilter("_kh", n, 0.02)
+        val bc = spark.sparkContext.broadcast(bf)
+        (observed.filter(graft.functions.BloomProbe.bloom_key_might_contain(
+          xxhash64(keys.map(col) :+ lsnC: _*), bc)), true)
+      } finally { winners.unpersist(); () } // bloom already built eagerly
     }
   }
 
@@ -574,20 +684,28 @@ object MergeApply {
       deltaRows: => DataFrame,
       /** largest per-bucket row count of `deltaRows` (known exactly from the
         * stats collect) — sizes the delta write's adaptive salt. */
-      maxDeltaRowsPerBucket: Long = Long.MaxValue): (Map[String, Long], Option[BatchResult]) = {
-    val (nQuarantined, nReceived, nSkipped) = onStats()
-    val extra = extraMetrics
-    val metrics = Map(
-      "batches" -> 1L,
-      "events_quarantined" -> nQuarantined,
-      "events_received" -> receivedDelta(epoch, nReceived),
-      "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
-      "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
-      "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
-      // key present only when non-zero: a clean feed's manifests stay lean
-      (if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
-       else Map.empty[String, Long]) ++
-      extra
+      maxDeltaRowsPerBucket: Long = Long.MaxValue): (() => Map[String, Long], Option[BatchResult]) = {
+    // LAZY, evaluated once, always PRE-commit: onStats blocks on the
+    // observation listener, and the shared listener bus lags behind the
+    // thousands of task events a bulk epoch just posted — resolving it
+    // AFTER the epoch's write job lets the bus drain in the shadow of real
+    // work instead of stalling the driver between jobs (a fixed cost that
+    // taxes exactly the high-core wall the scaling pair divides by).
+    lazy val metrics: Map[String, Long] = timed("stats-resolve") {
+      val (nQuarantined, nReceived, nSkipped) = onStats()
+      val extra = extraMetrics
+      Map(
+        "batches" -> 1L,
+        "events_quarantined" -> nQuarantined,
+        "events_received" -> receivedDelta(epoch, nReceived),
+        "applied_inserts" -> opCounts.getOrElse(ChangeEvent.INSERT, 0L),
+        "applied_updates" -> opCounts.getOrElse(ChangeEvent.UPDATE, 0L),
+        "applied_deletes" -> opCounts.getOrElse(ChangeEvent.DELETE, 0L)) ++
+        // key present only when non-zero: a clean feed's manifests stay lean
+        (if (nSkipped > 0) Map("skipped_keyless_deletes" -> nSkipped)
+         else Map.empty[String, Long]) ++
+        extra
+    }
     if (affected.isEmpty) {
       // an empty batch still commits (and still carries extraMetrics): a
       // sync window whose changes all reduce away must advance its cursor.
@@ -600,7 +718,7 @@ object MergeApply {
       if (cfg.changeFeed && cfg.merge != MergeStrategy.MergeOnRead)
         lake.enableChangeFeed()
       lake.commit(epoch, Nil, Set.empty, metrics)
-      (metrics, Some(BatchResult(epoch, skipped = false, metrics)))
+      (() => metrics, Some(BatchResult(epoch, skipped = false, metrics)))
     } else if (cfg.merge == MergeStrategy.MergeOnRead) {
       // merge-on-read: the change set IS the commit — per-bucket delta
       // files, no base read, no join, no bucket rewrite; O(batch) bytes per
@@ -611,8 +729,8 @@ object MergeApply {
           maxRowsPerBucket = maxDeltaRowsPerBucket))
       val morMetrics = metrics + ("delta_commits" -> 1L)
       timed("commit")(lake.commit(epoch, files, Set.empty, morMetrics))
-      (morMetrics, Some(BatchResult(epoch, skipped = false, morMetrics)))
-    } else (metrics, None)
+      (() => morMetrics, Some(BatchResult(epoch, skipped = false, morMetrics)))
+    } else (() => metrics, None)
   }
 
   /** default/upsert modes: final state ≡ last-writer-wins fold (reference's literal
@@ -621,6 +739,7 @@ object MergeApply {
       spark: SparkSession,
       lake: LakeTable,
       events: DataFrame,
+      eventsLean: => DataFrame,
       epoch: Long,
       cfg: JobConfig,
       keys: Seq[String],
@@ -633,17 +752,38 @@ object MergeApply {
     // are never payload — FIXTURES F1
     val payloadCols = m.currentSchema.fields.map(_.name).filterNot(_.startsWith("_"))
     val nonKeyPayload = payloadCols.filterNot(keys.contains)
-    val aligned = alignToSchema(events,
-      GraftSchema(m.currentSchemaId, m.currentSchema.fields.filterNot(_.name.startsWith("_"))))
+    val alignSchema =
+      GraftSchema(m.currentSchemaId, m.currentSchema.fields.filterNot(_.name.startsWith("_")))
+    val aligned0 = alignToSchema(events, alignSchema)
+    // bulk batches (opt-in): decide winners on narrow rows first
+    // (HashAggregate over (keys, lsn)), bloom-prefilter the payload scan —
+    // see lwwPrefilter. Alignment runs on BOTH lineages so a widened key
+    // hashes identically; lean is by-name, so below the gate the twin
+    // lineage is never even constructed.
+    val (aligned, prefiltered) = lwwPrefilter(spark,
+      alignToSchema(eventsLean, alignSchema), aligned0, keys)
 
     // ── per-key LWW reduction: dedup by (key, lsn), keep max-lsn record ──
-    // groupBy + max_by does map-side partial aggregation: a hot key contributes
-    // at most one row per map task to the shuffle (skew-safe without salting).
+    // groupBy does map-side partial aggregation: a hot key contributes at
+    // most one row per map task to the shuffle (skew-safe without salting).
+    // Over the bloom-filtered survivor set the reduction runs as the
+    // hash-aggregable lww_winner (≡ max_by value-for-value — see
+    // graft.functions.LwwWinner); over a raw bulk batch the declarative
+    // max_by stays: its SortAggregate beat lww_winner's per-row object
+    // buffers there (measured 69–84 s vs 24 s at 32M events / 8 cores).
+    // -Dgraft.lww.agg=maxby|winner overrides for comparison.
     val packed = struct((Seq(ChangeEvent.OP, ChangeEvent.LSN, ChangeEvent.TS) ++
       nonKeyPayload).map(col): _*)
+    val winner = sys.props.get("graft.lww.agg") match {
+      case Some("maxby")  => max_by(packed, col(ChangeEvent.LSN))
+      case Some("winner") => graft.functions.LwwWinner.lww_winner(packed, col(ChangeEvent.LSN))
+      case _ =>
+        if (prefiltered) graft.functions.LwwWinner.lww_winner(packed, col(ChangeEvent.LSN))
+        else max_by(packed, col(ChangeEvent.LSN))
+    }
     val reduced = aligned
       .groupBy(keys.map(col): _*)
-      .agg(max_by(packed, col(ChangeEvent.LSN)).as("_r"))
+      .agg(winner.as("_r"))
       .select(keys.map(col) :+ col("_r.*"): _*)
       .withColumn("_bucket", lake.bucketExpr(keys, buckets))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -679,7 +819,7 @@ object MergeApply {
             col("_bucket")): _*)
       }
 
-      val (baseMetrics, early) = commitCommon(spark, lake, epoch, cfg, m,
+      val (baseMetricsFn, early) = commitCommon(spark, lake, epoch, cfg, m,
         affected, opCounts, onStats, extraMetrics, deltaRows,
         maxDeltaRowsPerBucket =
           if (changeRowsByBucket.isEmpty) 0L else changeRowsByBucket.values.max)
@@ -751,6 +891,9 @@ object MergeApply {
         }
         val files = timed("merge+write")(writeEpoch(spark, lake, merged, epoch, mAt,
           maxRowsPerBucket = mergedMax))
+        // metrics resolve HERE, after the epoch's write job — the observe
+        // listener lag drains in the shadow of the write (see commitCommon)
+        val baseMetrics = baseMetricsFn()
         beforeCowCommit()
         timed("commit")(lake.commit(epoch, files, affectedC, baseMetrics,
           readVersion = Some(mAt.version)))
@@ -799,6 +942,12 @@ object MergeApply {
     * its pinned commit — specs use it to interleave a conflicting external
     * commit deterministically. No-op in production. */
   private[graft] var beforeCowCommit: () => Unit = () => ()
+
+  /** Test/diagnostic seam: how many times the LWW winner pre-filter actually
+    * fired (gate passed AND the bloom was built) — a spec asserting the
+    * prefiltered path's equality must also prove the path RAN, or it
+    * compares the default path against itself. */
+  private[graft] val prefilterFired = new java.util.concurrent.atomic.AtomicLong(0)
 
   /**
    * SCD2 mode: every change produces/closes a version row
@@ -861,7 +1010,7 @@ object MergeApply {
       // the version rows themselves are the delta commit — the chain
       // (end_date/current) is rebuilt at read time / folded by compaction,
       // so history ingest never rewrites the hot buckets either)
-      val (metrics, early) = commitCommon(spark, lake, epoch, cfg, m,
+      val (metricsFn, early) = commitCommon(spark, lake, epoch, cfg, m,
         affected, opCounts, onStats, extraMetrics, evRows,
         maxDeltaRowsPerBucket =
           if (changeRowsByBucket.isEmpty) 0L else changeRowsByBucket.values.max)
@@ -910,6 +1059,7 @@ object MergeApply {
         }
         val files = writeEpoch(spark, lake, rebuilt, epoch, mAt,
           maxRowsPerBucket = mergedMax)
+        val metrics = metricsFn() // after the write — see commitCommon
         beforeCowCommit()
         lake.commit(epoch, files, affectedC, metrics,
           readVersion = Some(mAt.version))
