@@ -1426,26 +1426,45 @@ class LakeTable(val dir: String) {
     (gran, hot, cold)
   }
 
-  /** Per-snapshot memo of the broadcast delta-key bloom. The filter is a
-    * pure function of a manifest version's hot file set, and callers commonly
-    * construct several reads of the SAME snapshot — a sync bootstrap plus its
-    * equality audit, time-travel comparisons, an EXPLAIN before execution —
-    * each of which would otherwise pay the blocking delta-scan build job
-    * again. One entry suffices (readers of one table instance move forward
-    * through versions); superseded broadcasts are unpersisted by the context
-    * cleaner once their plans are gone. */
-  @transient private var bloomMemo: ((Int, Long, Long), Option[Broadcast[BloomFilter]]) = null
+  /** Memo of the broadcast delta-key bloom. The filter is a pure function
+    * of the HOT FILE SET it was built from (plus the gate knobs, which
+    * tests/operators flip between reads of one snapshot and must see take
+    * effect), and callers commonly construct several reads of the SAME
+    * snapshot — a sync bootstrap plus its equality audit, time-travel
+    * comparisons, an EXPLAIN before execution — each of which would
+    * otherwise pay the blocking delta-scan build job again. A small LRU
+    * keyed on a fingerprint of the hot set (not just the version): a
+    * mixed-version read pattern — alternating time-travel comparisons, the
+    * very case the memo exists for — reuses each snapshot's filter instead
+    * of thrashing one slot, and a private[graft] caller passing a different
+    * hot subset at the same version gets its own filter instead of one
+    * silently gated against a different base/delta ratio. Superseded
+    * broadcasts are unpersisted by the context cleaner once their plans are
+    * gone. */
+  @transient private lazy val bloomMemo =
+    new java.util.LinkedHashMap[(Long, Long, Long), Option[Broadcast[BloomFilter]]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Long, Long), Option[Broadcast[BloomFilter]]]): Boolean =
+        size() > 4
+    }
 
   private[graft] def deltaKeyBloom(spark: SparkSession, m: Manifest,
       hot: Seq[DataFile]): Option[Broadcast[BloomFilter]] = synchronized {
-    // the gate knobs are part of the key: tests (and operators) flip the
-    // sys-props between reads of one snapshot and must see the flip take
-    val key = (m.version, LakeTable.rowPruneMinRatio, LakeTable.rowPruneMaxDeltaKeys)
-    if (bloomMemo != null && bloomMemo._1 == key) bloomMemo._2
+    // order-independent fingerprint of the hot set's identity (path, kind,
+    // rows — the inputs the build reads); XOR keeps it set-shaped
+    var fp = 0L
+    hot.foreach { f =>
+      fp ^= scala.util.hashing.MurmurHash3.stringHash(f.path).toLong * 31 +
+        f.rows + (if (f.isDelta) 1L << 62 else 0L)
+    }
+    val key = (fp, LakeTable.rowPruneMinRatio, LakeTable.rowPruneMaxDeltaKeys)
+    val cached = bloomMemo.get(key)
+    if (cached != null || bloomMemo.containsKey(key)) cached
     else {
       val bc = buildDeltaKeyBloom(spark, m, hot)
         .map(spark.sparkContext.broadcast(_))
-      bloomMemo = (key, bc)
+      bloomMemo.put(key, bc): Unit
       bc
     }
   }
